@@ -1,0 +1,264 @@
+"""Generate golden parity fixtures by running the REFERENCE torch code.
+
+Run once in the dev environment (needs /root/reference mounted):
+    python scripts/make_golden.py
+
+Builds tiny reference models (vendored diffusers fork + audioldm modules),
+saves their torch state dicts + inputs + outputs into tests/golden/*.npz.
+Tests then convert those weights with tango_tpu.utils.convert and assert the
+JAX models reproduce the torch outputs. No reference code is copied into the
+repo — only numeric fixtures.
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+
+# --- shims so the 2023-era vendored diffusers imports under current deps ----
+import huggingface_hub
+
+if not hasattr(huggingface_hub, "cached_download"):
+    huggingface_hub.cached_download = huggingface_hub.hf_hub_download
+import jax
+
+if not hasattr(jax.random, "KeyArray"):
+    jax.random.KeyArray = jax.Array
+
+REF = "/root/reference"
+sys.path.insert(0, f"{REF}/mustango/diffusers/src")
+
+import torch  # noqa: E402
+
+torch.manual_seed(0)
+
+OUT = pathlib.Path(__file__).resolve().parents[1] / "tests" / "golden"
+OUT.mkdir(parents=True, exist_ok=True)
+
+
+def state_to_numpy(sd):
+    return {f"sd::{k}": v.detach().float().numpy() for k, v in sd.items()}
+
+
+def make_unet_golden():
+    from diffusers import UNet2DConditionModel
+
+    unet = UNet2DConditionModel(
+        sample_size=(16, 4),
+        in_channels=8,
+        out_channels=8,
+        down_block_types=("CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D"),
+        block_out_channels=(32, 64, 64),
+        layers_per_block=2,
+        cross_attention_dim=24,
+        attention_head_dim=(2, 4, 4),
+        use_linear_projection=True,
+        upcast_attention=True,
+        norm_num_groups=8,
+    )
+    unet.eval()
+    x = torch.randn(2, 8, 16, 4)
+    t = torch.tensor([10, 900])
+    ehs = torch.randn(2, 7, 24)
+    mask = torch.tensor([[1, 1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1, 1]]).bool()
+    with torch.no_grad():
+        out = unet(x, t, ehs, encoder_attention_mask=mask).sample
+        out_nomask = unet(x, t, ehs).sample
+    np.savez(
+        OUT / "unet_tiny.npz",
+        x=x.numpy(),
+        t=t.numpy(),
+        ehs=ehs.numpy(),
+        mask=mask.numpy(),
+        out=out.numpy(),
+        out_nomask=out_nomask.numpy(),
+        **state_to_numpy(unet.state_dict()),
+    )
+    print("unet_tiny:", out.shape, float(out.abs().mean()))
+
+
+def make_vae_golden():
+    sys.path.insert(0, REF)
+    # audioldm.variational_autoencoder.modules imports audioldm.utils (needs
+    # yaml/wget?) — import the modules file directly to dodge package __init__.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_distributions", f"{REF}/audioldm/variational_autoencoder/distributions.py"
+    )
+    dist_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dist_mod)
+
+    # modules.py imports `audioldm.utils` and LinearAttention; stub them.
+    import types
+
+    fake_utils = types.ModuleType("audioldm.utils")
+    fake_utils.instantiate_from_config = lambda *a, **k: None
+    fake_attn = types.ModuleType("audioldm.latent_diffusion.attention")
+
+    class _LA(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    fake_attn.LinearAttention = _LA
+    fake_pkg = types.ModuleType("audioldm")
+    fake_ld = types.ModuleType("audioldm.latent_diffusion")
+    sys.modules.setdefault("audioldm", fake_pkg)
+    sys.modules["audioldm.utils"] = fake_utils
+    sys.modules["audioldm.latent_diffusion"] = fake_ld
+    sys.modules["audioldm.latent_diffusion.attention"] = fake_attn
+
+    spec2 = importlib.util.spec_from_file_location(
+        "ref_vae_modules", f"{REF}/audioldm/variational_autoencoder/modules.py"
+    )
+    vm = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(vm)
+
+    ddconfig = dict(
+        double_z=True,
+        z_channels=4,
+        resolution=32,
+        in_channels=1,
+        out_ch=1,
+        ch=32,
+        ch_mult=(1, 2),
+        num_res_blocks=1,
+        attn_resolutions=[],
+        dropout=0.0,
+    )
+    enc = vm.Encoder(**ddconfig)
+    dec = vm.Decoder(**ddconfig)
+    quant = torch.nn.Conv2d(8, 8, 1)  # 2*z -> 2*embed (embed=4)
+    post_quant = torch.nn.Conv2d(4, 4, 1)
+    enc.eval(), dec.eval()
+    x = torch.randn(2, 1, 32, 8)
+    with torch.no_grad():
+        moments = quant(enc(x))
+        mean, logvar = torch.chunk(moments, 2, dim=1)
+        z = mean  # deterministic for parity
+        rec = dec(post_quant(z))
+    np.savez(
+        OUT / "vae_tiny.npz",
+        x=x.numpy(),
+        moments=moments.numpy(),
+        z=z.numpy(),
+        rec=rec.numpy(),
+        **state_to_numpy(
+            {
+                **{f"encoder.{k}": v for k, v in enc.state_dict().items()},
+                **{f"decoder.{k}": v for k, v in dec.state_dict().items()},
+                **{f"quant_conv.{k}": v for k, v in quant.state_dict().items()},
+                **{f"post_quant_conv.{k}": v for k, v in post_quant.state_dict().items()},
+            }
+        ),
+    )
+    print("vae_tiny:", rec.shape, float(rec.abs().mean()))
+
+
+def make_hifigan_golden():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_hifigan_models", f"{REF}/audioldm/hifigan/models.py"
+    )
+    hm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(hm)
+
+    class H(dict):
+        __getattr__ = dict.__getitem__
+
+    h = H(
+        resblock_kernel_sizes=[3, 7, 11],
+        resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+        upsample_rates=[5, 4, 2, 2, 2],
+        upsample_kernel_sizes=[16, 16, 8, 4, 4],
+        upsample_initial_channel=64,
+        num_mels=8,
+    )
+    gen = hm.Generator(h)
+    gen.eval()
+    # keep weight-normed state dict to exercise fold_weight_norm
+    sd_wn = {k: v.clone() for k, v in gen.state_dict().items()}
+    gen.remove_weight_norm()
+    mel = torch.randn(2, 8, 24)  # (B, n_mels, T)
+    with torch.no_grad():
+        wav = gen(mel)
+    np.savez(
+        OUT / "hifigan_tiny.npz",
+        mel=mel.numpy(),
+        wav=wav.numpy(),
+        **state_to_numpy(sd_wn),
+    )
+    print("hifigan_tiny:", wav.shape, float(wav.abs().mean()))
+
+
+def make_scheduler_golden():
+    from diffusers import DDPMScheduler, DDIMScheduler
+
+    cfgs = {
+        "sd21": dict(
+            num_train_timesteps=1000,
+            beta_start=0.00085,
+            beta_end=0.012,
+            beta_schedule="scaled_linear",
+            prediction_type="v_prediction",
+            clip_sample=False,
+        ),
+        "eps_linear": dict(
+            num_train_timesteps=1000,
+            beta_start=0.0001,
+            beta_end=0.02,
+            beta_schedule="linear",
+            prediction_type="epsilon",
+            clip_sample=True,
+        ),
+    }
+    data = {}
+    for name, cfg in cfgs.items():
+        s = DDPMScheduler(**cfg)
+        s.set_timesteps(10)
+        g = torch.Generator().manual_seed(42)
+        x = torch.randn(2, 4, 8, 2, generator=g)
+        x0 = torch.randn(2, 4, 8, 2, generator=g)
+        noise = torch.randn(2, 4, 8, 2, generator=g)
+        ts = torch.tensor([3, 700])
+        data[f"{name}_betas"] = s.betas.numpy()
+        data[f"{name}_timesteps"] = s.timesteps.numpy()
+        data[f"{name}_noisy"] = s.add_noise(x0, noise, ts).numpy()
+        if cfg["prediction_type"] == "v_prediction":
+            data[f"{name}_velocity"] = s.get_velocity(x0, noise, ts).numpy()
+        # one step at t=700 with fixed variance noise: monkeypatch randn_tensor
+        model_out = torch.randn(2, 4, 8, 2, generator=g)
+        var_noise = torch.randn(2, 4, 8, 2, generator=g)
+        import diffusers.schedulers.scheduling_ddpm as sd_mod
+
+        orig = sd_mod.randn_tensor
+        sd_mod.randn_tensor = lambda *a, **k: var_noise
+        try:
+            step_out = s.step(model_out, 700, x).prev_sample
+        finally:
+            sd_mod.randn_tensor = orig
+        data[f"{name}_x"] = x.numpy()
+        data[f"{name}_x0"] = x0.numpy()
+        data[f"{name}_noise"] = noise.numpy()
+        data[f"{name}_model_out"] = model_out.numpy()
+        data[f"{name}_var_noise"] = var_noise.numpy()
+        data[f"{name}_step700"] = step_out.numpy()
+
+        # DDIM eta=0 step for the same config
+        ddim = DDIMScheduler(
+            **{k: v for k, v in cfg.items()}, set_alpha_to_one=False, steps_offset=1
+        )
+        ddim.set_timesteps(10)
+        data[f"{name}_ddim_timesteps"] = ddim.timesteps.numpy()
+        data[f"{name}_ddim_step701"] = ddim.step(model_out, 701, x).prev_sample.numpy()
+    np.savez(OUT / "schedulers.npz", **data)
+    print("schedulers: ok")
+
+
+if __name__ == "__main__":
+    make_scheduler_golden()
+    make_unet_golden()
+    make_vae_golden()
+    make_hifigan_golden()

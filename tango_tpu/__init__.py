@@ -1,0 +1,23 @@
+"""tango_tpu — a TPU-native text-to-audio latent-diffusion framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of declare-lab/tango
+(text-to-audio latent diffusion with a frozen FLAN-T5 text encoder, a
+UNet2DConditionModel denoiser over mel-spectrogram latents, an AudioLDM-style
+KL-VAE, and a HiFi-GAN vocoder), plus the Tango2 DPO alignment trainer and the
+Mustango music-conditioned variant.
+
+Design stance (TPU-first, not a port):
+  * All models are pure-function Flax linen modules operating on NHWC layouts.
+  * Schedulers are stateless pure functions over precomputed coefficient tables.
+  * The CFG sampling loop compiles into a single ``lax.scan`` program.
+  * Multi-device scaling uses ``jax.sharding.Mesh`` + NamedSharding; XLA
+    inserts the collectives.
+  * Hot ops (flash attention, fused GroupNorm+SiLU) have Pallas TPU kernels
+    with XLA fallbacks for CPU.
+
+Reference parity targets are cited per-module as ``/root/reference/<file>:<line>``.
+"""
+
+__version__ = "0.1.0"
+
+from tango_tpu import configs  # noqa: F401

@@ -1,0 +1,278 @@
+"""Configuration dataclasses for every tango_tpu component.
+
+The JSON key surface intentionally matches the reference configs so released
+checkpoints' config files load directly:
+  * UNetConfig        <- configs/diffusion_model_config.json (reference)
+  * VAEConfig         <- audioldm default config ddconfig (audioldm/utils.py:158-180)
+  * StftConfig        <- preprocessing block (audioldm/utils.py:108-121)
+  * HiFiGANConfig     <- HIFIGAN_16K_64 (audioldm/hifigan/utilities.py:9-39)
+  * SchedulerConfig   <- diffusers DDPMScheduler config (stable-diffusion-2-1/scheduler)
+
+Unknown JSON keys are ignored on load (`from_dict`) so upstream config files
+with extra metadata (`_class_name`, `_diffusers_version`, ...) parse cleanly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple, Union
+
+
+class _FromDict:
+    """Mixin: construct from a dict, ignoring unknown keys."""
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        names = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in names}
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, path: str):
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _tup(x) -> tuple:
+    return tuple(x) if isinstance(x, (list, tuple)) else (x,)
+
+
+@dataclass(frozen=True)
+class UNetConfig(_FromDict):
+    """UNet2DConditionModel config (key-compatible with diffusers JSON).
+
+    Note: `attention_head_dim` keeps the (misnamed) diffusers meaning — it is
+    the NUMBER OF HEADS per level; head width is block_channels / heads
+    (320/5 = 64 for Tango).
+    """
+
+    sample_size: Any = None
+    in_channels: int = 8
+    out_channels: int = 8
+    center_input_sample: bool = False
+    flip_sin_to_cos: bool = True
+    freq_shift: int = 0
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "DownBlock2D",
+    )
+    mid_block_type: Optional[str] = "UNetMidBlock2DCrossAttn"
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+    )
+    only_cross_attention: Union[bool, Tuple[bool, ...]] = False
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    downsample_padding: int = 1
+    mid_block_scale_factor: float = 1.0
+    act_fn: str = "silu"
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    cross_attention_dim: int = 1024
+    attention_head_dim: Union[int, Tuple[int, ...]] = (5, 10, 20, 20)
+    dual_cross_attention: bool = False
+    use_linear_projection: bool = True
+    num_class_embeds: Optional[int] = None
+    upcast_attention: bool = True
+    resnet_time_scale_shift: str = "default"
+    conv_in_kernel: int = 3
+    conv_out_kernel: int = 3
+    # tango_tpu extensions (not in reference JSON):
+    # number of extra cross-attention streams (0 for Tango; 2 for Mustango's
+    # beat+chord conditioning — reference unet_2d_condition_music.py:54).
+    extra_cond_streams: int = 0
+    extra_cond_dims: Tuple[int, ...] = ()
+
+    def __post_init__(self):
+        object.__setattr__(self, "down_block_types", _tup(self.down_block_types))
+        object.__setattr__(self, "up_block_types", _tup(self.up_block_types))
+        object.__setattr__(self, "block_out_channels", _tup(self.block_out_channels))
+        object.__setattr__(self, "extra_cond_dims", _tup(self.extra_cond_dims) if self.extra_cond_dims else ())
+        if isinstance(self.attention_head_dim, (list, tuple)):
+            object.__setattr__(self, "attention_head_dim", _tup(self.attention_head_dim))
+
+    def heads_for_level(self, level: int) -> int:
+        if isinstance(self.attention_head_dim, int):
+            return self.attention_head_dim
+        return self.attention_head_dim[level]
+
+
+@dataclass(frozen=True)
+class VAEConfig(_FromDict):
+    """AudioLDM AutoencoderKL config.
+
+    Mirrors `first_stage_config.params` + its `ddconfig` flattened
+    (audioldm/utils.py:160-180, audioldm/variational_autoencoder/autoencoder.py:9).
+    """
+
+    embed_dim: int = 8
+    scale_factor: float = 1.0
+    # ddconfig
+    double_z: bool = True
+    z_channels: int = 8
+    resolution: int = 256
+    in_channels: int = 1
+    out_ch: int = 1
+    ch: int = 128
+    ch_mult: Tuple[int, ...] = (1, 2, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Tuple[int, ...] = ()
+    dropout: float = 0.0
+    downsample_time_stride4_levels: Tuple[int, ...] = ()
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        d = dict(d)
+        dd = d.pop("ddconfig", None)
+        if dd:
+            d.update(dd)
+        return super().from_dict(d)
+
+    def __post_init__(self):
+        object.__setattr__(self, "ch_mult", _tup(self.ch_mult))
+        object.__setattr__(self, "attn_resolutions", _tup(self.attn_resolutions) if self.attn_resolutions else ())
+        object.__setattr__(
+            self,
+            "downsample_time_stride4_levels",
+            _tup(self.downsample_time_stride4_levels) if self.downsample_time_stride4_levels else (),
+        )
+
+
+@dataclass(frozen=True)
+class StftConfig(_FromDict):
+    """TacotronSTFT config (audioldm/utils.py:108-121, stft.py:136-160)."""
+
+    filter_length: int = 1024
+    hop_length: int = 160
+    win_length: int = 1024
+    n_mel_channels: int = 64
+    sampling_rate: int = 16000
+    mel_fmin: float = 0.0
+    mel_fmax: float = 8000.0
+
+
+@dataclass(frozen=True)
+class HiFiGANConfig(_FromDict):
+    """HiFi-GAN generator config (audioldm/hifigan/utilities.py:9-39)."""
+
+    num_mels: int = 64
+    upsample_rates: Tuple[int, ...] = (5, 4, 2, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 8, 4, 4)
+    upsample_initial_channel: int = 1024
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    sampling_rate: int = 16000
+
+    def __post_init__(self):
+        object.__setattr__(self, "upsample_rates", _tup(self.upsample_rates))
+        object.__setattr__(self, "upsample_kernel_sizes", _tup(self.upsample_kernel_sizes))
+        object.__setattr__(self, "resblock_kernel_sizes", _tup(self.resblock_kernel_sizes))
+        object.__setattr__(
+            self, "resblock_dilation_sizes", tuple(_tup(d) for d in self.resblock_dilation_sizes)
+        )
+
+
+@dataclass(frozen=True)
+class SchedulerConfig(_FromDict):
+    """DDPM/DDIM scheduler config.
+
+    Key-compatible with diffusers scheduler_config.json. Defaults are the
+    stable-diffusion-2-1 scheduler that Tango loads (models.py:80-81):
+    scaled_linear betas in [0.00085, 0.012], v_prediction, no sample clipping.
+    """
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    trained_betas: Optional[List[float]] = None
+    variance_type: str = "fixed_small"
+    clip_sample: bool = False
+    clip_sample_range: float = 1.0
+    prediction_type: str = "v_prediction"
+    thresholding: bool = False
+    dynamic_thresholding_ratio: float = 0.995
+    sample_max_value: float = 1.0
+    # DDIM-only knobs (ignored by DDPM):
+    set_alpha_to_one: bool = False
+    steps_offset: int = 1
+
+
+@dataclass(frozen=True)
+class DiffusionConfig(_FromDict):
+    """Top-level AudioDiffusion config (`main_config.json` surface, tango.py:17)."""
+
+    text_encoder_name: str = "google/flan-t5-large"
+    scheduler_name: str = "stabilityai/stable-diffusion-2-1"
+    unet_model_name: Optional[str] = None
+    unet_model_config_path: Optional[str] = None
+    snr_gamma: Optional[float] = None
+    freeze_text_encoder: bool = True
+    uncondition: bool = False
+    # latent geometry (models.py:260 — (B, 8, 256, 16) NCHW == (B, 256, 16, 8) NHWC)
+    latent_t_size: int = 256
+    latent_f_size: int = 16
+
+
+@dataclass(frozen=True)
+class TrainConfig(_FromDict):
+    """SFT training recipe (train.sh:1-8, train.py:100-136)."""
+
+    learning_rate: float = 3e-5
+    weight_decay: float = 1e-8
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    num_train_epochs: int = 40
+    per_device_train_batch_size: int = 2
+    per_device_eval_batch_size: int = 2
+    gradient_accumulation_steps: int = 4
+    lr_scheduler_type: str = "linear"
+    num_warmup_steps: int = 0
+    snr_gamma: Optional[float] = 5.0
+    uncondition: bool = False
+    augment: bool = True
+    target_length: int = 1024
+    seed: Optional[int] = None
+    checkpointing_steps: str = "best"
+
+
+@dataclass(frozen=True)
+class DPOConfig(_FromDict):
+    """DPO alignment recipe (README.md:155-166, tango2/tango2-train.py:35-224)."""
+
+    learning_rate: float = 9.6e-7
+    beta_dpo: float = 2000.0
+    num_train_epochs: int = 5
+    per_device_train_batch_size: int = 4
+    gradient_accumulation_steps: int = 4
+    sft_first_epochs: int = 1
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    weight_decay: float = 1e-8
+
+
+# Canonical Tango release configs -------------------------------------------------
+
+TANGO_UNET = UNetConfig()
+
+TANGO_UNET_XL = dataclasses.replace(
+    TANGO_UNET,
+    cross_attention_dim=2048,
+)
+
+TANGO_VAE = VAEConfig()
+TANGO_STFT = StftConfig()
+TANGO_HIFIGAN = HiFiGANConfig()
+SD21_SCHEDULER = SchedulerConfig()

@@ -1,0 +1,5 @@
+from tango_tpu.models.unet import UNet2DConditionModel
+from tango_tpu.models.vae import AutoencoderKL
+from tango_tpu.models.hifigan import HiFiGANGenerator
+
+__all__ = ["UNet2DConditionModel", "AutoencoderKL", "HiFiGANGenerator"]

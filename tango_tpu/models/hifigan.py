@@ -1,0 +1,123 @@
+"""HiFi-GAN generator — TPU-native (NWC layout) mel -> 16 kHz waveform vocoder.
+
+Re-design of the reference generator (/root/reference/audioldm/hifigan/models.py:112-174)
+for the HIFIGAN_16K_64 config (utilities.py:9-39): conv_pre(7) -> 5 x
+[leaky_relu -> transposed conv (rates 5,4,2,2,2 = x160 upsampling) -> mean of 3
+dilated ResBlocks (kernels 3,7,11; dilations 1,3,5)] -> leaky_relu ->
+conv_post(7) -> tanh.
+
+Weight-norm is folded into plain conv weights at conversion time, matching the
+reference's `remove_weight_norm()` at load (utilities.py:67-73).
+
+Layout: (B, T_mel, n_mels) in, (B, T_wav) out. Transposed convs are expressed
+as lax.conv_general_dilated with lhs_dilation (identical math to torch
+ConvTranspose1d with padding=(k-u)//2, out_len = T*u).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tango_tpu.configs import HiFiGANConfig
+
+LRELU_SLOPE = 0.1
+
+
+def _lrelu(x):
+    return jax.nn.leaky_relu(x, LRELU_SLOPE)
+
+
+class ConvTranspose1D(nn.Module):
+    """torch ConvTranspose1d(stride=u, padding=p) equivalent on (B, T, C)."""
+
+    out_channels: int
+    kernel_size: int
+    stride: int
+    padding: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, u, p = self.kernel_size, self.stride, self.padding
+        in_ch = x.shape[-1]
+        # kernel stored HIO (already spatially flipped + transposed from torch
+        # (I, O, K) at conversion; random init matches fan-in scaling).
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, in_ch, self.out_channels),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1,),
+            padding=[(k - 1 - p, k - 1 - p)],
+            lhs_dilation=(u,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return out + bias
+
+
+class ResBlock(nn.Module):
+    """3 x [lrelu -> dilated conv -> lrelu -> conv] with residuals (models.py:20-103)."""
+
+    kernel_size: int
+    dilations: tuple
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ch = x.shape[-1]
+        for i, d in enumerate(self.dilations):
+            h = _lrelu(x)
+            h = nn.Conv(
+                ch, (self.kernel_size,), kernel_dilation=(d,),
+                padding=(self.kernel_size * d - d) // 2, dtype=self.dtype, name=f"convs1_{i}",
+            )(h)
+            h = _lrelu(h)
+            h = nn.Conv(
+                ch, (self.kernel_size,),
+                padding=(self.kernel_size - 1) // 2, dtype=self.dtype, name=f"convs2_{i}",
+            )(h)
+            x = x + h
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    cfg: HiFiGANConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """mel (B, T, n_mels) -> waveform (B, T * prod(rates)) float in [-1, 1]."""
+        cfg = self.cfg
+        x = nn.Conv(cfg.upsample_initial_channel, (7,), padding=3, dtype=self.dtype, name="conv_pre")(
+            mel.astype(self.dtype)
+        )
+        num_kernels = len(cfg.resblock_kernel_sizes)
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            x = _lrelu(x)
+            x = ConvTranspose1D(ch, k, u, (k - u) // 2, self.dtype, name=f"ups_{i}")(x)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            ):
+                out = ResBlock(rk, tuple(rd), self.dtype, name=f"resblocks_{i * num_kernels + j}")(x)
+                acc = out if acc is None else acc + out
+            x = acc / num_kernels
+        # the reference's final activation is F.leaky_relu with the DEFAULT
+        # slope 0.01, not LRELU_SLOPE (models.py:162)
+        x = jax.nn.leaky_relu(x, 0.01)
+        x = nn.Conv(1, (7,), padding=3, dtype=self.dtype, name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]
+
+
+def waveform_to_int16(wav: jnp.ndarray):
+    """Match reference int16 output scaling (hifigan/utilities.py:76-86)."""
+    import numpy as np
+
+    return (np.asarray(wav) * 32768.0).astype("int16")

@@ -1,0 +1,482 @@
+"""UNet2DConditionModel — TPU-native (NHWC, Flax linen) denoiser.
+
+Functional re-design of the reference diffusers UNet2DConditionModel
+(/root/reference/mustango/diffusers/src/diffusers/models/unet_2d_condition.py:53-707)
+with identical numerics for the Tango config surface
+(/root/reference/configs/diffusion_model_config.json):
+
+  * sinusoidal timestep proj (embeddings.py:22-67: exponent/(half-freq_shift),
+    flip_sin_to_cos -> [cos, sin]) + 2-layer SiLU MLP
+  * ResnetBlock2D: GN(32, eps=norm_eps) -> SiLU -> conv3x3 -> +time bias ->
+    GN -> SiLU -> conv3x3 -> +shortcut (resnet.py:432-595)
+  * Transformer2DModel with use_linear_projection: GN(32, eps=1e-6) ->
+    linear proj_in -> BasicTransformerBlock -> linear proj_out -> +residual
+    (transformer_2d.py:145-265)
+  * BasicTransformerBlock: LN -> self-attn -> LN -> cross-attn(text, bias)
+    -> LN -> GEGLU FF (attention.py:177-336)
+  * boolean encoder mask -> additive -10000 bias (unet_2d_condition.py:574-579)
+
+TPU-first deviations (none change math):
+  * NHWC layout everywhere; latents are (B, T, F, C).
+  * The whole forward is one traced function — no Python object state.
+  * Attention dispatches to a Pallas flash kernel on TPU (ops/attention.py).
+  * Generalized "conditioning streams": each cross-attention level applies one
+    Transformer2DModel per stream sequentially; Tango has one (text), Mustango
+    three (text, beats, chords — unet_2d_blocks.py:1194-1260 in the reference
+    fork). Stream i cross-attends to encoder_hidden_states[i] with its bias.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tango_tpu.configs import UNetConfig
+from tango_tpu.ops.attention import multi_head_attention
+from tango_tpu.ops.basic import geglu, group_norm, silu
+
+
+def get_timestep_embedding(
+    timesteps: jnp.ndarray,
+    embedding_dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: int = 10000,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (embeddings.py:22-67). f32 output."""
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def mask_to_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Boolean/0-1 key mask (B, S) -> additive bias (B, S).
+
+    Reference: (1 - mask) * -10000.0 (unet_2d_condition.py:574-579).
+    """
+    return (1.0 - mask.astype(dtype)) * jnp.asarray(-10000.0, dtype)
+
+
+class TimestepEmbedding(nn.Module):
+    """linear_1 -> SiLU -> linear_2 (embeddings.py TimestepEmbedding)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        h = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(t_emb.astype(self.dtype))
+        h = silu(h)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(h)
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        in_channels = x.shape[-1]
+        h = x
+
+        scale1 = self.param("norm1_scale", nn.initializers.ones, (in_channels,))
+        bias1 = self.param("norm1_bias", nn.initializers.zeros, (in_channels,))
+        h = group_norm(h, scale1, bias1, self.groups, self.eps, act="silu")
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(silu(temb))
+            h = h + t[:, None, None, :]
+
+        scale2 = self.param("norm2_scale", nn.initializers.ones, (self.out_channels,))
+        bias2 = self.param("norm2_bias", nn.initializers.zeros, (self.out_channels,))
+        h = group_norm(h, scale2, bias2, self.groups, self.eps, act="silu")
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class Attention(nn.Module):
+    """Projections + attention core (attention_processor.py:34-131)."""
+
+    heads: int
+    dim_head: int
+    upcast: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, bias=None):
+        context = x if context is None else context
+        inner = self.heads * self.dim_head
+        query_dim = x.shape[-1]
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        out = multi_head_attention(q, k, v, heads=self.heads, bias=bias, upcast=self.upcast)
+        return nn.Dense(query_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward, mult=4 (attention.py:338-434)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = dim * 4
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        h = geglu(h)
+        return nn.Dense(dim, dtype=self.dtype, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    heads: int
+    dim_head: int
+    upcast: bool = True
+    dtype: jnp.dtype = jnp.float32
+    has_cross: bool = True
+
+    @nn.compact
+    def __call__(self, x, context=None, context_bias=None):
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(self.heads, self.dim_head, self.upcast, self.dtype, name="attn1")(h)
+        if self.has_cross:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+            x = x + Attention(self.heads, self.dim_head, self.upcast, self.dtype, name="attn2")(
+                h, context=context, bias=context_bias
+            )
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        return x + FeedForward(self.dtype, name="ff")(h)
+
+
+class Transformer2DModel(nn.Module):
+    """Spatial transformer over NHWC features (transformer_2d.py:41-265)."""
+
+    heads: int
+    dim_head: int
+    use_linear_projection: bool = True
+    upcast: bool = True
+    dtype: jnp.dtype = jnp.float32
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, context, context_bias=None):
+        b, hh, ww, c = x.shape
+        inner = self.heads * self.dim_head
+        residual = x
+
+        scale = self.param("norm_scale", nn.initializers.ones, (c,))
+        bias = self.param("norm_bias", nn.initializers.zeros, (c,))
+        h = group_norm(x, scale, bias, self.groups, eps=1e-6)
+        h = h.reshape(b, hh * ww, c)
+        if self.use_linear_projection:
+            h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        else:
+            # 1x1 conv == dense over channels; keep a distinct name for conversion
+            h = nn.Dense(inner, dtype=self.dtype, name="proj_in_conv")(h)
+        h = BasicTransformerBlock(
+            self.heads, self.dim_head, self.upcast, self.dtype, name="transformer_blocks_0"
+        )(h, context=context, context_bias=context_bias)
+        if self.use_linear_projection:
+            h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
+        else:
+            h = nn.Dense(c, dtype=self.dtype, name="proj_out_conv")(h)
+        return h.reshape(b, hh, ww, c) + residual
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    padding: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.padding == 0:
+            # asymmetric (0,1,0,1) pad as in diffusers Downsample2D pad-then-conv
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            pad = "VALID"
+        else:
+            pad = self.padding
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=pad, dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+def _apply_attn_streams(
+    self_mod, h, contexts, context_biases, *, prefix, heads, dim_head, cfg
+):
+    """Apply one Transformer2DModel per conditioning stream, sequentially.
+
+    Stream 0 is text (diffusers `attentions`); extra streams mirror Mustango's
+    beat/chord transformers (unet_2d_blocks.py:1234-1258: attn -> attn2 -> attn3).
+    """
+    n_streams = 1 + cfg.extra_cond_streams
+    names = [prefix] + [f"{prefix}_extra{j}" for j in range(1, n_streams)]
+    for j in range(n_streams):
+        h = Transformer2DModel(
+            heads,
+            dim_head,
+            use_linear_projection=cfg.use_linear_projection,
+            upcast=cfg.upcast_attention,
+            dtype=self_mod.dtype,
+            groups=cfg.norm_num_groups,
+            name=names[j],
+        )(h, contexts[j], context_biases[j])
+    return h
+
+
+class CrossAttnDownBlock2D(nn.Module):
+    cfg: UNetConfig
+    out_channels: int
+    heads: int
+    add_downsample: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, contexts, context_biases):
+        dim_head = self.out_channels // self.heads
+        outputs = []
+        for i in range(self.cfg.layers_per_block):
+            x = ResnetBlock2D(
+                self.out_channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
+                name=f"resnets_{i}",
+            )(x, temb)
+            x = _apply_attn_streams(
+                self, x, contexts, context_biases,
+                prefix=f"attentions_{i}", heads=self.heads, dim_head=dim_head, cfg=self.cfg,
+            )
+            outputs.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, self.cfg.downsample_padding, self.dtype, name="downsamplers_0")(x)
+            outputs.append(x)
+        return x, outputs
+
+
+class DownBlock2D(nn.Module):
+    cfg: UNetConfig
+    out_channels: int
+    add_downsample: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        outputs = []
+        for i in range(self.cfg.layers_per_block):
+            x = ResnetBlock2D(
+                self.out_channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
+                name=f"resnets_{i}",
+            )(x, temb)
+            outputs.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, self.cfg.downsample_padding, self.dtype, name="downsamplers_0")(x)
+            outputs.append(x)
+        return x, outputs
+
+
+class UNetMidBlock2DCrossAttn(nn.Module):
+    cfg: UNetConfig
+    channels: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, contexts, context_biases):
+        dim_head = self.channels // self.heads
+        x = ResnetBlock2D(
+            self.channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype, name="resnets_0"
+        )(x, temb)
+        x = _apply_attn_streams(
+            self, x, contexts, context_biases,
+            prefix="attentions_0", heads=self.heads, dim_head=dim_head, cfg=self.cfg,
+        )
+        x = ResnetBlock2D(
+            self.channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype, name="resnets_1"
+        )(x, temb)
+        return x
+
+
+class CrossAttnUpBlock2D(nn.Module):
+    cfg: UNetConfig
+    out_channels: int
+    heads: int
+    add_upsample: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, res_states, temb, contexts, context_biases):
+        dim_head = self.out_channels // self.heads
+        for i in range(self.cfg.layers_per_block + 1):
+            x = jnp.concatenate([x, res_states.pop()], axis=-1)
+            x = ResnetBlock2D(
+                self.out_channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
+                name=f"resnets_{i}",
+            )(x, temb)
+            x = _apply_attn_streams(
+                self, x, contexts, context_biases,
+                prefix=f"attentions_{i}", heads=self.heads, dim_head=dim_head, cfg=self.cfg,
+            )
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, self.dtype, name="upsamplers_0")(x)
+        return x
+
+
+class UpBlock2D(nn.Module):
+    cfg: UNetConfig
+    out_channels: int
+    add_upsample: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, res_states, temb):
+        for i in range(self.cfg.layers_per_block + 1):
+            x = jnp.concatenate([x, res_states.pop()], axis=-1)
+            x = ResnetBlock2D(
+                self.out_channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
+                name=f"resnets_{i}",
+            )(x, temb)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, self.dtype, name="upsamplers_0")(x)
+        return x
+
+
+class UNet2DConditionModel(nn.Module):
+    """The denoiser. Input/output NHWC: (B, T, F, C).
+
+    `encoder_hidden_states` may be a single (B, S, D) array (Tango) or a
+    tuple/list of them, one per conditioning stream (Mustango: text, beats,
+    chords). `encoder_attention_mask` likewise — boolean/0-1 key masks.
+    """
+
+    cfg: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        encoder_hidden_states,
+        encoder_attention_mask=None,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        n_streams = 1 + cfg.extra_cond_streams
+
+        contexts = (
+            list(encoder_hidden_states)
+            if isinstance(encoder_hidden_states, (tuple, list))
+            else [encoder_hidden_states]
+        )
+        assert len(contexts) == n_streams, (len(contexts), n_streams)
+        masks = (
+            list(encoder_attention_mask)
+            if isinstance(encoder_attention_mask, (tuple, list))
+            else [encoder_attention_mask] * n_streams
+        )
+        biases = [None if m is None else mask_to_bias(m)[:, None, :] for m in masks]
+        contexts = [c.astype(self.dtype) for c in contexts]
+
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps[None], (sample.shape[0],))
+
+        if cfg.center_input_sample:
+            sample = 2.0 * sample - 1.0
+
+        # 1. time
+        t_emb = get_timestep_embedding(
+            timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, float(cfg.freq_shift)
+        )
+        temb = TimestepEmbedding(cfg.block_out_channels[0] * 4, self.dtype, name="time_embedding")(t_emb)
+
+        # 2. pre-process
+        sample = sample.astype(self.dtype)
+        sample = nn.Conv(
+            cfg.block_out_channels[0], (cfg.conv_in_kernel,) * 2,
+            padding=(cfg.conv_in_kernel - 1) // 2, dtype=self.dtype, name="conv_in",
+        )(sample)
+
+        # 3. down
+        res_stack = [sample]
+        for level, block_type in enumerate(cfg.down_block_types):
+            out_ch = cfg.block_out_channels[level]
+            is_final = level == len(cfg.down_block_types) - 1
+            if block_type == "CrossAttnDownBlock2D":
+                sample, outs = CrossAttnDownBlock2D(
+                    cfg, out_ch, cfg.heads_for_level(level), add_downsample=not is_final,
+                    dtype=self.dtype, name=f"down_blocks_{level}",
+                )(sample, temb, contexts, biases)
+            elif block_type == "DownBlock2D":
+                sample, outs = DownBlock2D(
+                    cfg, out_ch, add_downsample=not is_final, dtype=self.dtype,
+                    name=f"down_blocks_{level}",
+                )(sample, temb)
+            else:
+                raise ValueError(f"unknown down block {block_type}")
+            res_stack.extend(outs)
+
+        # 4. mid
+        if cfg.mid_block_type == "UNetMidBlock2DCrossAttn":
+            sample = UNetMidBlock2DCrossAttn(
+                cfg, cfg.block_out_channels[-1], cfg.heads_for_level(len(cfg.block_out_channels) - 1),
+                dtype=self.dtype, name="mid_block",
+            )(sample, temb, contexts, biases)
+        elif cfg.mid_block_type is not None:
+            raise ValueError(f"unknown mid block {cfg.mid_block_type}")
+
+        # 5. up
+        rev_channels = list(reversed(cfg.block_out_channels))
+        rev_heads = list(reversed(
+            [cfg.heads_for_level(i) for i in range(len(cfg.block_out_channels))]
+        ))
+        for i, block_type in enumerate(cfg.up_block_types):
+            out_ch = rev_channels[i]
+            is_final = i == len(cfg.up_block_types) - 1
+            n_res = cfg.layers_per_block + 1
+            res_states = res_stack[-n_res:]
+            del res_stack[-n_res:]
+            if block_type == "CrossAttnUpBlock2D":
+                sample = CrossAttnUpBlock2D(
+                    cfg, out_ch, rev_heads[i], add_upsample=not is_final, dtype=self.dtype,
+                    name=f"up_blocks_{i}",
+                )(sample, res_states, temb, contexts, biases)
+            elif block_type == "UpBlock2D":
+                sample = UpBlock2D(
+                    cfg, out_ch, add_upsample=not is_final, dtype=self.dtype,
+                    name=f"up_blocks_{i}",
+                )(sample, res_states, temb)
+            else:
+                raise ValueError(f"unknown up block {block_type}")
+
+        # 6. post-process
+        scale = self.param("conv_norm_out_scale", nn.initializers.ones, (sample.shape[-1],))
+        bias = self.param("conv_norm_out_bias", nn.initializers.zeros, (sample.shape[-1],))
+        sample = group_norm(sample, scale, bias, cfg.norm_num_groups, cfg.norm_eps, act="silu")
+        sample = nn.Conv(
+            cfg.out_channels, (cfg.conv_out_kernel,) * 2,
+            padding=(cfg.conv_out_kernel - 1) // 2, dtype=self.dtype, name="conv_out",
+        )(sample)
+        return sample

@@ -1,0 +1,204 @@
+"""AudioLDM AutoencoderKL — TPU-native (NHWC, Flax linen) mel-latent VAE.
+
+Re-design of the reference VAE
+(/root/reference/audioldm/variational_autoencoder/autoencoder.py:9-135 and
+modules.py:118-685) with identical numerics for the Tango config
+(ch=128, ch_mult (1,2,4), 2 res blocks/level, no attention, double_z,
+z_channels 8 — audioldm/utils.py:158-180):
+
+  * ResnetBlock: GN(32, eps=1e-6) -> swish -> conv3x3 -> GN -> swish -> conv3x3
+    -> + 1x1 shortcut (modules.py:118-177); temb_ch = 0 in the VAE.
+  * Downsample: asymmetric (0,1,0,1) zero pad + stride-2 VALID conv
+    (modules.py:76-94). Upsample: nearest x2 + conv3x3 (modules.py:44-57).
+  * Latent scaling: encode -> posterior; sample * scale_factor gives model
+    latents (autoencoder.py:130-135); decode divides by scale_factor first
+    (autoencoder.py:124).
+
+Layout: mel "images" are (B, T, F, 1) NHWC (reference uses (B, 1, T, F) NCHW).
+Latents are (B, T/4, F/4, z) NHWC == reference (B, z, T/4, F/4).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tango_tpu.configs import VAEConfig
+from tango_tpu.ops.basic import group_norm
+
+
+class VAEResnetBlock(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        h = x
+        s1 = self.param("norm1_scale", nn.initializers.ones, (in_ch,))
+        b1 = self.param("norm1_bias", nn.initializers.zeros, (in_ch,))
+        h = group_norm(h, s1, b1, 32, 1e-6, act="silu")
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        s2 = self.param("norm2_scale", nn.initializers.ones, (self.out_channels,))
+        b2 = self.param("norm2_bias", nn.initializers.zeros, (self.out_channels,))
+        h = group_norm(h, s2, b2, 32, 1e-6, act="silu")
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+        return x + h
+
+
+class VAEAttnBlock(nn.Module):
+    """Single-head spatial self-attention (modules.py:185-231). 1x1-conv QKV."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        s = self.param("norm_scale", nn.initializers.ones, (c,))
+        bb = self.param("norm_bias", nn.initializers.zeros, (c,))
+        h = group_norm(x, s, bb, 32, 1e-6)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h).reshape(b, hh * ww, c)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h).reshape(b, hh * ww, c)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h).reshape(b, hh * ww, c)
+        logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits * (c**-0.5), axis=-1).astype(x.dtype)
+        h = jnp.einsum("bqk,bkc->bqc", probs, v).reshape(b, hh, ww, c)
+        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return x + h
+
+
+class VAEDownsample(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype, name="conv")(x)
+
+
+class VAEUpsample(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class Encoder(nn.Module):
+    cfg: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        h = nn.Conv(cfg.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x.astype(self.dtype))
+        num_levels = len(cfg.ch_mult)
+        curr_res = cfg.resolution
+        for level in range(num_levels):
+            out_ch = cfg.ch * cfg.ch_mult[level]
+            for i in range(cfg.num_res_blocks):
+                h = VAEResnetBlock(out_ch, self.dtype, name=f"down_{level}_block_{i}")(h)
+                if curr_res in cfg.attn_resolutions:
+                    h = VAEAttnBlock(self.dtype, name=f"down_{level}_attn_{i}")(h)
+            if level != num_levels - 1:
+                h = VAEDownsample(self.dtype, name=f"down_{level}_downsample")(h)
+                curr_res //= 2
+        h = VAEResnetBlock(h.shape[-1], self.dtype, name="mid_block_1")(h)
+        # mid attention exists unconditionally in the reference (modules.py:494-502)
+        h = VAEAttnBlock(self.dtype, name="mid_attn_1")(h)
+        h = VAEResnetBlock(h.shape[-1], self.dtype, name="mid_block_2")(h)
+        s = self.param("norm_out_scale", nn.initializers.ones, (h.shape[-1],))
+        b = self.param("norm_out_bias", nn.initializers.zeros, (h.shape[-1],))
+        h = group_norm(h, s, b, 32, 1e-6, act="silu")
+        out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
+        return nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+
+
+class Decoder(nn.Module):
+    cfg: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        cfg = self.cfg
+        num_levels = len(cfg.ch_mult)
+        block_in = cfg.ch * cfg.ch_mult[-1]
+        h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z.astype(self.dtype))
+        h = VAEResnetBlock(block_in, self.dtype, name="mid_block_1")(h)
+        h = VAEAttnBlock(self.dtype, name="mid_attn_1")(h)
+        h = VAEResnetBlock(block_in, self.dtype, name="mid_block_2")(h)
+        for level in reversed(range(num_levels)):
+            out_ch = cfg.ch * cfg.ch_mult[level]
+            for i in range(cfg.num_res_blocks + 1):
+                h = VAEResnetBlock(out_ch, self.dtype, name=f"up_{level}_block_{i}")(h)
+            if level != 0:
+                h = VAEUpsample(self.dtype, name=f"up_{level}_upsample")(h)
+        s = self.param("norm_out_scale", nn.initializers.ones, (h.shape[-1],))
+        b = self.param("norm_out_bias", nn.initializers.zeros, (h.shape[-1],))
+        h = group_norm(h, s, b, 32, 1e-6, act="silu")
+        return nn.Conv(cfg.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+
+
+class AutoencoderKL(nn.Module):
+    """encode/decode with quant convs and DiagonalGaussian posterior.
+
+    Methods mirror the reference surface (autoencoder.py:52-135) but are pure:
+    sampling takes an explicit PRNG key.
+    """
+
+    cfg: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg, self.dtype)
+        self.decoder = Decoder(self.cfg, self.dtype)
+        self.quant_conv = nn.Conv(2 * self.cfg.embed_dim, (1, 1), dtype=self.dtype)
+        self.post_quant_conv = nn.Conv(self.cfg.z_channels, (1, 1), dtype=self.dtype)
+
+    def encode_moments(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """mel (B,T,F,1) -> (mean, logvar) each (B,T/4,F/4,embed_dim)."""
+        moments = self.quant_conv(self.encoder(x))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(self, x, rng):
+        """Full autoencode (training path). Returns (reconstruction, mean, logvar)."""
+        mean, logvar = self.encode_moments(x)
+        z = sample_diagonal_gaussian(rng, mean, logvar)
+        return self.decode(z), mean, logvar
+
+    # -- reference-parity conveniences (latent scaling) ----------------------
+    def encode_first_stage(self, x, rng) -> jnp.ndarray:
+        """wav-mel -> scaled model latent (autoencoder.py:111-135)."""
+        mean, logvar = self.encode_moments(x)
+        z = sample_diagonal_gaussian(rng, mean, logvar)
+        return self.cfg.scale_factor * z
+
+    def encode_first_stage_mode(self, x) -> jnp.ndarray:
+        mean, _ = self.encode_moments(x)
+        return self.cfg.scale_factor * mean
+
+    def decode_first_stage(self, z) -> jnp.ndarray:
+        return self.decode(z / self.cfg.scale_factor)
+
+
+def sample_diagonal_gaussian(rng, mean, logvar):
+    """DiagonalGaussianDistribution.sample (distributions.py:24-45)."""
+    std = jnp.exp(0.5 * logvar)
+    return mean + std * jax.random.normal(rng, mean.shape, dtype=mean.dtype)
+
+
+def kl_diagonal_gaussian(mean, logvar):
+    """KL(posterior || N(0, I)) per batch element (distributions.py:47-60)."""
+    var = jnp.exp(logvar)
+    return 0.5 * jnp.sum(mean**2 + var - 1.0 - logvar, axis=tuple(range(1, mean.ndim)))

@@ -1,0 +1,4 @@
+from tango_tpu.ops.basic import geglu, group_norm, silu
+from tango_tpu.ops.attention import multi_head_attention
+
+__all__ = ["geglu", "group_norm", "silu", "multi_head_attention"]

@@ -1,0 +1,86 @@
+"""Multi-head attention core with additive bias — XLA path + Pallas dispatch.
+
+Semantics match the reference diffusers Attention/AttnProcessor
+(/root/reference/mustango/diffusers/src/diffusers/models/attention_processor.py:34-420):
+  * scale = dim_head ** -0.5
+  * optional additive bias of shape (B, 1, S_kv) or (B, S_q, S_kv) — the
+    reference turns boolean masks into (1-mask)*-10000 biases
+    (unet_2d_condition.py:574-579); we keep that convention.
+  * `upcast`: QK^T and softmax in f32 (config `upcast_attention: true`).
+
+The TPU hot path is a fused flash-attention Pallas kernel
+(ops/flash_attention.py); this module decides per-shape whether to use it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    heads: int,
+    bias: jnp.ndarray | None = None,
+    upcast: bool = True,
+    use_flash: bool | None = None,
+) -> jnp.ndarray:
+    """Attention over flat (B, S, H*D) projections.
+
+    Args:
+      q: (B, Sq, inner) — inner = heads * dim_head
+      k, v: (B, Skv, inner)
+      bias: additive logits bias, broadcastable to (B, heads, Sq, Skv);
+        accepted shapes: (B, Skv), (B, 1, Skv), (B, Sq, Skv).
+    Returns:
+      (B, Sq, inner) in q.dtype.
+    """
+    b, sq, inner = q.shape
+    skv = k.shape[1]
+    d = inner // heads
+    scale = d**-0.5
+
+    qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+
+    if bias is not None:
+        if bias.ndim == 2:  # (B, Skv)
+            bias = bias[:, None, None, :]
+        elif bias.ndim == 3:  # (B, 1|Sq, Skv)
+            bias = bias[:, None, :, :]
+        bias = bias.astype(jnp.float32)
+
+    if use_flash is None:
+        use_flash = _flash_available() and sq >= 256 and d % 8 == 0
+    if use_flash:
+        from tango_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(qh, kh, vh, bias=bias, scale=scale)
+    else:
+        out = _xla_attention(qh, kh, vh, bias=bias, scale=scale, upcast=upcast)
+
+    return out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+
+
+def _xla_attention(qh, kh, vh, *, bias, scale, upcast):
+    acc_t = jnp.float32 if upcast else qh.dtype
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=acc_t)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qh.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, vh, preferred_element_type=acc_t).astype(qh.dtype)
+
+
+@functools.cache
+def _flash_available() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False

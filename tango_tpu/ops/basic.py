@@ -1,0 +1,68 @@
+"""Elementwise / normalization building blocks (XLA-fused paths).
+
+GroupNorm here is the channels-LAST equivalent of torch.nn.GroupNorm: the
+reference models normalize NCHW activations over (C/G, H, W) per group
+(audioldm/variational_autoencoder/modules.py:38-41, diffusers resnet blocks);
+we operate NHWC and reduce over the same logical axes. Statistics are always
+computed in f32 for bf16 safety.
+
+A fused GroupNorm+SiLU Pallas TPU kernel lives in ops/gn_silu_pallas.py; these
+XLA implementations are the reference/CPU fallback and the numerics oracle.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(x)
+
+
+def group_norm(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int,
+    eps: float = 1e-6,
+    act: str | None = None,
+) -> jnp.ndarray:
+    """GroupNorm over a channels-last tensor of shape (..., spatial..., C).
+
+    Matches torch.nn.GroupNorm(num_groups, C, eps): stats per (batch, group)
+    over all spatial positions and the group's channels.
+
+    Args:
+      x: (B, *spatial, C)
+      scale, bias: (C,)
+      act: optional fused activation: None | "silu".
+    """
+    orig_dtype = x.dtype
+    b = x.shape[0]
+    c = x.shape[-1]
+    spatial = x.shape[1:-1]
+    g = num_groups
+    assert c % g == 0, f"channels {c} not divisible by groups {g}"
+
+    xf = x.astype(jnp.float32).reshape(b, -1, g, c // g)  # (B, S, G, C/G)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(b, *spatial, c)
+    out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if act == "silu":
+        out = silu(out)
+    elif act is not None:
+        raise ValueError(f"unknown fused act {act}")
+    return out.astype(orig_dtype)
+
+
+def geglu(x: jnp.ndarray) -> jnp.ndarray:
+    """GEGLU gate: split last dim in half, x * gelu(gate).
+
+    Matches diffusers GEGLU (attention.py:412-434) — exact (erf) gelu on the
+    gate half. Input is the output of a Linear(dim -> 2*inner).
+    """
+    h, gate = jnp.split(x, 2, axis=-1)
+    return h * jax.nn.gelu(gate, approximate=False)

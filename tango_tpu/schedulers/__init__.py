@@ -1,0 +1,4 @@
+from tango_tpu.schedulers.ddpm import DDPMScheduler
+from tango_tpu.schedulers.ddim import DDIMScheduler
+
+__all__ = ["DDPMScheduler", "DDIMScheduler"]

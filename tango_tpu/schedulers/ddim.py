@@ -1,0 +1,124 @@
+"""DDIM scheduler — deterministic (η=0) or stochastic fast sampling.
+
+Matches diffusers DDIMScheduler semantics (the SD-2.1 release ships a DDIM
+config with steps_offset=1, set_alpha_to_one=false that Tango loads through
+the DDPMScheduler path; the DDIM path is provided for fast/CPU-runnable
+configs — BASELINE.json config "Tango single-prompt 10s clip, DDIM 10 steps").
+
+Same functional design as ddpm.py: immutable coefficient tables, pure `step`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu.configs import SchedulerConfig
+from tango_tpu.schedulers.ddpm import make_betas, _bcast
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DDIMScheduler:
+    config: SchedulerConfig
+    betas: jnp.ndarray
+    alphas_cumprod: jnp.ndarray
+    final_alpha_cumprod: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.betas, self.alphas_cumprod, self.final_alpha_cumprod), self.config
+
+    @classmethod
+    def tree_unflatten(cls, config, leaves):
+        return cls(config, *leaves)
+
+    @classmethod
+    def create(cls, config: Optional[SchedulerConfig] = None, **overrides) -> "DDIMScheduler":
+        config = config or SchedulerConfig()
+        if overrides:
+            config = dataclasses.replace(config, **overrides)
+        betas = make_betas(config)
+        alphas_cumprod = np.cumprod(1.0 - betas, dtype=np.float64).astype(np.float32)
+        final = np.float32(1.0) if config.set_alpha_to_one else alphas_cumprod[0]
+        return cls(
+            config=config,
+            betas=jnp.asarray(betas),
+            alphas_cumprod=jnp.asarray(alphas_cumprod),
+            final_alpha_cumprod=jnp.asarray(final),
+        )
+
+    @property
+    def init_noise_sigma(self) -> float:
+        return 1.0
+
+    def timesteps(self, num_inference_steps: int) -> np.ndarray:
+        n = self.config.num_train_timesteps
+        step_ratio = n // num_inference_steps
+        ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].copy().astype(np.int64)
+        return ts + self.config.steps_offset
+
+    def scale_model_input(self, sample: jnp.ndarray, t=None) -> jnp.ndarray:
+        return sample
+
+    def add_noise(self, original, noise, t):
+        ac = self.alphas_cumprod[t]
+        a = _bcast(jnp.sqrt(ac), original.ndim)
+        b = _bcast(jnp.sqrt(1.0 - ac), original.ndim)
+        return (a * original.astype(jnp.float32) + b * noise.astype(jnp.float32)).astype(original.dtype)
+
+    def _alpha_prod_prev(self, prev_t):
+        safe = jnp.clip(prev_t, 0, None)
+        return jnp.where(prev_t >= 0, self.alphas_cumprod[safe], self.final_alpha_cumprod)
+
+    def step(
+        self,
+        model_output: jnp.ndarray,
+        t: jnp.ndarray,
+        sample: jnp.ndarray,
+        noise: jnp.ndarray,
+        num_inference_steps: int,
+        eta: float = 0.0,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One DDIM reverse step. Returns (prev_sample, pred_x0), f32 math."""
+        dtype_in = sample.dtype
+        t = jnp.asarray(t)
+        prev_t = t - self.config.num_train_timesteps // num_inference_steps
+
+        ac_t = _bcast(self.alphas_cumprod[t], sample.ndim)
+        ac_prev = _bcast(self._alpha_prod_prev(prev_t), sample.ndim)
+        beta_prod_t = 1.0 - ac_t
+
+        sample32 = sample.astype(jnp.float32)
+        out32 = model_output.astype(jnp.float32)
+
+        p = self.config.prediction_type
+        if p == "epsilon":
+            x0 = (sample32 - jnp.sqrt(beta_prod_t) * out32) / jnp.sqrt(ac_t)
+            eps = out32
+        elif p == "sample":
+            x0 = out32
+            eps = (sample32 - jnp.sqrt(ac_t) * x0) / jnp.sqrt(beta_prod_t)
+        elif p == "v_prediction":
+            x0 = jnp.sqrt(ac_t) * sample32 - jnp.sqrt(beta_prod_t) * out32
+            eps = jnp.sqrt(ac_t) * out32 + jnp.sqrt(beta_prod_t) * sample32
+        else:
+            raise ValueError(f"prediction_type {p}")
+
+        if self.config.clip_sample:
+            # NOTE: matching the reference (scheduling_ddim.py:318-333), eps is
+            # NOT re-derived after clipping — only the `thresholding` branch does.
+            r = self.config.clip_sample_range
+            x0 = jnp.clip(x0, -r, r)
+
+        variance = (1.0 - ac_prev) / (1.0 - ac_t) * (1.0 - ac_t / ac_prev)
+        std = eta * jnp.sqrt(variance)
+
+        dir_xt = jnp.sqrt(1.0 - ac_prev - std**2) * eps
+        prev = jnp.sqrt(ac_prev) * x0 + dir_xt
+        if eta > 0:
+            prev = prev + std * noise.astype(jnp.float32)
+        return prev.astype(dtype_in), x0

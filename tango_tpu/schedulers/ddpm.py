@@ -1,0 +1,217 @@
+"""DDPM noise scheduler as stateless pure functions over coefficient tables.
+
+Numerically matches the reference diffusers DDPMScheduler
+(/root/reference/mustango/diffusers/src/diffusers/schedulers/scheduling_ddpm.py:123-392)
+for the β schedules, x0-prediction modes (epsilon/sample/v_prediction),
+posterior-mean coefficients and variance types Tango exercises, but is
+re-designed for XLA: no Python state mutation, every per-timestep quantity is
+a gather from a precomputed f32 table, so `step` traces cleanly inside a
+`lax.scan` sampling loop and under `vmap`/`pjit`.
+
+Timestep semantics: `t` may be any traced int array; `prev_t = t - N // num_steps`
+exactly as the reference computes it (scheduling_ddpm.py:281). Scheduler math is
+always f32 regardless of model compute dtype (bf16-safe).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu.configs import SchedulerConfig
+
+
+def make_betas(config: SchedulerConfig) -> np.ndarray:
+    """β schedule table (scheduling_ddpm.py:138-155)."""
+    n = config.num_train_timesteps
+    if config.trained_betas is not None:
+        betas = np.asarray(config.trained_betas, dtype=np.float32)
+    elif config.beta_schedule == "linear":
+        betas = np.linspace(config.beta_start, config.beta_end, n, dtype=np.float32)
+    elif config.beta_schedule == "scaled_linear":
+        betas = (
+            np.linspace(config.beta_start**0.5, config.beta_end**0.5, n, dtype=np.float32) ** 2
+        )
+    elif config.beta_schedule == "squaredcos_cap_v2":
+        # Glide cosine schedule (betas_for_alpha_bar, max 0.999)
+        def alpha_bar(t):
+            return np.cos((t + 0.008) / 1.008 * np.pi / 2) ** 2
+
+        ts = np.arange(n, dtype=np.float64)
+        betas = np.minimum(1.0 - alpha_bar((ts + 1) / n) / alpha_bar(ts / n), 0.999).astype(
+            np.float32
+        )
+    elif config.beta_schedule == "sigmoid":
+        x = np.linspace(-6, 6, n)
+        betas = (1.0 / (1.0 + np.exp(-x)) * (config.beta_end - config.beta_start) + config.beta_start).astype(np.float32)
+    else:
+        raise NotImplementedError(f"beta_schedule {config.beta_schedule}")
+    return betas
+
+
+def _bcast(coef: jnp.ndarray, target_ndim: int) -> jnp.ndarray:
+    """Right-broadcast a per-sample coefficient vector to target rank."""
+    return coef.reshape(coef.shape + (1,) * (target_ndim - coef.ndim))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DDPMScheduler:
+    """Immutable scheduler: config + f32 coefficient tables.
+
+    Registered as a pytree (tables are leaves) so it can be passed through
+    jit/scan boundaries without re-tracing.
+    """
+
+    config: SchedulerConfig
+    betas: jnp.ndarray
+    alphas_cumprod: jnp.ndarray
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        return (self.betas, self.alphas_cumprod), self.config
+
+    @classmethod
+    def tree_unflatten(cls, config, leaves):
+        betas, alphas_cumprod = leaves
+        return cls(config=config, betas=betas, alphas_cumprod=alphas_cumprod)
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def create(cls, config: Optional[SchedulerConfig] = None, **overrides) -> "DDPMScheduler":
+        config = config or SchedulerConfig()
+        if overrides:
+            config = dataclasses.replace(config, **overrides)
+        betas = make_betas(config)
+        alphas_cumprod = np.cumprod(1.0 - betas, dtype=np.float64).astype(np.float32)
+        return cls(
+            config=config,
+            betas=jnp.asarray(betas),
+            alphas_cumprod=jnp.asarray(alphas_cumprod),
+        )
+
+    @property
+    def init_noise_sigma(self) -> float:
+        return 1.0
+
+    # -- timestep grid (host-side, static) ----------------------------------
+    def timesteps(self, num_inference_steps: int) -> np.ndarray:
+        """Stride-subsampled reversed grid (scheduling_ddpm.py:184-204)."""
+        n = self.config.num_train_timesteps
+        if num_inference_steps > n:
+            raise ValueError(f"num_inference_steps {num_inference_steps} > {n}")
+        step_ratio = n // num_inference_steps
+        return (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].copy().astype(np.int64)
+
+    def scale_model_input(self, sample: jnp.ndarray, t=None) -> jnp.ndarray:
+        return sample  # identity for DDPM (scheduling_ddpm.py:170-182)
+
+    # -- forward process -----------------------------------------------------
+    def add_noise(self, original: jnp.ndarray, noise: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        """q(x_t | x_0) sample (scheduling_ddpm.py:351-372). f32 math."""
+        ac = self.alphas_cumprod[t]
+        sqrt_ap = _bcast(jnp.sqrt(ac), original.ndim)
+        sqrt_1map = _bcast(jnp.sqrt(1.0 - ac), original.ndim)
+        out = sqrt_ap * original.astype(jnp.float32) + sqrt_1map * noise.astype(jnp.float32)
+        return out.astype(original.dtype)
+
+    def get_velocity(self, sample: jnp.ndarray, noise: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        """v-prediction target (scheduling_ddpm.py:374-392)."""
+        ac = self.alphas_cumprod[t]
+        sqrt_ap = _bcast(jnp.sqrt(ac), sample.ndim)
+        sqrt_1map = _bcast(jnp.sqrt(1.0 - ac), sample.ndim)
+        out = sqrt_ap * noise.astype(jnp.float32) - sqrt_1map * sample.astype(jnp.float32)
+        return out.astype(sample.dtype)
+
+    def snr(self, t: jnp.ndarray) -> jnp.ndarray:
+        """Signal-to-noise ratio per timestep (models.py:105-127)."""
+        ac = self.alphas_cumprod[t]
+        return ac / (1.0 - ac)
+
+    # -- reverse process ------------------------------------------------------
+    def predict_x0(self, model_output: jnp.ndarray, sample: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        """Predicted x_0 under the configured prediction type (scheduling_ddpm.py:299-309)."""
+        ac = _bcast(self.alphas_cumprod[t], sample.ndim)
+        beta_prod = 1.0 - ac
+        sample = sample.astype(jnp.float32)
+        model_output = model_output.astype(jnp.float32)
+        p = self.config.prediction_type
+        if p == "epsilon":
+            x0 = (sample - jnp.sqrt(beta_prod) * model_output) / jnp.sqrt(ac)
+        elif p == "sample":
+            x0 = model_output
+        elif p == "v_prediction":
+            x0 = jnp.sqrt(ac) * sample - jnp.sqrt(beta_prod) * model_output
+        else:
+            raise ValueError(f"prediction_type {p}")
+        if self.config.clip_sample:
+            r = self.config.clip_sample_range
+            x0 = jnp.clip(x0, -r, r)
+        return x0
+
+    def _alpha_prod_prev(self, prev_t: jnp.ndarray) -> jnp.ndarray:
+        """alphas_cumprod[prev_t] with prev_t<0 -> 1.0 (scheduling_ddpm.py:292)."""
+        safe = jnp.clip(prev_t, 0, None)
+        return jnp.where(prev_t >= 0, self.alphas_cumprod[safe], jnp.float32(1.0))
+
+    def variance(self, t: jnp.ndarray, prev_t: jnp.ndarray) -> jnp.ndarray:
+        """Posterior variance per variance_type (scheduling_ddpm.py:208-244)."""
+        ac_t = self.alphas_cumprod[t]
+        ac_prev = self._alpha_prod_prev(prev_t)
+        current_beta = 1.0 - ac_t / ac_prev
+        var = (1.0 - ac_prev) / (1.0 - ac_t) * current_beta
+        vt = self.config.variance_type
+        if vt == "fixed_small":
+            var = jnp.clip(var, 1e-20, None)
+        elif vt == "fixed_small_log":
+            var = jnp.exp(0.5 * jnp.log(jnp.clip(var, 1e-20, None)))
+        elif vt == "fixed_large":
+            var = current_beta
+        elif vt == "fixed_large_log":
+            var = jnp.log(current_beta)
+        else:
+            raise NotImplementedError(f"variance_type {vt}")
+        return var
+
+    def step(
+        self,
+        model_output: jnp.ndarray,
+        t: jnp.ndarray,
+        sample: jnp.ndarray,
+        noise: jnp.ndarray,
+        num_inference_steps: int,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One reverse step x_t -> x_{t-k} (scheduling_ddpm.py:254-350).
+
+        `noise` must be supplied by the caller (functional PRNG); it is only
+        consumed when t > 0 exactly as the reference gates variance addition.
+        Returns (prev_sample, pred_original_sample), both f32.
+        """
+        dtype_in = sample.dtype
+        t = jnp.asarray(t)
+        prev_t = t - self.config.num_train_timesteps // num_inference_steps
+
+        ac_t = _bcast(self.alphas_cumprod[t], sample.ndim)
+        ac_prev = _bcast(self._alpha_prod_prev(prev_t), sample.ndim)
+        beta_prod_t = 1.0 - ac_t
+        beta_prod_prev = 1.0 - ac_prev
+        current_alpha = ac_t / ac_prev
+        current_beta = 1.0 - current_alpha
+
+        x0 = self.predict_x0(model_output, sample, t)
+
+        # posterior mean coefficients — DDPM eq. (7)
+        x0_coeff = jnp.sqrt(ac_prev) * current_beta / beta_prod_t
+        xt_coeff = jnp.sqrt(current_alpha) * beta_prod_prev / beta_prod_t
+        prev = x0_coeff * x0 + xt_coeff * sample.astype(jnp.float32)
+
+        std = jnp.sqrt(_bcast(self.variance(t, prev_t), sample.ndim)) \
+            if self.config.variance_type not in ("fixed_small_log",) \
+            else _bcast(self.variance(t, prev_t), sample.ndim)
+        add = jnp.where(_bcast(t, sample.ndim) > 0, std * noise.astype(jnp.float32), 0.0)
+        prev = prev + add
+        return prev.astype(dtype_in), x0

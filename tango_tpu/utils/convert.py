@@ -1,0 +1,242 @@
+"""torch state-dict -> tango_tpu param-pytree converters.
+
+Handles the three reference checkpoint layouts (SURVEY.md §5):
+  1. Tango HF snapshot: pytorch_model_{vae,stft,main}.bin (tango.py:12-28)
+  2. audioldm-s-full.ckpt: keys prefixed `first_stage_model.` + scale_factor
+     (models.py:27-52)
+  3. accelerate save_state dirs (pytorch_model_*.bin per component)
+
+All converters take a flat {torch_key: numpy array} dict (call
+`load_torch_bin` to produce one — torch is only imported there, keeping the
+core framework torch-free) and return nested flax param dicts.
+
+Layout transposes:
+  Conv2d  (O,I,kh,kw) -> (kh,kw,I,O)       Linear (O,I) -> (I,O)
+  Conv1d  (O,I,k)     -> (k,I,O)           Norm weight -> scale
+  ConvTranspose1d (I,O,k) -> flip(k) -> (k,I,O)  (see hifigan.ConvTranspose1D)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+
+# ----------------------------------------------------------------------------- IO
+
+def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .bin/.ckpt into {key: float32 numpy}."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().to(torch.float32).cpu().numpy()
+        else:
+            out[k] = np.asarray(v, dtype=np.float32)
+    return out
+
+
+def split_audioldm_ckpt(sd: Dict[str, np.ndarray]):
+    """audioldm-s-full.ckpt -> (vae_state_dict, scale_factor) (models.py:28-35)."""
+    scale = float(sd["scale_factor"])
+    vae = {k[len("first_stage_model."):]: v for k, v in sd.items() if k.startswith("first_stage_model.")}
+    return vae, scale
+
+
+# ------------------------------------------------------------------- tree utils
+
+def _set(tree: dict, path: str, value: np.ndarray):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _conv2d(w):  # (O,I,kh,kw) -> (kh,kw,I,O)
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _conv1d(w):  # (O,I,k) -> (k,I,O)
+    return np.transpose(w, (2, 1, 0))
+
+
+def _convtrans1d(w):  # (I,O,k) -> flip k -> (k,I,O)
+    return np.transpose(w[:, :, ::-1], (2, 0, 1)).copy()
+
+
+def _linear(w):  # (O,I) -> (I,O)
+    return np.transpose(w)
+
+
+def fold_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fold weight_g/weight_v pairs into plain weights.
+
+    Matches torch remove_weight_norm (dim=0): w = g * v / ||v||_{dims!=0}
+    (reference folds at load: hifigan/utilities.py:67-73).
+    """
+    out = {}
+    for k, v in sd.items():
+        if k.endswith("weight_g"):
+            base = k[: -len("weight_g")]
+            g = v
+            wv = sd[base + "weight_v"]
+            axes = tuple(range(1, wv.ndim))
+            norm = np.sqrt(np.sum(wv**2, axis=axes, keepdims=True))
+            out[base + "weight"] = (g * wv / norm).astype(np.float32)
+        elif k.endswith("weight_v"):
+            continue
+        else:
+            out[k] = v
+    return out
+
+
+# ------------------------------------------------------------------------- UNet
+
+_IDX = re.compile(
+    r"\.(\d+)\."
+)
+
+
+def convert_unet(sd: Dict[str, np.ndarray]) -> dict:
+    """diffusers UNet2DConditionModel state dict -> tango_tpu.models.unet params.
+
+    Mustango music UNets carry extra per-layer transformers named `attentions2`
+    / `attentions3` in torch (unet_2d_blocks.py:1079); these map to the
+    `_extra{j}` stream suffix of the generalized block.
+    """
+    params: dict = {}
+    for key, w in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        path, value = _convert_unet_key(key, w)
+        if path is None:
+            continue
+        _set(params, path, value)
+    return params
+
+
+def _convert_unet_key(key: str, w: np.ndarray):
+    k = key
+    # indexed module flattening
+    k = re.sub(r"\b(down_blocks|up_blocks|resnets|transformer_blocks|downsamplers|upsamplers)\.(\d+)\.", r"\1_\2.", k)
+    # attention stream naming: attentions.N -> attentions_N ; attentions{2,3}.N -> attentions_N_extra{1,2}
+    k = re.sub(r"\battentions\.(\d+)\.", r"attentions_\1.", k)
+    k = re.sub(r"\battentions2\.(\d+)\.", r"attentions_\1_extra1.", k)
+    k = re.sub(r"\battentions3\.(\d+)\.", r"attentions_\1_extra2.", k)
+    k = k.replace("to_out.0.", "to_out_0.")
+    k = k.replace("ff.net.0.proj.", "ff.net_0_proj.")
+    k = k.replace("ff.net.2.", "ff.net_2.")
+
+    parts = k.split(".")
+    leaf = parts[-1]
+    module = parts[-2] if len(parts) >= 2 else ""
+
+    in_transformer_block = "transformer_blocks_0" in parts
+
+    # LayerNorms inside transformer blocks keep flax {scale, bias} subtree
+    if in_transformer_block and module in ("norm1", "norm2", "norm3"):
+        name = "scale" if leaf == "weight" else "bias"
+        return "/".join(parts[:-1] + [name]), w
+
+    # GroupNorms are flattened params: <name>_scale / <name>_bias
+    if module in ("norm", "norm1", "norm2", "conv_norm_out") or (
+        module == "group_norm"
+    ):
+        suffix = "_scale" if leaf == "weight" else "_bias"
+        return "/".join(parts[:-2] + [module + suffix]), w
+
+    if leaf == "bias":
+        return "/".join(parts), w
+    if leaf == "weight":
+        if w.ndim == 4:
+            return "/".join(parts[:-1] + ["kernel"]), _conv2d(w)
+        if w.ndim == 2:
+            return "/".join(parts[:-1] + ["kernel"]), _linear(w)
+        # 1-D weight outside known norms (e.g. class embeddings) — unsupported
+        raise ValueError(f"unhandled 1D weight {key}")
+    raise ValueError(f"unhandled key {key}")
+
+
+# -------------------------------------------------------------------------- VAE
+
+def convert_vae(sd: Dict[str, np.ndarray]) -> dict:
+    """audioldm AutoencoderKL state dict -> tango_tpu.models.vae params.
+
+    Ignores the bundled vocoder weights (`vocoder.*`) — the reference stores
+    the HiFi-GAN inside the VAE module (autoencoder.py:38); in tango_tpu the
+    vocoder is a separate model (convert_hifigan).
+    """
+    params: dict = {}
+    for key, w in sd.items():
+        if key.startswith(("vocoder.", "loss.")) or key.endswith("num_batches_tracked"):
+            continue
+        k = key
+        # encoder.down.0.block.1.x -> encoder/down_0_block_1/x
+        k = re.sub(r"\bdown\.(\d+)\.block\.(\d+)\.", r"down_\1_block_\2.", k)
+        k = re.sub(r"\bdown\.(\d+)\.attn\.(\d+)\.", r"down_\1_attn_\2.", k)
+        k = re.sub(r"\bdown\.(\d+)\.downsample\.", r"down_\1_downsample.", k)
+        k = re.sub(r"\bup\.(\d+)\.block\.(\d+)\.", r"up_\1_block_\2.", k)
+        k = re.sub(r"\bup\.(\d+)\.attn\.(\d+)\.", r"up_\1_attn_\2.", k)
+        k = re.sub(r"\bup\.(\d+)\.upsample\.", r"up_\1_upsample.", k)
+        k = k.replace("mid.block_1.", "mid_block_1.")
+        k = k.replace("mid.block_2.", "mid_block_2.")
+        k = k.replace("mid.attn_1.", "mid_attn_1.")
+
+        parts = k.split(".")
+        leaf = parts[-1]
+        module = parts[-2] if len(parts) >= 2 else ""
+
+        if module in ("norm", "norm1", "norm2", "norm_out"):
+            suffix = "_scale" if leaf == "weight" else "_bias"
+            _set(params, "/".join(parts[:-2] + [module + suffix]), w)
+        elif leaf == "bias":
+            _set(params, "/".join(parts), w)
+        elif leaf == "weight":
+            if w.ndim == 4:
+                _set(params, "/".join(parts[:-1] + ["kernel"]), _conv2d(w))
+            elif w.ndim == 2:
+                _set(params, "/".join(parts[:-1] + ["kernel"]), _linear(w))
+            else:
+                raise ValueError(f"unhandled VAE weight {key}")
+        else:
+            raise ValueError(f"unhandled VAE key {key}")
+    return params
+
+
+# ---------------------------------------------------------------------- HiFi-GAN
+
+def convert_hifigan(sd: Dict[str, np.ndarray]) -> dict:
+    """HiFi-GAN generator state dict -> tango_tpu.models.hifigan params.
+
+    Accepts either weight-normed (weight_g/weight_v) or folded checkpoints;
+    strips a leading `generator.` prefix if present. `ups.*` transposed convs
+    get the flip+transpose treatment (see ConvTranspose1D docstring).
+    """
+    sd = {re.sub(r"^generator\.", "", k): v for k, v in sd.items()}
+    sd = fold_weight_norm(sd)
+    params: dict = {}
+    for key, w in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        k = re.sub(r"\bups\.(\d+)\.", r"ups_\1.", key)
+        k = re.sub(r"\bresblocks\.(\d+)\.convs1\.(\d+)\.", r"resblocks_\1.convs1_\2.", k)
+        k = re.sub(r"\bresblocks\.(\d+)\.convs2\.(\d+)\.", r"resblocks_\1.convs2_\2.", k)
+        parts = k.split(".")
+        leaf = parts[-1]
+        if leaf == "bias":
+            _set(params, "/".join(parts), w)
+        elif leaf == "weight":
+            if parts[0].startswith("ups_"):
+                _set(params, "/".join(parts[:-1] + ["kernel"]), _convtrans1d(w))
+            else:
+                _set(params, "/".join(parts[:-1] + ["kernel"]), _conv1d(w))
+        else:
+            raise ValueError(f"unhandled HiFiGAN key {key}")
+    return params

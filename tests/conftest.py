@@ -1,0 +1,45 @@
+"""Test env: force CPU with 8 virtual devices so sharding tests run anywhere.
+
+Mirrors the reference's absent-but-needed distributed test strategy
+(SURVEY.md §4): multi-device CPU simulation validates pjit/NamedSharding
+programs without TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize force-registers the remote-TPU backend and overwrites
+# jax_platforms at interpreter start; undo that or every tiny test op pays a
+# ~1s tunnel roundtrip.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+GOLDEN = REPO / "tests" / "golden"
+
+
+def load_golden(name: str):
+    path = GOLDEN / f"{name}.npz"
+    if not path.exists():
+        pytest.skip(f"golden file {name}.npz not generated (run scripts/make_golden.py)")
+    return np.load(path, allow_pickle=True)
+
+
+@pytest.fixture
+def rng():
+    import jax
+
+    return jax.random.PRNGKey(0)

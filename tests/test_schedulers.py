@@ -1,0 +1,71 @@
+"""DDPM/DDIM scheduler parity vs reference diffusers golden values."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import load_golden
+from tango_tpu.configs import SchedulerConfig
+from tango_tpu.schedulers import DDIMScheduler, DDPMScheduler
+
+CFGS = {
+    "sd21": SchedulerConfig(),
+    "eps_linear": SchedulerConfig(
+        beta_start=0.0001,
+        beta_end=0.02,
+        beta_schedule="linear",
+        prediction_type="epsilon",
+        clip_sample=True,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", list(CFGS))
+def test_ddpm_parity(name):
+    g = load_golden("schedulers")
+    s = DDPMScheduler.create(CFGS[name])
+
+    np.testing.assert_allclose(np.asarray(s.betas), g[f"{name}_betas"], atol=1e-7)
+    np.testing.assert_array_equal(s.timesteps(10), g[f"{name}_timesteps"])
+
+    ts = np.array([3, 700])
+    noisy = s.add_noise(g[f"{name}_x0"], g[f"{name}_noise"], ts)
+    np.testing.assert_allclose(np.asarray(noisy), g[f"{name}_noisy"], atol=1e-5)
+
+    if name == "sd21":
+        vel = s.get_velocity(g[f"{name}_x0"], g[f"{name}_noise"], ts)
+        np.testing.assert_allclose(np.asarray(vel), g[f"{name}_velocity"], atol=1e-5)
+
+    prev, _ = s.step(
+        g[f"{name}_model_out"], 700, g[f"{name}_x"], g[f"{name}_var_noise"], num_inference_steps=10
+    )
+    np.testing.assert_allclose(np.asarray(prev), g[f"{name}_step700"], atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("name", list(CFGS))
+def test_ddim_parity(name):
+    g = load_golden("schedulers")
+    s = DDIMScheduler.create(CFGS[name])
+    np.testing.assert_array_equal(s.timesteps(10), g[f"{name}_ddim_timesteps"])
+    prev, _ = s.step(
+        g[f"{name}_model_out"], 701, g[f"{name}_x"],
+        np.zeros_like(g[f"{name}_x"]), num_inference_steps=10, eta=0.0,
+    )
+    np.testing.assert_allclose(np.asarray(prev), g[f"{name}_ddim_step701"], atol=1e-4, rtol=1e-4)
+
+
+def test_ddpm_t0_no_noise():
+    """At t == 0 the variance term must vanish (scheduling_ddpm.py:333-346)."""
+    s = DDPMScheduler.create()
+    x = np.ones((1, 2, 2, 1), np.float32)
+    out = np.full_like(x, 0.5)
+    big_noise = np.full_like(x, 100.0)
+    prev_a, _ = s.step(out, 0, x, big_noise, num_inference_steps=1000)
+    prev_b, _ = s.step(out, 0, x, np.zeros_like(x), num_inference_steps=1000)
+    np.testing.assert_allclose(np.asarray(prev_a), np.asarray(prev_b), atol=1e-6)
+
+
+def test_snr_matches_closed_form():
+    s = DDPMScheduler.create()
+    t = np.array([0, 10, 500, 999])
+    ac = np.asarray(s.alphas_cumprod)[t]
+    np.testing.assert_allclose(np.asarray(s.snr(t)), ac / (1 - ac), rtol=1e-6)

@@ -257,8 +257,109 @@ def make_scheduler_golden():
     print("schedulers: ok")
 
 
+
+
+
+def make_stft_golden():
+    """Golden from the reference conv-based TacotronSTFT with librosa stubbed
+    by equivalent implementations (transformers.audio_utils mel + identity
+    pad_center since win_length == filter_length)."""
+    import types
+
+    fake_librosa = types.ModuleType("librosa")
+    fake_util = types.ModuleType("librosa.util")
+    fake_filters = types.ModuleType("librosa.filters")
+
+    def pad_center(data, size, **kw):
+        size = size if isinstance(size, int) else size
+        n = len(data)
+        if n == size:
+            return data
+        lpad = (size - n) // 2
+        out = np.zeros(size, dtype=data.dtype)
+        out[lpad : lpad + n] = data
+        return out
+
+    fake_util.pad_center = pad_center
+    fake_util.tiny = lambda x: np.finfo(np.float32).tiny
+    fake_util.normalize = lambda x, norm=None: x  # window_sumsquare norm=None path
+
+    from transformers.audio_utils import mel_filter_bank as hf_mel
+
+    def librosa_mel(sr, n_fft, n_mels, fmin, fmax):
+        return hf_mel(
+            num_frequency_bins=1 + n_fft // 2,
+            num_mel_filters=n_mels,
+            min_frequency=float(fmin),
+            max_frequency=float(fmax),
+            sampling_rate=sr,
+            norm="slaney",
+            mel_scale="slaney",
+        ).T
+
+    fake_filters.mel = librosa_mel
+    fake_librosa.util = fake_util
+    fake_librosa.filters = fake_filters
+    sys.modules["librosa"] = fake_librosa
+    sys.modules["librosa.util"] = fake_util
+    sys.modules["librosa.filters"] = fake_filters
+
+    # audioldm.audio.stft imports `from audioldm.audio.audio_processing import ...`
+    import types as _t
+    import importlib.util
+
+    pkg_audio = _t.ModuleType("audioldm.audio")
+    sys.modules.setdefault("audioldm", _t.ModuleType("audioldm"))
+    sys.modules["audioldm.audio"] = pkg_audio
+    spec_ap = importlib.util.spec_from_file_location(
+        "audioldm.audio.audio_processing", f"{REF}/audioldm/audio/audio_processing.py"
+    )
+    ap = importlib.util.module_from_spec(spec_ap)
+    sys.modules["audioldm.audio.audio_processing"] = ap
+    spec_ap.loader.exec_module(ap)
+    spec_st = importlib.util.spec_from_file_location(
+        "audioldm.audio.stft", f"{REF}/audioldm/audio/stft.py"
+    )
+    st = importlib.util.module_from_spec(spec_st)
+    spec_st.loader.exec_module(st)
+
+    tstft = st.TacotronSTFT(1024, 160, 1024, 64, 16000, 0, 8000)
+    tstft.eval()
+    rng = np.random.RandomState(7)
+    y = np.clip(rng.randn(2, 8000).astype(np.float32) * 0.2, -1, 1)
+    with torch.no_grad():
+        mel, log_mag, energy = tstft.mel_spectrogram(torch.from_numpy(y))
+    np.savez(
+        OUT / "stft.npz",
+        y=y,
+        mel=mel.numpy(),
+        log_mag=log_mag.numpy(),
+        energy=energy.numpy(),
+        mel_basis=tstft.mel_basis.numpy(),
+    )
+    print("stft:", mel.shape, float(mel.mean()))
+
+
+def make_mix_golden():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ref_mix", f"{REF}/tools/mix.py")
+    rm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rm)
+    rng = np.random.RandomState(3)
+    s1 = rng.randn(48000).astype(np.float32) * 0.3
+    s2 = rng.randn(48000).astype(np.float32) * 0.1
+    mixed = rm.mix(s1, s2, 0.5, 16000)
+    np.savez(OUT / "mix.npz", s1=s1, s2=s2, mixed=mixed,
+             gain1=rm.compute_gain(s1, 16000), gain2=rm.compute_gain(s2, 16000))
+    print("mix:", mixed.shape, float(np.abs(mixed).mean()))
+
+
 if __name__ == "__main__":
-    make_scheduler_golden()
-    make_unet_golden()
-    make_vae_golden()
-    make_hifigan_golden()
+    import sys as _sys
+    only = _sys.argv[1:] if len(_sys.argv) > 1 else None
+    for fn in [make_scheduler_golden, make_unet_golden, make_vae_golden,
+               make_hifigan_golden, make_stft_golden, make_mix_golden]:
+        name = fn.__name__.replace("make_", "").replace("_golden", "")
+        if only is None or name in only:
+            fn()

@@ -1,0 +1,4 @@
+from tango_tpu.audio.stft import MelSpectrogram, mel_filter_bank
+from tango_tpu.audio.wav import read_wav, write_wav, resample_poly
+
+__all__ = ["MelSpectrogram", "mel_filter_bank", "read_wav", "write_wav", "resample_poly"]

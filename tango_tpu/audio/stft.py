@@ -1,0 +1,181 @@
+"""STFT / mel-spectrogram frontend — XLA FFT path.
+
+Numerically equivalent to the reference TacotronSTFT
+(/root/reference/audioldm/audio/stft.py:15-186), which computes the STFT as a
+conv1d against a precomputed Fourier basis windowed by a periodic Hann window,
+with reflect padding of n_fft//2 on both sides, a Slaney-normalized librosa
+mel filterbank on the MAGNITUDE spectrum, and log dynamic-range compression
+clamped at 1e-5 (audio_processing.py:86-93).
+
+TPU-first design: instead of a 1024-tap conv (the reference's trick to run
+FFT on GPU via cuDNN), we frame with a strided gather and call jnp.fft.rfft —
+XLA lowers that to the TPU FFT unit; the mel projection is a single matmul on
+the MXU. Everything jits and batches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu.configs import StftConfig
+
+
+# ------------------------------------------------------------ mel filter bank
+
+def _hz_to_mel_slaney(freq: np.ndarray) -> np.ndarray:
+    freq = np.asarray(freq, dtype=np.float64)
+    f_sp = 200.0 / 3
+    mels = freq / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(freq >= min_log_hz, min_log_mel + np.log(np.maximum(freq, 1e-10) / min_log_hz) / logstep, mels)
+
+
+def _mel_to_hz_slaney(mels: np.ndarray) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    f_sp = 200.0 / 3
+    freqs = mels * f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(mels >= min_log_mel, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs)
+
+
+def mel_filter_bank(
+    sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float
+) -> np.ndarray:
+    """Slaney-scale, Slaney-normalized triangular mel filterbank.
+
+    Matches librosa.filters.mel(sr, n_fft, n_mels, fmin, fmax) with defaults
+    (htk=False, norm='slaney') as used by the reference (stft.py:151-153).
+    Returns (n_mels, 1 + n_fft//2) float32.
+    """
+    fftfreqs = np.linspace(0.0, sr / 2.0, 1 + n_fft // 2)
+    mel_pts = np.linspace(_hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax), n_mels + 2)
+    mel_f = _mel_to_hz_slaney(mel_pts)
+
+    fdiff = np.diff(mel_f)
+    ramps = mel_f[:, None] - fftfreqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+
+    enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+def hann_window_periodic(win_length: int) -> np.ndarray:
+    """scipy.signal.get_window('hann', N, fftbins=True) == periodic Hann."""
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+
+
+# ---------------------------------------------------------------- core STFT
+
+def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """Reflect-pad by n_fft//2 and frame: (B, T) -> (B, n_frames, n_fft)."""
+    pad = n_fft // 2
+    y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + (y.shape[1] - n_fft) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    return y[:, idx]
+
+
+def stft_magnitude(y: jnp.ndarray, n_fft: int, hop: int, window: jnp.ndarray) -> jnp.ndarray:
+    """|STFT| with reference conventions: (B, T) -> (B, n_frames, 1+n_fft//2)."""
+    frames = frame_signal(y.astype(jnp.float32), n_fft, hop)
+    spec = jnp.fft.rfft(frames * window[None, None, :], axis=-1)
+    return jnp.abs(spec).astype(jnp.float32)
+
+
+class MelSpectrogram:
+    """TacotronSTFT equivalent; precomputes window + mel basis as constants.
+
+    mel_spectrogram(y) for y in [-1, 1] of shape (B, T) returns
+    (mel (B, n_frames, n_mels), log_magnitudes (B, n_frames, 1+n_fft//2)).
+    NOTE: returns time-major (B, T, C) directly — the reference computes
+    channel-major and transposes later (tools/torch_tools.py:70-72).
+    """
+
+    def __init__(self, cfg: StftConfig | None = None):
+        self.cfg = cfg or StftConfig()
+        self.window = jnp.asarray(hann_window_periodic(self.cfg.win_length))
+        self.mel_basis = jnp.asarray(
+            mel_filter_bank(
+                self.cfg.sampling_rate,
+                self.cfg.filter_length,
+                self.cfg.n_mel_channels,
+                self.cfg.mel_fmin,
+                self.cfg.mel_fmax,
+            ).T  # (n_freq, n_mels) for right-matmul
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def mel_spectrogram(self, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        mag = stft_magnitude(y, self.cfg.filter_length, self.cfg.hop_length, self.window)
+        mel = jnp.matmul(mag, self.mel_basis, preferred_element_type=jnp.float32)
+        mel = dynamic_range_compression(mel)
+        log_mag = dynamic_range_compression(mag)
+        return mel, log_mag
+
+
+def dynamic_range_compression(x: jnp.ndarray, clip_val: float = 1e-5) -> jnp.ndarray:
+    """log(clamp(x, 1e-5)) (audio_processing.py:86-93)."""
+    return jnp.log(jnp.clip(x, clip_val, None))
+
+
+def dynamic_range_decompression(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.exp(x)
+
+
+# ------------------------------------------------------------- featurization
+
+def normalize_wav(waveform: np.ndarray) -> np.ndarray:
+    """Zero-mean, peak 0.5 (tools/torch_tools.py:9-13)."""
+    waveform = waveform - np.mean(waveform)
+    waveform = waveform / (np.max(np.abs(waveform)) + 1e-8)
+    return (waveform * 0.5).astype(np.float32)
+
+
+def pad_wav(waveform: np.ndarray, segment_length: int | None) -> np.ndarray:
+    """Trim/zero-pad to segment_length (tools/torch_tools.py:16-26)."""
+    if segment_length is None or len(waveform) == segment_length:
+        return waveform
+    if len(waveform) > segment_length:
+        return waveform[:segment_length]
+    return np.pad(waveform, (0, segment_length - len(waveform)))
+
+
+def pad_spec(fbank: jnp.ndarray, target_length: int) -> jnp.ndarray:
+    """Pad/trim time axis; drop last channel if odd (tools/torch_tools.py:29-40).
+
+    fbank: (B, n_frames, channels) -> (B, target_length, channels_even).
+    """
+    n = fbank.shape[1]
+    if target_length > n:
+        fbank = jnp.pad(fbank, ((0, 0), (0, target_length - n), (0, 0)))
+    else:
+        fbank = fbank[:, :target_length]
+    if fbank.shape[2] % 2 != 0:
+        fbank = fbank[:, :, :-1]
+    return fbank
+
+
+def wav_batch_to_fbank(
+    mel: MelSpectrogram, waveforms: np.ndarray, target_length: int = 1024
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Waveform batch (B, T) in [-1,1] -> (fbank (B, L, n_mels), log_mag).
+
+    Mirrors wav_to_fbank (tools/torch_tools.py:64-77) given already-read
+    waveforms (see audio/wav.py for reading/normalization).
+    """
+    y = jnp.nan_to_num(jnp.clip(jnp.asarray(waveforms), -1.0, 1.0))
+    fbank, log_mag = mel.mel_spectrogram(y)
+    return pad_spec(fbank, target_length), pad_spec(log_mag, target_length)

@@ -1,0 +1,63 @@
+"""WAV I/O and resampling — torch/librosa-free host utilities.
+
+Replaces the reference's torchaudio path (tools/torch_tools.py:43-54):
+read -> resample to 16 kHz -> normalize (zero-mean, peak 0.5) -> pad/trim to
+segment -> renormalize peak 0.5. Reading uses scipy.io.wavfile (PCM/float
+WAVs); resampling uses polyphase FIR (scipy.signal.resample_poly), a
+windowed-sinc method equivalent in quality to torchaudio's kaiser resampler.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+from scipy.io import wavfile
+from scipy.signal import resample_poly as _scipy_resample_poly
+
+from tango_tpu.audio import stft as _stft
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a WAV file -> (float32 mono-or-multichannel in [-1,1], sr)."""
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    return data, int(sr)
+
+
+def write_wav(path: str, waveform: np.ndarray, sr: int = 16000):
+    """Write int16 WAV; accepts float [-1,1] or int16 (reference outputs
+    int16 via *32768 — hifigan/utilities.py:81)."""
+    if waveform.dtype != np.int16:
+        waveform = (np.clip(waveform, -1.0, 1.0) * 32768.0).astype(np.int16)
+    wavfile.write(path, sr, waveform)
+
+
+def resample_poly(waveform: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
+    if orig_sr == new_sr:
+        return waveform.astype(np.float32)
+    g = math.gcd(int(orig_sr), int(new_sr))
+    return _scipy_resample_poly(waveform, new_sr // g, orig_sr // g).astype(np.float32)
+
+
+def read_wav_file(path: str, segment_length: int | None, target_sr: int = 16000) -> np.ndarray:
+    """Full reference read path (tools/torch_tools.py:43-54). Returns (1, L)."""
+    data, sr = read_wav(path)
+    if data.ndim > 1:
+        data = data[:, 0]  # torchaudio.load returns channels-first; ref takes [0]
+    data = resample_poly(data, sr, target_sr)
+    try:
+        data = _stft.normalize_wav(data)
+    except Exception:
+        data = np.ones(160000, dtype=np.float32)
+    data = _stft.pad_wav(data, segment_length)
+    data = data / np.max(np.abs(data) + 1e-12)
+    return (0.5 * data)[None, :].astype(np.float32)

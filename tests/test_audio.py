@@ -1,0 +1,83 @@
+"""Audio frontend parity: STFT/mel vs reference conv-based TacotronSTFT,
+mixup gains vs reference tools/mix.py, WAV round-trip."""
+
+import numpy as np
+
+from tests.conftest import load_golden
+from tango_tpu.audio.mix import compute_gain, mix
+from tango_tpu.audio.stft import (
+    MelSpectrogram,
+    mel_filter_bank,
+    normalize_wav,
+    pad_spec,
+    pad_wav,
+    wav_batch_to_fbank,
+)
+
+
+def test_mel_filter_bank_matches_reference():
+    g = load_golden("stft")
+    mine = mel_filter_bank(16000, 1024, 64, 0, 8000)
+    np.testing.assert_allclose(mine, g["mel_basis"], atol=1e-6)
+
+
+def test_mel_spectrogram_parity():
+    g = load_golden("stft")
+    mel = MelSpectrogram()
+    out_mel, out_logmag = mel.mel_spectrogram(g["y"])
+    # reference returns (B, n_mels, T); ours is (B, T, n_mels)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out_mel), (0, 2, 1)), g["mel"], atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out_logmag), (0, 2, 1)), g["log_mag"], atol=2e-4, rtol=1e-3
+    )
+
+
+def test_mix_parity():
+    g = load_golden("mix")
+    np.testing.assert_allclose(compute_gain(g["s1"], 16000), g["gain1"], atol=1e-4)
+    np.testing.assert_allclose(compute_gain(g["s2"], 16000), g["gain2"], atol=1e-4)
+    np.testing.assert_allclose(mix(g["s1"], g["s2"], 0.5, 16000), g["mixed"], atol=1e-5)
+
+
+def test_pad_spec_semantics():
+    x = np.ones((1, 10, 65), np.float32)
+    out = pad_spec(x, 16)
+    assert out.shape == (1, 16, 64)  # padded time, odd channel dropped
+    assert float(np.asarray(out)[0, 12:].sum()) == 0.0
+    out2 = pad_spec(np.ones((1, 20, 64), np.float32), 16)
+    assert out2.shape == (1, 16, 64)
+
+
+def test_normalize_and_pad_wav():
+    w = np.random.RandomState(0).randn(1000).astype(np.float32) * 3
+    n = normalize_wav(w)
+    assert abs(float(np.max(np.abs(n))) - 0.5) < 1e-3
+    assert abs(float(n.mean())) < 0.01
+    assert pad_wav(n, 2000).shape == (2000,)
+    assert pad_wav(n, 500).shape == (500,)
+
+
+def test_wav_roundtrip(tmp_path):
+    from tango_tpu.audio.wav import read_wav_file, write_wav
+
+    sr = 22050
+    t = np.linspace(0, 1.0, sr, endpoint=False)
+    wav = (0.7 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    path = str(tmp_path / "a.wav")
+    write_wav(path, wav, sr)
+    out = read_wav_file(path, segment_length=32000)
+    assert out.shape == (1, 32000)
+    assert abs(float(np.max(np.abs(out))) - 0.5) < 1e-3
+    # resampled 22050 -> 16000: 1 second of content, zero-padded tail
+    assert float(np.abs(out[0, 16100:]).max()) < 1e-3
+
+
+def test_fbank_shape_tango_config():
+    """10.24 s at 16 kHz -> (B, 1024, 64) fbank (train.py:439-443 semantics)."""
+    mel = MelSpectrogram()
+    y = np.random.RandomState(1).randn(1, 1024 * 160).astype(np.float32) * 0.1
+    fbank, log_mag = wav_batch_to_fbank(mel, y, target_length=1024)
+    assert fbank.shape == (1, 1024, 64)
+    assert log_mag.shape == (1, 1024, 512)  # 513 -> odd channel dropped

@@ -1,0 +1,110 @@
+"""Benchmark: audio-seconds generated per wall-second per chip.
+
+Measures the north-star config (BASELINE.md): 100-step classifier-free-
+guidance DDPM sampling of a 10.24 s clip with the flagship Tango UNet
+(866M-class, configs/diffusion_model_config.json), plus VAE decode and
+HiFi-GAN vocode — i.e. everything Tango.generate does after text encoding
+(text encoding is once per prompt and negligible vs 100 UNet evals).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": audio_sec/sec/chip, "unit": "x_realtime",
+   "vs_baseline": value / 10.0}   (baseline = driver's 10x-realtime target)
+
+Random weights (zero-egress environment); FLOPs/timing are weight-agnostic.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from tango_tpu import configs as C
+    from tango_tpu.models.diffusion import AudioDiffusion
+    from tango_tpu.models.hifigan import HiFiGANGenerator
+    from tango_tpu.models.vae import AutoencoderKL
+
+    dtype = jnp.bfloat16
+    steps = 100
+    guidance = 3.0
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    audio_sec_per_clip = 10.24  # 256 latent frames (models.py:260)
+
+    diffusion = AudioDiffusion(unet_config=C.TANGO_UNET, dtype=dtype)
+    vae = AutoencoderKL(C.TANGO_VAE, dtype=dtype)
+    vocoder = HiFiGANGenerator(C.TANGO_HIFIGAN, dtype=dtype)
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.time()
+    unet_params = jax.tree_util.tree_map(
+        lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
+            dtype if s.dtype == jnp.float32 else s.dtype
+        ),
+        jax.eval_shape(lambda k: diffusion.init_params(k), rng),
+    )
+    vae_params = jax.tree_util.tree_map(
+        lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(dtype),
+        jax.eval_shape(
+            lambda k: vae.init(k, jnp.zeros((1, 1024, 64, 1), dtype), k)["params"], rng
+        ),
+    )
+    voc_params = jax.tree_util.tree_map(
+        lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(dtype),
+        jax.eval_shape(lambda k: vocoder.init(k, jnp.zeros((1, 1024, 64), dtype))["params"], rng),
+    )
+    print(f"# params materialized in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    seq = 64
+    cond = jnp.ones((batch, seq, C.TANGO_UNET.cross_attention_dim), dtype) * 0.1
+    mask = jnp.ones((batch, seq), jnp.int32)
+    uncond = jnp.zeros_like(cond)
+
+    @jax.jit
+    def generate(unet_params, vae_params, voc_params, rng, g):
+        lat = diffusion.sample(
+            unet_params, cond, mask, rng,
+            num_steps=steps, guidance_scale=g,
+            uncond_embeds=uncond, uncond_mask=mask,
+        )
+        mel = vae.apply({"params": vae_params}, lat.astype(dtype), method=vae.decode_first_stage)
+        wav = vocoder.apply({"params": voc_params}, mel[..., 0])
+        return wav
+
+    t0 = time.time()
+    wav = generate(unet_params, vae_params, voc_params, rng, guidance)
+    wav.block_until_ready()
+    compile_s = time.time() - t0
+    print(f"# first call (compile+run): {compile_s:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        wav = generate(unet_params, vae_params, voc_params, jax.random.PRNGKey(i), guidance)
+        wav.block_until_ready()
+        times.append(time.time() - t0)
+    p50 = float(np.median(times))
+    realtime = batch * audio_sec_per_clip / p50
+
+    print(
+        json.dumps(
+            {
+                "metric": "audio_sec_generated_per_sec_per_chip_100step_cfg",
+                "value": round(realtime, 3),
+                "unit": "x_realtime",
+                "vs_baseline": round(realtime / 10.0, 3),
+                "p50_latency_s": round(p50, 3),
+                "batch": batch,
+                "steps": steps,
+                "wav_samples": int(np.prod(wav.shape[1:])),
+                "compile_s": round(compile_s, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

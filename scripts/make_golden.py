@@ -355,11 +355,100 @@ def make_mix_golden():
     print("mix:", mixed.shape, float(np.abs(mixed).mean()))
 
 
+def make_t5_golden():
+    from transformers import T5Config as HFT5Config, T5EncoderModel
+
+    cfg = HFT5Config(
+        vocab_size=128,
+        d_model=32,
+        d_kv=8,
+        d_ff=48,
+        num_layers=3,
+        num_heads=4,
+        relative_attention_num_buckets=8,
+        relative_attention_max_distance=16,
+        feed_forward_proj="gated-gelu",
+        dropout_rate=0.0,
+    )
+    torch.manual_seed(5)
+    model = T5EncoderModel(cfg)
+    model.eval()
+    ids = torch.randint(0, 128, (2, 11))
+    mask = torch.ones(2, 11, dtype=torch.long)
+    mask[0, 7:] = 0
+    with torch.no_grad():
+        out = model(input_ids=ids, attention_mask=mask).last_hidden_state
+    np.savez(
+        OUT / "t5_tiny.npz",
+        ids=ids.numpy(),
+        mask=mask.numpy(),
+        out=out.numpy(),
+        **state_to_numpy(model.state_dict()),
+    )
+    print("t5_tiny:", out.shape, float(out.abs().mean()))
+
+
+def make_sampling_golden():
+    """End-to-end CFG sampling loop golden: tiny UNet + vendored DDPMScheduler
+    driven exactly as the reference inference loop (models.py:210-257), with
+    deterministic injected noise so the JAX scan sampler can be compared."""
+    from diffusers import UNet2DConditionModel, DDPMScheduler
+    import diffusers.schedulers.scheduling_ddpm as sched_mod
+
+    torch.manual_seed(11)
+    unet = UNet2DConditionModel(
+        sample_size=(16, 4), in_channels=8, out_channels=8,
+        down_block_types=("CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D"),
+        block_out_channels=(32, 64, 64), layers_per_block=2,
+        cross_attention_dim=24, attention_head_dim=(2, 4, 4),
+        use_linear_projection=True, upcast_attention=True, norm_num_groups=8)
+    unet.eval()
+    sched = DDPMScheduler(
+        num_train_timesteps=1000, beta_start=0.00085, beta_end=0.012,
+        beta_schedule="scaled_linear", prediction_type="v_prediction", clip_sample=False)
+    steps, guidance, B = 4, 3.0, 2
+    sched.set_timesteps(steps)
+
+    g = torch.Generator().manual_seed(123)
+    init = torch.randn(B, 8, 16, 4, generator=g)
+    cond = torch.randn(B, 7, 24, generator=g)
+    uncond = torch.randn(B, 7, 24, generator=g)
+    cond_mask = torch.tensor([[1]*7, [1]*5 + [0]*2]).bool()
+    uncond_mask = torch.ones(B, 7).bool()
+    step_noises = torch.randn(steps, B, 8, 16, 4, generator=g)
+
+    ehs = torch.cat([uncond, cond])
+    msk = torch.cat([uncond_mask, cond_mask])
+    lat = init * sched.init_noise_sigma
+    with torch.no_grad():
+        for i, t in enumerate(sched.timesteps):
+            latin = torch.cat([lat] * 2)
+            latin = sched.scale_model_input(latin, t)
+            pred = unet(latin, t, encoder_hidden_states=ehs, encoder_attention_mask=msk).sample
+            pu, pt = pred.chunk(2)
+            pred = pu + guidance * (pt - pu)
+            orig = sched_mod.randn_tensor
+            sched_mod.randn_tensor = lambda *a, **k: step_noises[i]
+            try:
+                lat = sched.step(pred, t, lat).prev_sample
+            finally:
+                sched_mod.randn_tensor = orig
+    np.savez(
+        OUT / "sampling_tiny.npz",
+        init=init.numpy(), cond=cond.numpy(), uncond=uncond.numpy(),
+        cond_mask=cond_mask.numpy(), uncond_mask=uncond_mask.numpy(),
+        step_noises=step_noises.numpy(), final=lat.numpy(),
+        **state_to_numpy(unet.state_dict()),
+    )
+    print("sampling_tiny:", lat.shape, float(lat.abs().mean()))
+
+
 if __name__ == "__main__":
     import sys as _sys
     only = _sys.argv[1:] if len(_sys.argv) > 1 else None
     for fn in [make_scheduler_golden, make_unet_golden, make_vae_golden,
-               make_hifigan_golden, make_stft_golden, make_mix_golden]:
+               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden]:
         name = fn.__name__.replace("make_", "").replace("_golden", "")
         if only is None or name in only:
             fn()

@@ -1,0 +1,206 @@
+"""AudioDiffusion — latent-diffusion training loss and CFG sampling.
+
+TPU-native re-design of the reference AudioDiffusion
+(/root/reference/models.py:55-305):
+
+  * `loss`: the SFT objective — uniform random timesteps, q-sample noising,
+    epsilon/v targets, optional min-SNR-gamma weighting (models.py:195-206),
+    optional 10% unconditional text dropout (models.py:156-159), fixed t=N/2
+    validation mode (models.py:163-164). Pure function of (params, batch, rng).
+
+  * `sample`: the inference path (models.py:210-257) compiled into ONE
+    `lax.scan` over denoising steps. The CFG batch doubling happens inside the
+    scan body; text encodings are computed once outside. Timestep grids and
+    per-step scheduler coefficients are static tables gathered inside the scan
+    — zero host sync during the loop. This is the single most important fusion
+    for the >=10x-realtime target (SURVEY.md §7.5).
+
+Conditioning contexts follow the generalized stream design of models/unet.py;
+Tango passes one (text), Mustango subclasses pass three (text, beats, chords).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu.configs import SchedulerConfig, UNetConfig
+from tango_tpu.models.unet import UNet2DConditionModel
+from tango_tpu.schedulers import DDIMScheduler, DDPMScheduler
+
+
+@dataclasses.dataclass
+class AudioDiffusion:
+    """Bundles the UNet module + schedulers; all methods are pure in params."""
+
+    unet_config: UNetConfig
+    scheduler_config: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
+    snr_gamma: Optional[float] = None
+    uncondition: bool = False
+    latent_t_size: int = 256
+    latent_f_size: int = 16
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        self.unet = UNet2DConditionModel(self.unet_config, dtype=self.dtype)
+        self.noise_scheduler = DDPMScheduler.create(self.scheduler_config)
+        self.inference_scheduler = DDPMScheduler.create(self.scheduler_config)
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, rng) -> dict:
+        b, t, f = 1, self.latent_t_size, self.latent_f_size
+        x = jnp.zeros((b, t, f, self.unet_config.in_channels), self.dtype)
+        ctx = self._dummy_contexts(b)
+        return self.unet.init(rng, x, jnp.zeros((b,), jnp.int32), ctx)["params"]
+
+    def _dummy_contexts(self, b):
+        dims = [self.unet_config.cross_attention_dim] + list(self.unet_config.extra_cond_dims)
+        ctxs = [jnp.zeros((b, 2, d), self.dtype) for d in dims]
+        return ctxs if len(ctxs) > 1 else ctxs[0]
+
+    # ------------------------------------------------------------------ loss
+    def loss(
+        self,
+        unet_params,
+        latents: jnp.ndarray,
+        text_embeds: jnp.ndarray,
+        text_mask: jnp.ndarray,
+        rng,
+        validation_mode: bool = False,
+        extra_contexts: Sequence[jnp.ndarray] = (),
+        extra_masks: Sequence[jnp.ndarray] = (),
+    ) -> jnp.ndarray:
+        """Diffusion MSE loss on NHWC latents (B, T, F, C). f32 reduction."""
+        sched = self.noise_scheduler
+        n = sched.config.num_train_timesteps
+        bsz = latents.shape[0]
+        k_t, k_noise, k_uncond = jax.random.split(rng, 3)
+
+        if validation_mode:
+            timesteps = jnp.full((bsz,), n // 2, jnp.int32)
+        else:
+            timesteps = jax.random.randint(k_t, (bsz,), 0, n)
+
+        if self.uncondition and not validation_mode:
+            # zero the text embeddings for ~10% of samples (models.py:156-159)
+            drop = jax.random.uniform(k_uncond, (bsz, 1, 1)) < 0.1
+            text_embeds = jnp.where(drop, 0.0, text_embeds)
+
+        noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+        noisy = sched.add_noise(latents.astype(jnp.float32), noise, timesteps)
+
+        p = sched.config.prediction_type
+        if p == "epsilon":
+            target = noise
+        elif p == "v_prediction":
+            target = sched.get_velocity(latents.astype(jnp.float32), noise, timesteps)
+        else:
+            raise ValueError(f"Unknown prediction type {p}")
+
+        contexts = [text_embeds, *extra_contexts] if extra_contexts else text_embeds
+        masks = [text_mask, *extra_masks] if extra_masks else text_mask
+        pred = self.unet.apply(
+            {"params": unet_params}, noisy.astype(self.dtype), timesteps,
+            contexts, encoder_attention_mask=masks,
+        )
+
+        err = (pred.astype(jnp.float32) - target) ** 2
+        if self.snr_gamma is None:
+            return err.mean()
+        snr = sched.snr(timesteps)
+        weights = jnp.minimum(snr, self.snr_gamma) / snr
+        per_sample = err.mean(axis=tuple(range(1, err.ndim)))
+        return (per_sample * weights).mean()
+
+    # ---------------------------------------------------------------- sample
+    def sample(
+        self,
+        unet_params,
+        cond_embeds: jnp.ndarray,
+        cond_mask: jnp.ndarray,
+        rng,
+        num_steps: int = 100,
+        guidance_scale: float = 3.0,
+        uncond_embeds: Optional[jnp.ndarray] = None,
+        uncond_mask: Optional[jnp.ndarray] = None,
+        scheduler: str = "ddpm",
+        eta: float = 0.0,
+        extra_contexts: Sequence[jnp.ndarray] = (),
+        extra_masks: Sequence[jnp.ndarray] = (),
+        uncond_extra_contexts: Sequence[jnp.ndarray] = (),
+        noise_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        """CFG denoising loop -> latents (B, T, F, C). jit-able; `num_steps`,
+        `scheduler`, `eta` and CFG-enablement are static.
+
+        `guidance_scale` may be a traced scalar — changing it does not
+        recompile. CFG is enabled when uncond_embeds is provided (reference
+        enables it for guidance > 1 — models.py:214).
+        """
+        sched = (
+            DDIMScheduler.create(self.scheduler_config)
+            if scheduler == "ddim"
+            else self.inference_scheduler
+        )
+        timesteps = jnp.asarray(sched.timesteps(num_steps))
+        bsz = cond_embeds.shape[0]
+        shape = (bsz, self.latent_t_size, self.latent_f_size, self.unet_config.in_channels)
+
+        k_init, k_loop = jax.random.split(rng)
+        if noise_override is not None:
+            # deterministic path for parity tests: (init_latents, per-step
+            # variance noise of shape (num_steps, B, T, F, C))
+            init_latents, step_noises = noise_override
+            latents = jnp.asarray(init_latents, jnp.float32) * sched.init_noise_sigma
+        else:
+            step_noises = None
+            latents = jax.random.normal(k_init, shape, jnp.float32) * sched.init_noise_sigma
+
+        cfg = uncond_embeds is not None
+        if cfg:
+            ctx = jnp.concatenate([uncond_embeds, cond_embeds], axis=0)
+            msk = jnp.concatenate([uncond_mask, cond_mask], axis=0)
+            extra = [
+                jnp.concatenate([u, c], axis=0)
+                for u, c in zip(uncond_extra_contexts, extra_contexts)
+            ]
+            extra_m = [jnp.concatenate([m, m], axis=0) for m in extra_masks]
+        else:
+            ctx, msk = cond_embeds, cond_mask
+            extra, extra_m = list(extra_contexts), list(extra_masks)
+
+        contexts = [ctx, *extra] if extra else ctx
+        masks = [msk, *extra_m] if extra_m else msk
+
+        def body(carry, xs):
+            lat, key = carry
+            t, injected_noise = xs
+            key, k_var = jax.random.split(key)
+            lat_in = jnp.concatenate([lat, lat], axis=0) if cfg else lat
+            lat_in = sched.scale_model_input(lat_in, t)
+            t_b = jnp.full((lat_in.shape[0],), t, jnp.int32)
+            pred = self.unet.apply(
+                {"params": unet_params}, lat_in.astype(self.dtype), t_b,
+                contexts, encoder_attention_mask=masks,
+            ).astype(jnp.float32)
+            if cfg:
+                pred_uncond, pred_text = jnp.split(pred, 2, axis=0)
+                pred = pred_uncond + guidance_scale * (pred_text - pred_uncond)
+            if injected_noise is None:
+                var_noise = jax.random.normal(k_var, lat.shape, jnp.float32)
+            else:
+                var_noise = injected_noise
+            if scheduler == "ddim":
+                lat, _ = sched.step(pred, t, lat, var_noise, num_steps, eta=eta)
+            else:
+                lat, _ = sched.step(pred, t, lat, var_noise, num_steps)
+            return (lat, key), None
+
+        xs = (timesteps, None if step_noises is None else jnp.asarray(step_noises, jnp.float32))
+        (latents, _), _ = jax.lax.scan(body, (latents, k_loop), xs)
+        return latents

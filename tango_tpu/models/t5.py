@@ -1,0 +1,218 @@
+"""T5 text encoder — TPU-native Flax linen implementation.
+
+Tango conditions on the last hidden state of a frozen FLAN-T5-Large encoder
+(/root/reference/models.py:98-100, 129-147). This is a standalone
+re-implementation of the T5 encoder stack (RMS layer norm, unscaled attention
+with shared relative-position bias from block 0, gated-GELU feed-forward for
+FLAN checkpoints) with a converter from HF torch T5EncoderModel weights.
+
+Encoder-only, dropout-free (always frozen in Tango configs — train.py:333-336).
+Runs in configurable compute dtype (bf16 on TPU) with f32 softmax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu.configs import _FromDict
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config(_FromDict):
+    vocab_size: int = 32128
+    d_model: int = 1024
+    d_kv: int = 64
+    d_ff: int = 2816
+    num_layers: int = 24
+    num_heads: int = 16
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    layer_norm_epsilon: float = 1e-6
+    feed_forward_proj: str = "gated-gelu"
+
+    @property
+    def is_gated(self) -> bool:
+        return "gated" in self.feed_forward_proj
+
+    @property
+    def act(self) -> str:
+        p = self.feed_forward_proj.replace("gated-", "")
+        return p
+
+
+FLAN_T5_LARGE = T5Config()
+
+
+def relative_position_bucket(
+    relative_position: np.ndarray, num_buckets: int = 32, max_distance: int = 128
+) -> np.ndarray:
+    """Bidirectional T5 relative position bucketing (host-side, static)."""
+    ret = np.zeros_like(relative_position)
+    n = num_buckets // 2
+    ret += (relative_position > 0).astype(np.int64) * n
+    rp = np.abs(relative_position)
+    max_exact = n // 2
+    is_small = rp < max_exact
+    val_large = max_exact + (
+        np.log(np.maximum(rp, 1) / max_exact)
+        / np.log(max_distance / max_exact)
+        * (n - max_exact)
+    ).astype(np.int64)
+    val_large = np.minimum(val_large, n - 1)
+    ret += np.where(is_small, rp, val_large)
+    return ret
+
+
+class T5LayerNorm(nn.Module):
+    """RMS norm, no bias, no mean subtraction; f32 accumulation."""
+
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        x = x.astype(jnp.float32) * jax.lax.rsqrt(var + self.eps)
+        return (w * x).astype(self.dtype)
+
+
+class T5Attention(nn.Module):
+    cfg: T5Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, position_bias, mask_bias):
+        c = self.cfg
+        inner = c.num_heads * c.d_kv
+        b, s, _ = x.shape
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="v")(x)
+        q = q.reshape(b, s, c.num_heads, c.d_kv).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, c.num_heads, c.d_kv).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, c.num_heads, c.d_kv).transpose(0, 2, 1, 3)
+        # NOTE: T5 attention is intentionally UNscaled (scale folded into init)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits + position_bias
+        if mask_bias is not None:
+            logits = logits + mask_bias
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(b, s, inner)
+        return nn.Dense(c.d_model, use_bias=False, dtype=self.dtype, name="o")(out)
+
+
+class T5FeedForward(nn.Module):
+    cfg: T5Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        if c.is_gated:
+            h_g = nn.Dense(c.d_ff, use_bias=False, dtype=self.dtype, name="wi_0")(x)
+            h_l = nn.Dense(c.d_ff, use_bias=False, dtype=self.dtype, name="wi_1")(x)
+            # HF "gelu" for T5 == gelu_new (tanh approximation)
+            act = jax.nn.gelu(h_g, approximate=True) if c.act.startswith("gelu") else jax.nn.relu(h_g)
+            h = act * h_l
+        else:
+            h = nn.Dense(c.d_ff, use_bias=False, dtype=self.dtype, name="wi")(x)
+            h = jax.nn.relu(h)
+        return nn.Dense(c.d_model, use_bias=False, dtype=self.dtype, name="wo")(h)
+
+
+class T5Block(nn.Module):
+    cfg: T5Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, position_bias, mask_bias):
+        h = T5LayerNorm(self.cfg.layer_norm_epsilon, self.dtype, name="ln_attn")(x)
+        x = x + T5Attention(self.cfg, self.dtype, name="attn")(h, position_bias, mask_bias)
+        h = T5LayerNorm(self.cfg.layer_norm_epsilon, self.dtype, name="ln_ff")(x)
+        x = x + T5FeedForward(self.cfg, self.dtype, name="ff")(h)
+        return x
+
+
+class T5Encoder(nn.Module):
+    """input_ids (B, S), attention_mask (B, S) -> last hidden state (B, S, d)."""
+
+    cfg: T5Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray, attention_mask: Optional[jnp.ndarray] = None):
+        c = self.cfg
+        emb = self.param(
+            "token_embedding",
+            nn.initializers.normal(1.0),
+            (c.vocab_size, c.d_model),
+        )
+        x = jnp.take(emb, input_ids, axis=0).astype(self.dtype)
+
+        s = x.shape[1]
+        # relative position bias: table lives on block 0 in HF; here it is a
+        # single shared parameter applied to every layer (identical math).
+        rel_table = self.param(
+            "relative_attention_bias",
+            nn.initializers.normal(1.0),
+            (c.relative_attention_num_buckets, c.num_heads),
+        )
+        pos = np.arange(s)
+        buckets = relative_position_bucket(
+            pos[None, :] - pos[:, None],
+            c.relative_attention_num_buckets,
+            c.relative_attention_max_distance,
+        )  # (S, S), static
+        position_bias = jnp.take(rel_table, jnp.asarray(buckets), axis=0)  # (S,S,H)
+        position_bias = position_bias.transpose(2, 0, 1)[None].astype(jnp.float32)
+
+        mask_bias = None
+        if attention_mask is not None:
+            mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+
+        for i in range(c.num_layers):
+            x = T5Block(c, self.dtype, name=f"block_{i}")(x, position_bias, mask_bias)
+        x = T5LayerNorm(c.layer_norm_epsilon, self.dtype, name="final_layer_norm")(x)
+        return x
+
+
+def convert_t5_encoder(sd) -> dict:
+    """HF torch T5EncoderModel state dict -> T5Encoder params."""
+    params: dict = {"token_embedding": np.asarray(sd["shared.weight"])}
+    params["relative_attention_bias"] = np.asarray(
+        sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
+    )
+    params["final_layer_norm"] = {"weight": np.asarray(sd["encoder.final_layer_norm.weight"])}
+    i = 0
+    while f"encoder.block.{i}.layer.0.SelfAttention.q.weight" in sd:
+        pre = f"encoder.block.{i}.layer."
+        blk = {
+            "ln_attn": {"weight": np.asarray(sd[pre + "0.layer_norm.weight"])},
+            "ln_ff": {"weight": np.asarray(sd[pre + "1.layer_norm.weight"])},
+            "attn": {
+                name: {"kernel": np.asarray(sd[pre + f"0.SelfAttention.{name}.weight"]).T}
+                for name in ("q", "k", "v", "o")
+            },
+        }
+        ff_pre = pre + "1.DenseReluDense."
+        if ff_pre + "wi_0.weight" in sd:
+            blk["ff"] = {
+                "wi_0": {"kernel": np.asarray(sd[ff_pre + "wi_0.weight"]).T},
+                "wi_1": {"kernel": np.asarray(sd[ff_pre + "wi_1.weight"]).T},
+                "wo": {"kernel": np.asarray(sd[ff_pre + "wo.weight"]).T},
+            }
+        else:
+            blk["ff"] = {
+                "wi": {"kernel": np.asarray(sd[ff_pre + "wi.weight"]).T},
+                "wo": {"kernel": np.asarray(sd[ff_pre + "wo.weight"]).T},
+            }
+        params[f"block_{i}"] = blk
+        i += 1
+    return params

@@ -81,6 +81,7 @@ def _xla_attention(qh, kh, vh, *, bias, scale, upcast):
 @functools.cache
 def _flash_available() -> bool:
     try:
-        return jax.devices()[0].platform == "tpu"
+        # the axon PJRT plugin reports platform "axon" for real TPU chips
+        return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False

@@ -1,0 +1,130 @@
+"""Fused flash attention — Pallas TPU kernel for the UNet's hot path.
+
+Workload (Tango UNet, SURVEY.md §7.12): self-attention over spatial tokens
+(Sq = Skv in {4096, 1024, 256, 64}, head dim 64, heads 5-20) and
+cross-attention to text (Skv = padded prompt length). At these sizes the full
+K/V for one (batch, head) fits comfortably in VMEM, so the kernel streams Q
+blocks over a (B, H, Sq/BQ) grid, keeps K/V resident per (b, h), and does a
+single-pass f32 softmax per Q block — no online-softmax state needed, which
+removes the rescaling multiplies from the inner loop. The matmuls hit the MXU
+in the input dtype (bf16) with f32 accumulation; softmax is f32
+(upcast_attention semantics — reference attention_processor.py:34-131).
+
+Falls back to ops.attention._xla_attention off-TPU. `interpret=True` is used
+by CPU tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (S, D)
+    v = v_ref[0]  # (S, D)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _attn_kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = b_ref[0]  # (1 or BQ, S) f32
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    logits = logits * scale + bias
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _block_q(sq: int) -> int:
+    for bq in (512, 256, 128):
+        if sq % bq == 0:
+            return bq
+    return sq
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q (B,H,Sq,D), k/v (B,H,Skv,D), bias broadcastable (B,1,1|Sq,Skv) f32.
+
+    Returns (B,H,Sq,D) in q.dtype.
+    """
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bq = _block_q(sq)
+
+    # fold (B, H) into one grid axis; K/V blocks cover the full Skv per (b,h)
+    def reshape3(x):
+        return x.reshape(b * h, x.shape[2], d)
+
+    q3, k3, v3 = reshape3(q), reshape3(k), reshape3(v)
+    grid = (b * h, sq // bq)
+    q_spec = pl.BlockSpec((1, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, skv, d), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM)
+
+    cost = pl.CostEstimate(
+        flops=2 * 2 * b * h * sq * skv * d,
+        bytes_accessed=(q3.size + k3.size + v3.size) * q.dtype.itemsize + q3.size * q.dtype.itemsize,
+        transcendentals=b * h * sq * skv,
+    )
+
+    if bias is None:
+        out3 = pl.pallas_call(
+            functools.partial(_attn_kernel, scale=scale),
+            out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=out_spec,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q3, k3, v3)
+    else:
+        bias = jnp.asarray(bias, jnp.float32)
+        # normalize bias to (B, 1|Sq, Skv); broadcast over heads in index map
+        if bias.ndim == 4:
+            bias = bias[:, 0]
+        bq_bias = bias.shape[1] if bias.shape[1] != 1 else 1
+        if bq_bias == 1:
+            b_spec = pl.BlockSpec((1, 1, skv), lambda i, qi: (i // h, 0, 0), memory_space=pltpu.VMEM)
+        else:
+            assert bias.shape[1] == sq, bias.shape
+            b_spec = pl.BlockSpec((1, bq, skv), lambda i, qi: (i // h, qi, 0), memory_space=pltpu.VMEM)
+        out3 = pl.pallas_call(
+            functools.partial(_attn_kernel_bias, scale=scale),
+            out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec, b_spec],
+            out_specs=out_spec,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q3, k3, v3, bias)
+
+    return out3.reshape(b, h, sq, d)

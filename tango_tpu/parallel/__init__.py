@@ -1,0 +1,8 @@
+from tango_tpu.parallel.mesh import (
+    make_mesh,
+    param_shardings,
+    shard_batch,
+    shard_params,
+)
+
+__all__ = ["make_mesh", "param_shardings", "shard_batch", "shard_params"]

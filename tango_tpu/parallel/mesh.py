@@ -1,0 +1,135 @@
+"""Device mesh + sharding rules — the TPU-native replacement for the
+reference's Accelerate/NCCL DDP (train.py:243,372-378; SURVEY.md §5).
+
+Strategy: a 2-D mesh ('data', 'model').
+  * data parallelism: batch dimension of every array in the step is sharded
+    over 'data'; XLA inserts the gradient psum automatically when the loss is
+    jitted with sharded inputs and replicated-on-'data' params. This is the
+    only parallelism the reference has (DDP) — here it is the same pjit
+    program for 1 chip or a pod slice.
+  * tensor parallelism over 'model': attention/FFN projection matrices are
+    sharded on their contraction-free axis (to_q/k/v + ff-in on outputs,
+    to_out/ff-out on inputs) so each pair forms a Megatron-style
+    column->row block whose only comm is one all-reduce per pair, riding ICI.
+    Conv kernels and norms are replicated — they are <10% of FLOPs and
+    bandwidth-bound.
+  * sequence parallelism: the latent time axis of UNet activations can be
+    sharded over 'model' between attention levels via sharding constraints
+    (long-duration audio); exposed as `shard_latents_seq`.
+  * pipeline/expert parallelism: intentionally absent — the UNet is ~0.9B
+    params (fits one chip many times over) and has no MoE layers; pp/ep would
+    only add bubble/all-to-all overhead at this scale.
+
+No NCCL/MPI translation anywhere: collectives are whatever XLA SPMD derives
+from these shardings.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh. data=-1 -> all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+# Megatron-style column/row rules, applied by param-path suffix.
+# (path_regex, PartitionSpec for a 2D kernel (in, out))
+_TP_RULES = [
+    (r"(to_q|to_k|to_v)/kernel$", P(None, "model")),          # column
+    (r"to_out_0/kernel$", P("model", None)),                   # row
+    (r"net_0_proj/kernel$", P(None, "model")),                 # column (GEGLU)
+    (r"net_2/kernel$", P("model", None)),                      # row
+    (r"(proj_in|proj_out)/kernel$", P(None, None)),            # small; replicate
+    # T5 encoder
+    (r"attn/(q|k|v)/kernel$", P(None, "model")),
+    (r"attn/o/kernel$", P("model", None)),
+    (r"ff/(wi|wi_0|wi_1)/kernel$", P(None, "model")),
+    (r"ff/wo/kernel$", P("model", None)),
+]
+
+
+def _spec_for(path: str, ndim: int) -> P:
+    for pat, spec in _TP_RULES:
+        if re.search(pat, path):
+            return spec
+    return P()  # replicate (convs, norms, biases, embeddings)
+
+
+def _tree_paths(tree, prefix=""):
+    for k, v in tree.items():
+        p = f"{prefix}{k}"
+        if isinstance(v, dict):
+            yield from _tree_paths(v, p + "/")
+        else:
+            yield p, v
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedSharding for a model's params under TP rules."""
+
+    def walk(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            p = f"{prefix}{k}"
+            if isinstance(v, dict):
+                out[k] = walk(v, p + "/")
+            else:
+                spec = _spec_for(p, np.ndim(v))
+                # guard: only apply 2D specs to 2D kernels
+                if len([a for a in spec if a is not None]) and np.ndim(v) != 2:
+                    spec = P()
+                out[k] = NamedSharding(mesh, spec)
+        return out
+
+    return walk(params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place params on the mesh under the TP rules."""
+    shardings = param_shardings(params, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params, shardings,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard every leaf's leading (batch) axis over 'data'."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def shard_latents_seq(latents: jnp.ndarray, mesh: Optional[Mesh] = None) -> jnp.ndarray:
+    """Sequence-parallel constraint: shard the latent time axis over 'model'.
+
+    Use between UNet levels when generating long-duration audio whose latent
+    time dimension exceeds one chip's appetite (SURVEY.md §5 long-context note).
+    """
+    if mesh is None:
+        return latents
+    return jax.lax.with_sharding_constraint(
+        latents, NamedSharding(mesh, P("data", "model", None, None))
+    )
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

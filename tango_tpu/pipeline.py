@@ -1,0 +1,291 @@
+"""Tango — the user-facing text-to-audio pipeline.
+
+API-parity with the reference Tango class (/root/reference/tango.py:9-64):
+`Tango(name).generate(prompt, steps=100, guidance=3, samples=1)` returns an
+int16 16 kHz waveform; `generate_for_batch` chunks a prompt list.
+
+TPU-native execution: text encoding, the full CFG denoising scan, VAE decode
+and the HiFi-GAN vocoder each run as cached jitted programs; sampling keys off
+(num_steps, batch) for compilation and treats guidance as a traced scalar.
+Components are injectable so tests and training drive the same pipeline with
+tiny models. Default compute dtype is bfloat16 on TPU, float32 elsewhere
+(scheduler math stays f32 inside the scan either way).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu import configs as C
+from tango_tpu.audio.stft import MelSpectrogram
+from tango_tpu.models.diffusion import AudioDiffusion
+from tango_tpu.models.hifigan import HiFiGANGenerator, waveform_to_int16
+from tango_tpu.models.t5 import FLAN_T5_LARGE, T5Config, T5Encoder
+from tango_tpu.models.vae import AutoencoderKL
+from tango_tpu.utils import checkpoint as ckpt
+
+
+def _default_dtype():
+    try:
+        if jax.devices()[0].platform in ("tpu", "axon"):
+            return jnp.bfloat16
+    except Exception:
+        pass
+    return jnp.float32
+
+
+class Tango:
+    """Text -> 16 kHz audio. Mirrors reference tango.py:9-64.
+
+    Construction paths:
+      * Tango(path) — a reference-format snapshot dir (converted on load)
+      * Tango.from_components(...) — explicit params/configs (tests, training)
+    """
+
+    def __init__(
+        self,
+        name_or_path: Optional[str] = None,
+        tokenizer: Any = None,
+        dtype: Any = None,
+        max_text_length: int = 128,
+        rng_seed: int = 0,
+    ):
+        self.dtype = dtype or _default_dtype()
+        self.max_text_length = max_text_length
+        self._rng = jax.random.PRNGKey(rng_seed)
+        self._sample_cache = {}
+        self._decode_cache = {}
+        self.tokenizer = tokenizer
+
+        if name_or_path is not None:
+            path = name_or_path
+            if not os.path.isdir(path):
+                from huggingface_hub import snapshot_download
+
+                path = snapshot_download(repo_id=name_or_path)
+            loaded = ckpt.load_tango_snapshot(path)
+            self._build(
+                unet_config=loaded["unet_config"],
+                vae_config=loaded["vae_config"],
+                stft_config=loaded["stft_config"],
+                t5_config=FLAN_T5_LARGE,
+                unet_params=loaded["unet_params"],
+                vae_params=loaded["vae_params"],
+                t5_params=loaded["t5_params"],
+                hifigan_params=loaded["hifigan_params"],
+                hifigan_config=C.TANGO_HIFIGAN,
+            )
+            if self.tokenizer is None:
+                self.tokenizer = _try_load_tokenizer(loaded["main_config"].text_encoder_name)
+
+    @classmethod
+    def from_components(
+        cls,
+        *,
+        unet_config: C.UNetConfig,
+        vae_config: C.VAEConfig,
+        unet_params,
+        vae_params,
+        t5_config: Optional[T5Config] = None,
+        t5_params=None,
+        hifigan_config: Optional[C.HiFiGANConfig] = None,
+        hifigan_params=None,
+        stft_config: Optional[C.StftConfig] = None,
+        scheduler_config: Optional[C.SchedulerConfig] = None,
+        tokenizer=None,
+        dtype=None,
+        latent_t_size: int = 256,
+        latent_f_size: int = 16,
+    ) -> "Tango":
+        self = cls(None, tokenizer=tokenizer, dtype=dtype)
+        self._build(
+            unet_config=unet_config,
+            vae_config=vae_config,
+            stft_config=stft_config or C.TANGO_STFT,
+            t5_config=t5_config,
+            unet_params=unet_params,
+            vae_params=vae_params,
+            t5_params=t5_params,
+            hifigan_params=hifigan_params,
+            hifigan_config=hifigan_config,
+            scheduler_config=scheduler_config,
+            latent_t_size=latent_t_size,
+            latent_f_size=latent_f_size,
+        )
+        return self
+
+    def _build(
+        self,
+        *,
+        unet_config,
+        vae_config,
+        stft_config,
+        t5_config,
+        unet_params,
+        vae_params,
+        t5_params,
+        hifigan_params,
+        hifigan_config=None,
+        scheduler_config=None,
+        latent_t_size: int = 256,
+        latent_f_size: int = 16,
+    ):
+        self.model = AudioDiffusion(
+            unet_config=unet_config,
+            scheduler_config=scheduler_config or C.SD21_SCHEDULER,
+            latent_t_size=latent_t_size,
+            latent_f_size=latent_f_size,
+            dtype=self.dtype,
+        )
+        self.unet_params = unet_params
+        self.vae = AutoencoderKL(vae_config, dtype=self.dtype)
+        self.vae_params = vae_params
+        self.stft = MelSpectrogram(stft_config)
+        self.t5 = T5Encoder(t5_config, dtype=self.dtype) if t5_config else None
+        self.t5_params = t5_params
+        self.vocoder = (
+            HiFiGANGenerator(hifigan_config or C.TANGO_HIFIGAN, dtype=self.dtype)
+            if hifigan_params is not None
+            else None
+        )
+        self.hifigan_params = hifigan_params
+
+    # ------------------------------------------------------------- text side
+    def encode_text(self, prompts: Sequence[str]):
+        """Tokenize (host) + T5 encode (device). Fixed-length padding so the
+        sampler compiles once per batch size (models.py:129-147 semantics,
+        padding made static for XLA)."""
+        if self.tokenizer is None or self.t5 is None:
+            raise RuntimeError(
+                "Text encoding requires a tokenizer and T5 params; construct "
+                "Tango with a snapshot or pass tokenizer/t5_params explicitly."
+            )
+        batch = self.tokenizer(
+            list(prompts),
+            max_length=self.max_text_length,
+            padding="max_length",
+            truncation=True,
+            return_tensors="np",
+        )
+        ids = jnp.asarray(batch["input_ids"])
+        mask = jnp.asarray(batch["attention_mask"])
+        embeds = self._t5_apply(self.t5_params, ids, mask)
+        return embeds, mask
+
+    @partial(jax.jit, static_argnums=0)
+    def _t5_apply(self, params, ids, mask):
+        return self.t5.apply({"params": params}, ids, mask)
+
+    # -------------------------------------------------------------- sampling
+    def _sample_fn(self, num_steps: int, cfg: bool):
+        key = (num_steps, cfg)
+        if key not in self._sample_cache:
+
+            @jax.jit
+            def f(unet_params, cond, cond_mask, uncond, uncond_mask, rng, guidance):
+                return self.model.sample(
+                    unet_params, cond, cond_mask, rng,
+                    num_steps=num_steps,
+                    guidance_scale=guidance,
+                    uncond_embeds=uncond if cfg else None,
+                    uncond_mask=uncond_mask if cfg else None,
+                )
+
+            self._sample_cache[key] = f
+        return self._sample_cache[key]
+
+    def _decode_fn(self):
+        if "decode" not in self._decode_cache:
+
+            @jax.jit
+            def f(vae_params, hifigan_params, latents):
+                mel = self.vae.apply(
+                    {"params": vae_params}, latents, method=self.vae.decode_first_stage
+                )
+                wav = self.vocoder.apply({"params": hifigan_params}, mel[..., 0])
+                return mel, wav
+
+            self._decode_cache["decode"] = f
+        return self._decode_cache["decode"]
+
+    def next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    # ------------------------------------------------------------ public API
+    def generate(
+        self,
+        prompt: str,
+        steps: int = 100,
+        guidance: float = 3.0,
+        samples: int = 1,
+        disable_progress: bool = True,
+        seed: Optional[int] = None,
+    ) -> np.ndarray:
+        """Single prompt -> int16 waveform(s). (reference tango.py:43-49)"""
+        wav = self._generate_batch([prompt], steps, guidance, samples, seed)
+        return wav[0] if samples == 1 else wav[:samples]
+
+    def generate_for_batch(
+        self,
+        prompts: Sequence[str],
+        steps: int = 100,
+        guidance: float = 3.0,
+        samples: int = 1,
+        batch_size: int = 8,
+        disable_progress: bool = True,
+        seed: Optional[int] = None,
+    ) -> List[np.ndarray]:
+        """Prompt list -> list of int16 waveforms (reference tango.py:51-64)."""
+        outputs = []
+        for k in range(0, len(prompts), batch_size):
+            wavs = self._generate_batch(prompts[k : k + batch_size], steps, guidance, samples, seed)
+            outputs += [w for w in wavs]
+        if samples == 1:
+            return outputs
+        return [outputs[i : i + samples] for i in range(0, len(outputs), samples)]
+
+    def _generate_batch(self, prompts, steps, guidance, samples, seed=None):
+        cond, cond_mask = self.encode_text(prompts)
+        # repeat_interleave for multi-sample (models.py:221-222, 278-279)
+        if samples > 1:
+            cond = jnp.repeat(cond, samples, axis=0)
+            cond_mask = jnp.repeat(cond_mask, samples, axis=0)
+        cfg = guidance > 1.0
+        if cfg:
+            uncond, uncond_mask = self.encode_text([""] * len(prompts))
+            if samples > 1:
+                uncond = jnp.repeat(uncond, samples, axis=0)
+                uncond_mask = jnp.repeat(uncond_mask, samples, axis=0)
+        else:
+            uncond, uncond_mask = cond, cond_mask
+
+        rng = jax.random.PRNGKey(seed) if seed is not None else self.next_rng()
+        latents = self._sample_fn(steps, cfg)(
+            self.unet_params, cond, cond_mask, uncond, uncond_mask, rng,
+            jnp.float32(guidance),
+        )
+        return self.decode_to_waveform(latents)
+
+    def decode_to_waveform(self, latents) -> np.ndarray:
+        """latents (B,T,F,C) -> int16 waveforms (B, T_wav)."""
+        if self.vocoder is None:
+            raise RuntimeError("No vocoder params loaded")
+        _, wav = self._decode_fn()(self.vae_params, self.hifigan_params, latents)
+        return waveform_to_int16(np.asarray(wav.astype(jnp.float32)))
+
+
+def _try_load_tokenizer(name: str):
+    try:
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(name)
+    except Exception:
+        return None

@@ -1,0 +1,193 @@
+"""SFT training CLI — `python -m tango_tpu.train.cli --train_file ...`.
+
+Flag surface mirrors the reference argparse (train.py:33-198); defaults are
+the published recipe (train.sh:1-8). Single-host multi-chip runs shard the
+batch over the full mesh automatically; multi-host runs call
+jax.distributed.initialize when JAX_COORDINATOR is set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="tango_tpu SFT training")
+    p.add_argument("--train_file", type=str, required=True)
+    p.add_argument("--validation_file", type=str, required=True)
+    p.add_argument("--data_prefix", type=str, default="")
+    p.add_argument("--tango_snapshot", type=str, default=None,
+                   help="reference-format snapshot dir for VAE/T5 weights")
+    p.add_argument("--audioldm_ckpt", type=str, default=None,
+                   help="audioldm-s-full.ckpt for VAE weights (models.py:27-52)")
+    p.add_argument("--text_encoder_name", type=str, default="google/flan-t5-large")
+    p.add_argument("--scheduler_name", type=str, default="stabilityai/stable-diffusion-2-1")
+    p.add_argument("--unet_model_config", type=str, default=None)
+    p.add_argument("--snr_gamma", type=float, default=5.0)
+    p.add_argument("--uncondition", action="store_true")
+    p.add_argument("--augment", action="store_true")
+    p.add_argument("--per_device_train_batch_size", type=int, default=2)
+    p.add_argument("--per_device_eval_batch_size", type=int, default=2)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=4)
+    p.add_argument("--learning_rate", type=float, default=3e-5)
+    p.add_argument("--weight_decay", type=float, default=1e-8)
+    p.add_argument("--num_train_epochs", type=int, default=40)
+    p.add_argument("--num_warmup_steps", type=int, default=0)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--checkpointing_steps", type=str, default="best")
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--target_length", type=int, default=1024)
+    p.add_argument("--max_text_length", type=int, default=128)
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if os.environ.get("JAX_COORDINATOR"):
+        jax.distributed.initialize()
+
+    from tango_tpu import configs as C
+    from tango_tpu.configs import TrainConfig, UNetConfig
+    from tango_tpu.models.diffusion import AudioDiffusion
+    from tango_tpu.models.t5 import FLAN_T5_LARGE, T5Encoder, convert_t5_encoder
+    from tango_tpu.models.vae import AutoencoderKL
+    from tango_tpu.parallel import mesh as pmesh
+    from tango_tpu.train.data import FeaturizedLoader, load_manifest
+    from tango_tpu.train.sft import SFTTrainer
+    from tango_tpu.utils import checkpoint as ckpt_io
+
+    out_dir = args.output_dir or os.path.join("saved", str(int(time.time())))
+    os.makedirs(out_dir, exist_ok=True)
+
+    # --- components -----------------------------------------------------
+    unet_config = C.TANGO_UNET
+    if args.unet_model_config:
+        unet_config = UNetConfig.from_json(args.unet_model_config)
+
+    vae_config, vae_params, t5_params = C.TANGO_VAE, None, None
+    if args.tango_snapshot:
+        loaded = ckpt_io.load_tango_snapshot(args.tango_snapshot)
+        vae_config, vae_params = loaded["vae_config"], loaded["vae_params"]
+        t5_params = loaded["t5_params"]
+    elif args.audioldm_ckpt:
+        vae_params, _, scale = ckpt_io.load_audioldm_ckpt(args.audioldm_ckpt)
+        import dataclasses
+
+        vae_config = dataclasses.replace(C.TANGO_VAE, scale_factor=scale)
+
+    vae = AutoencoderKL(vae_config)
+    if vae_params is None:
+        raise SystemExit("need --tango_snapshot or --audioldm_ckpt for VAE weights")
+
+    t5 = T5Encoder(FLAN_T5_LARGE)
+    if t5_params is None:
+        raise SystemExit("no text-encoder weights found in snapshot")
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(args.text_encoder_name)
+
+    train_cfg = TrainConfig(
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2,
+        adam_epsilon=args.adam_epsilon,
+        num_train_epochs=args.num_train_epochs,
+        per_device_train_batch_size=args.per_device_train_batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        num_warmup_steps=args.num_warmup_steps,
+        snr_gamma=args.snr_gamma,
+        uncondition=args.uncondition,
+        augment=args.augment,
+        target_length=args.target_length,
+        checkpointing_steps=args.checkpointing_steps,
+    )
+
+    # --- data -----------------------------------------------------------
+    train_ex = load_manifest(args.train_file, args.data_prefix)
+    val_ex = load_manifest(args.validation_file, args.data_prefix)
+
+    mesh = pmesh.make_mesh(data=-1, model=args.model_parallel)
+    data_size = mesh.shape["data"]
+    global_bs = args.per_device_train_batch_size * data_size
+
+    train_loader = FeaturizedLoader(
+        train_ex, global_bs, args.target_length,
+        augment_num=global_bs // 2 if args.augment else 0, seed=args.seed,
+    )
+    val_loader = FeaturizedLoader(
+        val_ex, args.per_device_eval_batch_size * data_size, args.target_length,
+        shuffle=False,
+    )
+    steps_per_epoch = max(len(train_loader) // args.gradient_accumulation_steps, 1)
+    total_steps = steps_per_epoch * args.num_train_epochs
+
+    diffusion = AudioDiffusion(
+        unet_config=unet_config,
+        snr_gamma=args.snr_gamma,
+        uncondition=args.uncondition,
+    )
+    vae_params = jax.device_put(vae_params, pmesh.replicated(mesh))
+    t5_params = jax.device_put(t5_params, pmesh.replicated(mesh))
+
+    trainer = SFTTrainer(diffusion, vae, vae_params, train_cfg, total_steps, mesh=mesh)
+    rng = jax.random.PRNGKey(args.seed)
+    state = trainer.init_state(rng)
+    if args.resume_from_checkpoint:
+        params, _ = ckpt_io.load_native(args.resume_from_checkpoint)
+        state = state.__class__(params, trainer.tx.init(params), state.step)
+
+    t5_apply = jax.jit(lambda p, i, m: t5.apply({"params": p}, i, m))
+
+    def encode_batches(loader):
+        def gen():
+            for raw in loader:
+                batch = tokenizer(
+                    raw["captions"], max_length=args.max_text_length,
+                    padding="max_length", truncation=True, return_tensors="np",
+                )
+                # fixed-size mixup output means fbank batch > captions? no:
+                # loader appends mixed captions too; sizes always match.
+                embeds = t5_apply(t5_params, batch["input_ids"], batch["attention_mask"])
+                yield pmesh.shard_batch(
+                    {
+                        "fbank": jnp.asarray(raw["fbank"]),
+                        "text_embeds": embeds,
+                        "text_mask": jnp.asarray(batch["attention_mask"]),
+                    },
+                    mesh,
+                )
+
+        return gen
+
+    with open(os.path.join(out_dir, "summary.jsonl"), "a") as f:
+        f.write(json.dumps({"args": vars(args)}) + "\n")
+
+    def log_fn(rec):
+        print(json.dumps(rec), flush=True)
+
+    with mesh:
+        trainer.fit(
+            state,
+            encode_batches(train_loader),
+            encode_batches(val_loader),
+            rng,
+            out_dir,
+            log_fn=log_fn,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Training data pipeline — host-side wav featurization feeding the device.
+
+Reference equivalent: Text2AudioDataset + torch DataLoader + in-step
+wav_to_fbank (train.py:201-229, 328-330, 441-454). Re-designed for TPU
+throughput: a thread-pool decodes/resamples wavs and computes fbanks on host
+while the previous step runs on device (double-buffered prefetch), so the
+denoiser never waits on audio I/O (SURVEY.md §7 hard-parts note).
+
+Manifest format matches the reference JSON lines
+(data/*.json: {"dataset", "location", "captions"}).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import random
+import threading
+from dataclasses import dataclass
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tango_tpu.audio.mix import mix_pairs
+from tango_tpu.audio.stft import MelSpectrogram
+from tango_tpu.audio.wav import read_wav_file
+
+
+@dataclass
+class Example:
+    location: str
+    caption: str
+
+
+def load_manifest(path: str, prefix: str = "") -> List[Example]:
+    """Read a reference-format JSON manifest (one object or JSONL / {"data": []})."""
+    examples = []
+    with open(path) as f:
+        content = f.read().strip()
+    try:
+        obj = json.loads(content)
+        rows = obj["data"] if isinstance(obj, dict) and "data" in obj else obj
+        if isinstance(rows, dict):
+            rows = [rows]
+    except json.JSONDecodeError:
+        rows = [json.loads(line) for line in content.splitlines() if line.strip()]
+    for r in rows:
+        examples.append(Example(prefix + r["location"], r.get("captions") or r.get("caption", "")))
+    return examples
+
+
+class FeaturizedLoader:
+    """Batches of {fbank, captions} with threaded prefetch + optional mixup.
+
+    The text encoding step (tokenize + frozen T5) is intentionally NOT here —
+    the trainer owns it so the same loader serves SFT, DPO and eval.
+    """
+
+    def __init__(
+        self,
+        examples: Sequence[Example],
+        batch_size: int,
+        target_length: int = 1024,
+        stft: Optional[MelSpectrogram] = None,
+        augment_num: int = 0,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_prefetch: int = 2,
+        drop_last: bool = True,
+    ):
+        self.examples = list(examples)
+        self.batch_size = batch_size
+        self.target_length = target_length
+        self.stft = stft or MelSpectrogram()
+        self.augment_num = augment_num
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_prefetch = num_prefetch
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.examples) // self.batch_size
+        if not self.drop_last and len(self.examples) % self.batch_size:
+            n += 1
+        return n
+
+    def _load_batch(self, batch: List[Example], rng: random.Random):
+        waves, captions = [], []
+        for ex in batch:
+            try:
+                w = read_wav_file(ex.location, self.target_length * 160)
+            except Exception:
+                # decode failure -> constant waveform fallback
+                # (reference behavior tools/torch_tools.py:47-50)
+                w = 0.5 * np.ones((1, self.target_length * 160), np.float32)
+            waves.append(w)
+            captions.append(ex.caption)
+        waves = np.concatenate(waves, 0)
+        if self.augment_num > 0 and len(batch) > 1:
+            mixed, mixed_caps = mix_pairs(waves, captions, self.augment_num, rng=rng)
+            if len(mixed):
+                waves = np.concatenate([waves, mixed], 0)
+                captions = captions + mixed_caps
+        from tango_tpu.audio.stft import wav_batch_to_fbank
+
+        fbank, _ = wav_batch_to_fbank(self.stft, waves, self.target_length)
+        return {"fbank": np.asarray(fbank), "captions": captions, "waveforms": waves}
+
+    def __iter__(self) -> Iterator[dict]:
+        order = list(range(len(self.examples)))
+        rng = random.Random(self.seed + self._epoch)
+        self._epoch += 1
+        if self.shuffle:
+            rng.shuffle(order)
+
+        batches = [
+            [self.examples[i] for i in order[k : k + self.batch_size]]
+            for k in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.num_prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    q.put(self._load_batch(b, rng))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

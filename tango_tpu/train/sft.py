@@ -1,0 +1,207 @@
+"""SFT trainer — pjit data-parallel diffusion training.
+
+TPU-native re-design of the reference accelerate loop
+(/root/reference/train.py:232-535):
+  * featurize wav -> fbank on host (audio/), VAE-encode + noise + UNet fwd/bwd
+    as ONE jitted train step over the ('data','model') mesh
+  * AdamW via optax with linear warmup+decay (train.py:357-369), grad
+    accumulation via optax.MultiSteps (train.py:436)
+  * min-SNR weighting and 10% uncondition handled inside AudioDiffusion.loss
+  * fixed-t validation (t = N/2 — train.py:482-495), best-val checkpointing
+  * frozen text encoder: T5 params are not part of the optimizer state
+    (train.py:333-336); text is pre-encoded outside the step
+
+The gradient all-reduce of DDP becomes an XLA-inserted psum: the loss is
+jitted with batch sharded over 'data' and params replicated over 'data'.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tango_tpu.configs import TrainConfig
+from tango_tpu.models.diffusion import AudioDiffusion
+from tango_tpu.models.vae import AutoencoderKL
+from tango_tpu.parallel import mesh as pmesh
+from tango_tpu.utils import checkpoint as ckpt_io
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, _, leaves):
+        return cls(*leaves)
+
+
+jax.tree_util.register_pytree_node_class(TrainState)
+
+
+def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
+    schedule = optax.linear_schedule(
+        init_value=cfg.learning_rate,
+        end_value=0.0,
+        transition_steps=max(total_steps - cfg.num_warmup_steps, 1),
+    )
+    if cfg.num_warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, cfg.learning_rate, cfg.num_warmup_steps)
+        schedule = optax.join_schedules([warmup, schedule], [cfg.num_warmup_steps])
+    tx = optax.adamw(
+        learning_rate=schedule,
+        b1=cfg.adam_beta1,
+        b2=cfg.adam_beta2,
+        eps=cfg.adam_epsilon,
+        weight_decay=cfg.weight_decay,
+    )
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    return tx
+
+
+class SFTTrainer:
+    """Owns the jitted train/eval steps; the data loop stays host-side."""
+
+    def __init__(
+        self,
+        diffusion: AudioDiffusion,
+        vae: AutoencoderKL,
+        vae_params,
+        train_config: TrainConfig,
+        total_steps: int,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.diffusion = diffusion
+        self.vae = vae
+        self.vae_params = vae_params
+        self.cfg = train_config
+        self.mesh = mesh
+        self.tx = make_optimizer(train_config, total_steps)
+        self._train_step = None
+        self._eval_step = None
+
+    def init_state(self, rng) -> TrainState:
+        params = self.diffusion.init_params(rng)
+        if self.mesh is not None:
+            params = pmesh.shard_params(params, self.mesh)
+        opt_state = self.tx.init(params)
+        return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+    # ----------------------------------------------------------------- steps
+    def encode_latents(self, fbank: jnp.ndarray, rng) -> jnp.ndarray:
+        """fbank (B, T, n_mels) -> scaled latents (train.py:441-454, no_grad)."""
+        mel = fbank[..., None]  # (B, T, F, 1)
+        return self.vae.apply(
+            {"params": self.vae_params}, mel, rng, method=self.vae.encode_first_stage
+        )
+
+    def train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        """batch: {fbank (B,T,M), text_embeds (B,S,D), text_mask (B,S)}."""
+        if self._train_step is None:
+            self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        return self._train_step(state, batch, rng)
+
+    def _train_step_impl(self, state, batch, rng):
+        k_vae, k_loss = jax.random.split(rng)
+        latents = self.encode_latents(batch["fbank"], k_vae)
+        latents = jax.lax.stop_gradient(latents)
+
+        def loss_fn(params):
+            return self.diffusion.loss(
+                params, latents, batch["text_embeds"], batch["text_mask"], k_loss
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def eval_step(self, state: TrainState, batch, rng):
+        if self._eval_step is None:
+
+            def impl(state, batch, rng):
+                k_vae, k_loss = jax.random.split(rng)
+                latents = self.encode_latents(batch["fbank"], k_vae)
+                return self.diffusion.loss(
+                    state.params, latents, batch["text_embeds"], batch["text_mask"],
+                    k_loss, validation_mode=True,
+                )
+
+            self._eval_step = jax.jit(impl)
+        return self._eval_step(state, batch, rng)
+
+    # ------------------------------------------------------------------ loop
+    def fit(
+        self,
+        state: TrainState,
+        train_batches: Callable[[], Iterable[dict]],
+        val_batches: Callable[[], Iterable[dict]],
+        rng,
+        output_dir: str,
+        num_epochs: Optional[int] = None,
+        log_fn: Callable[[dict], None] = lambda d: None,
+    ) -> TrainState:
+        """Epoch loop with best-val checkpointing (train.py:431-535)."""
+        os.makedirs(output_dir, exist_ok=True)
+        best_val = float("inf")
+        num_epochs = num_epochs or self.cfg.num_train_epochs
+        summary_path = os.path.join(output_dir, "summary.jsonl")
+
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            total, count = 0.0, 0
+            for batch in train_batches():
+                rng, sub = jax.random.split(rng)
+                state, loss = self.train_step(state, batch, sub)
+                total += float(loss)
+                count += 1
+            train_loss = total / max(count, 1)
+
+            vtotal, vcount = 0.0, 0
+            for batch in val_batches():
+                rng, sub = jax.random.split(rng)
+                vtotal += float(self.eval_step(state, batch, sub))
+                vcount += 1
+            val_loss = vtotal / max(vcount, 1)
+
+            record = {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "val_loss": val_loss,
+                "time_s": round(time.time() - t0, 2),
+                "step": int(state.step),
+            }
+            log_fn(record)
+            with open(summary_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+
+            if val_loss < best_val:
+                best_val = val_loss
+                ckpt_io.save_native(
+                    os.path.join(output_dir, "best"),
+                    jax.device_get(state.params),
+                    manifest={"epoch": epoch, "val_loss": val_loss},
+                )
+            if self.cfg.checkpointing_steps == "epoch":
+                ckpt_io.save_native(
+                    os.path.join(output_dir, f"epoch_{epoch}"),
+                    jax.device_get(state.params),
+                    manifest={"epoch": epoch, "val_loss": val_loss},
+                )
+        return state

@@ -1,0 +1,133 @@
+"""Checkpoint I/O: reference-layout loading + native orbax save/restore.
+
+Reference layouts handled (SURVEY.md §5):
+  * Tango HF snapshot (tango.py:12-28): {vae,stft,main}_config.json +
+    pytorch_model_{vae,stft,main}.bin. `main` bundles the UNet and the (frozen)
+    T5 under `unet.` / `text_encoder.` prefixes.
+  * audioldm-s-full.ckpt (models.py:27-52): monolithic, `first_stage_model.`
+    prefix + scale_factor scalar.
+
+Native tango_tpu checkpoints are orbax-saved param pytrees + a JSON manifest —
+used by the trainers for save_state/resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from tango_tpu import configs as C
+from tango_tpu.utils import convert as conv
+
+
+def split_main_state_dict(sd: Dict[str, np.ndarray]):
+    """pytorch_model_main.bin -> (unet_sd, text_encoder_sd, leftovers)."""
+    unet, text, rest = {}, {}, {}
+    for k, v in sd.items():
+        if k.startswith("unet."):
+            unet[k[len("unet."):]] = v
+        elif k.startswith("text_encoder."):
+            text[k[len("text_encoder."):]] = v
+        elif k.startswith(("noise_scheduler", "inference_scheduler")):
+            continue  # scheduler buffers are derived, not loaded
+        else:
+            rest[k] = v
+    return unet, text, rest
+
+
+def load_tango_snapshot(path: str) -> Dict[str, Any]:
+    """Load a reference-format Tango snapshot directory into tango_tpu form.
+
+    Returns dict with configs + converted params:
+      {vae_config, stft_config, main_config, vae_params, unet_params,
+       t5_params (or None), hifigan_params (or None)}
+    """
+    with open(os.path.join(path, "vae_config.json")) as f:
+        vae_cfg_raw = json.load(f)
+    with open(os.path.join(path, "main_config.json")) as f:
+        main_cfg_raw = json.load(f)
+    stft_cfg_path = os.path.join(path, "stft_config.json")
+    stft_cfg_raw = {}
+    if os.path.exists(stft_cfg_path):
+        with open(stft_cfg_path) as f:
+            stft_cfg_raw = json.load(f)
+
+    vae_config = C.VAEConfig.from_dict(vae_cfg_raw)
+    stft_config = C.StftConfig.from_dict(stft_cfg_raw)
+    main_config = C.DiffusionConfig.from_dict(main_cfg_raw)
+
+    unet_cfg_path = main_cfg_raw.get("unet_model_config_path")
+    unet_config = C.TANGO_UNET
+    if unet_cfg_path:
+        for cand in (unet_cfg_path, os.path.join(path, os.path.basename(unet_cfg_path))):
+            if os.path.exists(cand):
+                with open(cand) as f:
+                    unet_config = C.UNetConfig.from_dict(json.load(f))
+                break
+
+    vae_sd = conv.load_torch_bin(os.path.join(path, "pytorch_model_vae.bin"))
+    main_sd = conv.load_torch_bin(os.path.join(path, "pytorch_model_main.bin"))
+    unet_sd, text_sd, _ = split_main_state_dict(main_sd)
+
+    hifigan_params = None
+    vocoder_keys = {k for k in vae_sd if k.startswith("vocoder.")}
+    if vocoder_keys:
+        hifigan_params = conv.convert_hifigan(
+            {k[len("vocoder."):]: vae_sd[k] for k in vocoder_keys}
+        )
+
+    from tango_tpu.models.t5 import convert_t5_encoder
+
+    return {
+        "vae_config": vae_config,
+        "stft_config": stft_config,
+        "main_config": main_config,
+        "unet_config": unet_config,
+        "vae_params": conv.convert_vae(vae_sd),
+        "unet_params": conv.convert_unet(unet_sd),
+        "t5_params": convert_t5_encoder(text_sd) if text_sd else None,
+        "hifigan_params": hifigan_params,
+    }
+
+
+def load_audioldm_ckpt(path: str):
+    """audioldm-s-full.ckpt -> (vae_params, hifigan_params or None, scale_factor)."""
+    sd = conv.load_torch_bin(path)
+    vae_sd, scale = conv.split_audioldm_ckpt(sd)
+    vocoder = {k[len("vocoder."):]: v for k, v in vae_sd.items() if k.startswith("vocoder.")}
+    return (
+        conv.convert_vae(vae_sd),
+        conv.convert_hifigan(vocoder) if vocoder else None,
+        scale,
+    )
+
+
+# ------------------------------------------------------------- native format
+
+def save_native(path: str, tree: Any, manifest: Optional[dict] = None):
+    """Save a param pytree with orbax + JSON manifest."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(path, "params"), tree, force=True)
+    if manifest is not None:
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+
+
+def load_native(path: str):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(os.path.join(path, "params"))
+    manifest = None
+    mpath = os.path.join(path, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+    return tree, manifest

@@ -1,0 +1,59 @@
+"""Pallas flash attention vs XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tango_tpu.ops.attention import _xla_attention
+from tango_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize(
+    "b,h,sq,skv,d",
+    [
+        (2, 4, 256, 256, 64),   # self-attn level shape
+        (2, 2, 512, 64, 64),    # cross-attn to text
+        (1, 5, 1024, 1024, 32),
+    ],
+)
+def test_flash_matches_xla(b, h, sq, skv, d):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (b, h, sq, d), jnp.float32)
+    k = jax.random.normal(k2, (b, h, skv, d), jnp.float32)
+    v = jax.random.normal(k3, (b, h, skv, d), jnp.float32)
+    scale = d**-0.5
+    ref = _xla_attention(q, k, v, bias=None, scale=scale, upcast=True)
+    out = flash_attention(q, k, v, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("bias_q", [1, 256])
+def test_flash_with_bias(bias_q):
+    b, h, sq, skv, d = 2, 3, 256, 64, 64
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(k1, (b, h, sq, d))
+    k = jax.random.normal(k2, (b, h, skv, d))
+    v = jax.random.normal(k3, (b, h, skv, d))
+    mask = np.ones((b, bias_q, skv), np.float32)
+    mask[:, :, skv // 2 :] = 0.0
+    bias = (1.0 - mask) * -10000.0
+    bias4 = jnp.asarray(bias)[:, None]  # (B,1,*,Skv)
+    scale = d**-0.5
+    ref = _xla_attention(q, k, v, bias=bias4, scale=scale, upcast=True)
+    out = flash_attention(q, k, v, bias=bias4, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_bf16():
+    b, h, sq, d = 1, 2, 256, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, sq, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, sq, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, sq, d), jnp.bfloat16)
+    scale = d**-0.5
+    ref = _xla_attention(q, k, v, bias=None, scale=scale, upcast=True)
+    out = flash_attention(q, k, v, scale=scale, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2
+    )

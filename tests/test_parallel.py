@@ -1,0 +1,93 @@
+"""Multi-device (8 virtual CPU) sharding tests: DP+TP train step, entry points."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles_tiny():
+    """entry() uses the flagship config (too big for CI); validate the same
+    path with abstract eval: the returned fn must trace/lower on its args."""
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.eval_shape(fn, *args)
+    assert out.shape == (2, 256, 16, 8)
+
+
+def test_dp_grads_match_single_device():
+    """Data-parallel sharded loss must equal the single-device loss."""
+    from tango_tpu import configs as C
+    from tango_tpu.models.diffusion import AudioDiffusion
+    from tango_tpu.parallel import mesh as pmesh
+
+    cfg = C.UNetConfig(
+        in_channels=4, out_channels=4,
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        block_out_channels=(16, 32), layers_per_block=1,
+        cross_attention_dim=16, attention_head_dim=(2, 4), norm_num_groups=8,
+    )
+    diff = AudioDiffusion(unet_config=cfg, latent_t_size=8, latent_f_size=4)
+    params = diff.init_params(jax.random.PRNGKey(0))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 4, 4))
+    emb = jax.random.normal(jax.random.PRNGKey(2), (8, 5, 16))
+    msk = jnp.ones((8, 5), jnp.int32)
+
+    # validation_mode pins t; the only randomness left is the noise draw,
+    # which is identical for identical rng regardless of sharding.
+    loss_single = float(
+        diff.loss(params, lat, emb, msk, jax.random.PRNGKey(3), validation_mode=True)
+    )
+
+    mesh = pmesh.make_mesh(data=8, model=1)
+    params_s = pmesh.shard_params(params, mesh)
+    batch = pmesh.shard_batch({"lat": lat, "emb": emb, "msk": msk}, mesh)
+    with mesh:
+        loss_sharded = float(
+            jax.jit(
+                lambda p, b: diff.loss(
+                    p, b["lat"], b["emb"], b["msk"], jax.random.PRNGKey(3), validation_mode=True
+                )
+            )(params_s, batch)
+        )
+    np.testing.assert_allclose(loss_sharded, loss_single, rtol=1e-5)
+
+
+def test_tp_forward_matches_replicated():
+    """Tensor-parallel sharded UNet forward == replicated forward."""
+    from tango_tpu import configs as C
+    from tango_tpu.models.unet import UNet2DConditionModel
+    from tango_tpu.parallel import mesh as pmesh
+
+    cfg = C.UNetConfig(
+        in_channels=4, out_channels=4,
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        block_out_channels=(16, 32), layers_per_block=1,
+        cross_attention_dim=16, attention_head_dim=(2, 4), norm_num_groups=8,
+    )
+    unet = UNet2DConditionModel(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 4, 4))
+    t = jnp.array([5, 500])
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16))
+    params = unet.init(jax.random.PRNGKey(2), x, t, c)["params"]
+
+    ref = unet.apply({"params": params}, x, t, c)
+
+    mesh = pmesh.make_mesh(data=2, model=4)
+    params_s = pmesh.shard_params(params, mesh)
+    with mesh:
+        out = jax.jit(lambda p: unet.apply({"params": p}, x, t, c))(params_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

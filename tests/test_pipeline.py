@@ -1,0 +1,104 @@
+"""End-to-end Tango pipeline test with dwarf components (the reference test
+idiom: AudioLDMPipelineFastTests builds MB-scale components — SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tango_tpu import configs as C
+from tango_tpu.models.t5 import T5Config, T5Encoder
+from tango_tpu.models.unet import UNet2DConditionModel
+from tango_tpu.models.vae import AutoencoderKL
+from tango_tpu.models.hifigan import HiFiGANGenerator
+from tango_tpu.pipeline import Tango
+
+TINY_UNET = C.UNetConfig(
+    in_channels=8,
+    out_channels=8,
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    cross_attention_dim=16,
+    attention_head_dim=(2, 4),
+    norm_num_groups=8,
+)
+TINY_VAE = C.VAEConfig(embed_dim=8, z_channels=8, ch=32, ch_mult=(1, 2), num_res_blocks=1, scale_factor=0.9)
+TINY_T5 = T5Config(vocab_size=128, d_model=16, d_kv=4, d_ff=32, num_layers=2, num_heads=4)
+# tiny VAE (ch_mult (1,2)) upsamples x2: latent (8,4) -> mel (16,8)
+TINY_HIFI = C.HiFiGANConfig(num_mels=8, upsample_initial_channel=32)
+
+
+class StubTokenizer:
+    """Deterministic word-hash tokenizer (tests only)."""
+
+    def __call__(self, texts, max_length=16, **kw):
+        ids = np.zeros((len(texts), max_length), np.int32)
+        mask = np.zeros((len(texts), max_length), np.int32)
+        for i, t in enumerate(texts):
+            toks = [hash(w) % 126 + 2 for w in t.split()][: max_length - 1] + [1]
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+@pytest.fixture(scope="module")
+def tiny_tango():
+    k = jax.random.PRNGKey(0)
+    unet = UNet2DConditionModel(TINY_UNET)
+    unet_params = unet.init(
+        k, jnp.zeros((1, 8, 4, 8)), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 2, 16))
+    )["params"]
+    vae = AutoencoderKL(TINY_VAE)
+    vae_params = vae.init(k, jnp.zeros((1, 32, 16, 1)), k)["params"]
+    t5 = T5Encoder(TINY_T5)
+    t5_params = t5.init(k, jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32))["params"]
+    hifi = HiFiGANGenerator(TINY_HIFI)
+    hifi_params = hifi.init(k, jnp.zeros((1, 8, 8)))["params"]
+    return Tango.from_components(
+        unet_config=TINY_UNET,
+        vae_config=TINY_VAE,
+        unet_params=unet_params,
+        vae_params=vae_params,
+        t5_config=TINY_T5,
+        t5_params=t5_params,
+        hifigan_config=TINY_HIFI,
+        hifigan_params=hifi_params,
+        tokenizer=StubTokenizer(),
+        latent_t_size=8,
+        latent_f_size=4,
+    )
+
+
+def test_generate_single(tiny_tango):
+    wav = tiny_tango.generate("a dog barks in the park", steps=3, guidance=3.0)
+    assert wav.dtype == np.int16
+    # latent 8x4 -> mel 16x8 -> x160 vocoder
+    assert wav.shape == (16 * 160 + 32,)  # +32: transposed-conv edge (matches torch)
+
+
+def test_generate_deterministic_with_seed(tiny_tango):
+    a = tiny_tango.generate("rain", steps=2, seed=42)
+    b = tiny_tango.generate("rain", steps=2, seed=42)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_generate_batch_and_samples(tiny_tango):
+    outs = tiny_tango.generate_for_batch(["a", "b", "c"], steps=2, batch_size=2)
+    assert len(outs) == 3
+    multi = tiny_tango.generate("x", steps=2, samples=2)
+    assert len(multi) == 2 and multi[0].shape == multi[1].shape
+
+
+def test_guidance_traced_no_recompile(tiny_tango):
+    tiny_tango.generate("x", steps=2, guidance=3.0)
+    f = tiny_tango._sample_fn(2, True)
+    n = f._cache_size()
+    tiny_tango.generate("x", steps=2, guidance=7.5)
+    assert f._cache_size() == n
+
+
+def test_no_cfg_when_guidance_leq_1(tiny_tango):
+    wav = tiny_tango.generate("x", steps=2, guidance=1.0)
+    assert wav.shape == (16 * 160 + 32,)  # +32: transposed-conv edge (matches torch)

@@ -1,0 +1,40 @@
+"""T5 encoder parity vs HF torch T5EncoderModel."""
+
+import numpy as np
+
+from tests.conftest import load_golden
+from tango_tpu.models.t5 import T5Config, T5Encoder, convert_t5_encoder
+
+TINY_T5 = T5Config(
+    vocab_size=128,
+    d_model=32,
+    d_kv=8,
+    d_ff=48,
+    num_layers=3,
+    num_heads=4,
+    relative_attention_num_buckets=8,
+    relative_attention_max_distance=16,
+)
+
+
+def test_t5_encoder_parity():
+    g = load_golden("t5_tiny")
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_t5_encoder(sd)
+    model = T5Encoder(TINY_T5)
+    out = model.apply({"params": params}, g["ids"], g["mask"])
+    # padded positions attend differently but Tango masks them out downstream;
+    # compare only valid positions.
+    mask = g["mask"].astype(bool)
+    got, ref = np.asarray(out)[mask], g["out"][mask]
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_t5_mask_changes_output():
+    g = load_golden("t5_tiny")
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_t5_encoder(sd)
+    model = T5Encoder(TINY_T5)
+    out_masked = np.asarray(model.apply({"params": params}, g["ids"], g["mask"]))
+    out_full = np.asarray(model.apply({"params": params}, g["ids"], np.ones_like(g["mask"])))
+    assert np.abs(out_masked[0, :7] - out_full[0, :7]).max() > 1e-4

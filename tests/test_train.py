@@ -1,0 +1,120 @@
+"""SFT trainer: loss decreases on a fixable toy problem; data loader; ckpt IO."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu import configs as C
+from tango_tpu.configs import TrainConfig
+from tango_tpu.models.diffusion import AudioDiffusion
+from tango_tpu.models.vae import AutoencoderKL
+from tango_tpu.train.sft import SFTTrainer
+
+TINY_UNET = C.UNetConfig(
+    in_channels=8, out_channels=8,
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    block_out_channels=(16, 32), layers_per_block=1,
+    cross_attention_dim=16, attention_head_dim=(2, 4), norm_num_groups=8,
+)
+TINY_VAE = C.VAEConfig(embed_dim=8, z_channels=8, ch=32, ch_mult=(1, 2), num_res_blocks=1)
+
+
+def make_trainer(tmp=False, **cfg_kw):
+    diffusion = AudioDiffusion(unet_config=TINY_UNET, latent_t_size=8, latent_f_size=4, snr_gamma=5.0)
+    vae = AutoencoderKL(TINY_VAE)
+    rng = jax.random.PRNGKey(0)
+    vae_params = vae.init(rng, jnp.zeros((1, 16, 8, 1)), rng)["params"]
+    cfg = TrainConfig(gradient_accumulation_steps=1, learning_rate=1e-3, **cfg_kw)
+    return SFTTrainer(diffusion, vae, vae_params, cfg, total_steps=50)
+
+
+def _batch(bs=4):
+    k = jax.random.PRNGKey(7)
+    return {
+        "fbank": jax.random.normal(k, (bs, 16, 8)) * 0.5,
+        "text_embeds": jax.random.normal(k, (bs, 4, 16)) * 0.1,
+        "text_mask": jnp.ones((bs, 4), jnp.int32),
+    }
+
+
+def test_train_loss_decreases():
+    trainer = make_trainer()
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    batch = _batch()
+    losses = []
+    rng = jax.random.PRNGKey(2)
+    for i in range(30):
+        # fixed rng per step group so the objective is learnable
+        state, loss = trainer.train_step(state, batch, jax.random.PRNGKey(i % 3))
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_grad_accumulation_steps_update_cadence():
+    trainer = make_trainer()
+    trainer.cfg = TrainConfig(gradient_accumulation_steps=2, learning_rate=1e-3)
+    trainer.tx = __import__("tango_tpu.train.sft", fromlist=["make_optimizer"]).make_optimizer(
+        trainer.cfg, total_steps=50
+    )
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, _ = trainer.train_step(state, _batch(), jax.random.PRNGKey(0))
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))  # accum step: no update
+    state, _ = trainer.train_step(state, _batch(), jax.random.PRNGKey(1))
+    p2 = jax.tree_util.tree_leaves(state.params)[0]
+    assert np.abs(np.asarray(p2) - np.asarray(p0)).max() > 0  # second step applies
+
+
+def test_fit_writes_best_checkpoint(tmp_path):
+    trainer = make_trainer()
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    batch = _batch()
+    out = str(tmp_path / "run")
+    trainer.fit(
+        state,
+        lambda: iter([batch, batch]),
+        lambda: iter([batch]),
+        jax.random.PRNGKey(3),
+        out,
+        num_epochs=2,
+    )
+    assert os.path.exists(os.path.join(out, "best", "manifest.json"))
+    assert os.path.exists(os.path.join(out, "summary.jsonl"))
+    from tango_tpu.utils.checkpoint import load_native
+
+    params, manifest = load_native(os.path.join(out, "best"))
+    assert "val_loss" in manifest
+    ref_leaves = jax.tree_util.tree_leaves(state.params)
+    got_leaves = jax.tree_util.tree_leaves(params)
+    assert len(ref_leaves) == len(got_leaves)
+
+
+def test_manifest_loader(tmp_path):
+    import json
+
+    from tango_tpu.audio.wav import write_wav
+    from tango_tpu.train.data import FeaturizedLoader, load_manifest
+
+    wavs = []
+    for i in range(5):
+        p = str(tmp_path / f"w{i}.wav")
+        t = np.linspace(0, 1, 16000, endpoint=False)
+        write_wav(p, (0.5 * np.sin(2 * np.pi * (200 + 100 * i) * t)).astype(np.float32))
+        wavs.append(p)
+    manifest = tmp_path / "train.json"
+    with open(manifest, "w") as f:
+        for p in wavs:
+            f.write(json.dumps({"dataset": "t", "location": p, "captions": f"tone {p}"}) + "\n")
+
+    examples = load_manifest(str(manifest))
+    assert len(examples) == 5
+    loader = FeaturizedLoader(examples, batch_size=2, target_length=64, augment_num=1)
+    batches = list(loader)
+    assert len(batches) == 2  # drop_last
+    assert batches[0]["fbank"].shape == (3, 64, 64)  # 2 + 1 mixed
+    assert len(batches[0]["captions"]) == 3
+    assert " and " in batches[0]["captions"][2]

@@ -1,0 +1,107 @@
+"""Diffusion-DPO preference alignment (Tango 2).
+
+Re-design of DPOAudioDiffusion (/root/reference/tango2/models.py:339-487),
+implementing Diffusion-DPO (arXiv 2311.12908): winner/loser latents are
+stacked (2B), share per-pair timesteps and noise (models.py:441-447), the
+trainable UNet and the frozen reference UNet each score both halves, and the
+preference loss is -logsigmoid(-0.5 * beta * (model_diff - ref_diff))
+(models.py:484-486).
+
+Pure-function design: `dpo_loss(params, ref_params, ...)` — the frozen
+reference UNet is just a second param tree through the same module, under
+stop_gradient, so the whole thing jits as one program (no second model copy,
+no no_grad context machinery).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tango_tpu.models.diffusion import AudioDiffusion
+
+
+@dataclasses.dataclass
+class DPOAudioDiffusion(AudioDiffusion):
+    beta_dpo: float = 2000.0
+
+    def dpo_loss(
+        self,
+        unet_params,
+        ref_unet_params,
+        latents_w: jnp.ndarray,
+        latents_l: jnp.ndarray,
+        text_embeds: jnp.ndarray,
+        text_mask: jnp.ndarray,
+        rng,
+        validation_mode: bool = False,
+    ) -> Tuple[jnp.ndarray, dict]:
+        """latents_w/l: (B, T, F, C) chosen/rejected. Returns (loss, metrics)."""
+        sched = self.noise_scheduler
+        n = sched.config.num_train_timesteps
+        bsz = latents_w.shape[0]
+        k_t, k_noise, k_uncond = jax.random.split(rng, 3)
+
+        latents = jnp.concatenate([latents_w, latents_l], axis=0).astype(jnp.float32)
+
+        if validation_mode:
+            # NOTE: reference uses t = num_train_timesteps here (models.py:441)
+            # which indexes one past the table; we clamp to the last valid t.
+            t_half = jnp.full((bsz,), n - 1, jnp.int32)
+        else:
+            t_half = jax.random.randint(k_t, (bsz,), 0, n)
+        timesteps = jnp.concatenate([t_half, t_half], axis=0)
+
+        # shared noise across the (w, l) pair (models.py:445)
+        noise_half = jax.random.normal(k_noise, latents_w.shape, jnp.float32)
+        noise = jnp.concatenate([noise_half, noise_half], axis=0)
+
+        noisy = sched.add_noise(latents, noise, timesteps)
+        p = sched.config.prediction_type
+        if p == "epsilon":
+            target = noise
+        elif p == "v_prediction":
+            target = sched.get_velocity(latents, noise, timesteps)
+        else:
+            raise ValueError(p)
+
+        embeds = jnp.concatenate([text_embeds, text_embeds], axis=0)
+        mask = jnp.concatenate([text_mask, text_mask], axis=0)
+        if self.uncondition and not validation_mode:
+            drop = jax.random.uniform(k_uncond, (bsz, 1, 1)) < 0.1
+            embeds = jnp.where(jnp.concatenate([drop, drop], 0), 0.0, embeds)
+
+        def per_sample_mse(params):
+            pred = self.unet.apply(
+                {"params": params}, noisy.astype(self.dtype), timesteps,
+                embeds, encoder_attention_mask=mask,
+            ).astype(jnp.float32)
+            err = (pred - target) ** 2
+            return err.mean(axis=tuple(range(1, err.ndim)))  # (2B,)
+
+        model_losses = per_sample_mse(unet_params)
+        model_w, model_l = jnp.split(model_losses, 2)
+        model_diff = model_w - model_l
+
+        ref_losses = jax.lax.stop_gradient(
+            per_sample_mse(jax.lax.stop_gradient(ref_unet_params))
+        )
+        ref_w, ref_l = jnp.split(ref_losses, 2)
+        ref_diff = ref_w - ref_l
+
+        inside = -0.5 * self.beta_dpo * (model_diff - ref_diff)
+        loss = -jax.nn.log_sigmoid(inside).mean()
+
+        metrics = {
+            "raw_model_loss": 0.5 * (model_w.mean() + model_l.mean()),
+            "raw_ref_loss": ref_losses.mean(),
+            "implicit_acc": (inside > 0).astype(jnp.float32).mean(),
+        }
+        return loss, metrics
+
+    def sft_loss(self, unet_params, latents, text_embeds, text_mask, rng, validation_mode=False):
+        """SFT-first phase (models.py:358-419 == base loss on stacked latents)."""
+        return self.loss(unet_params, latents, text_embeds, text_mask, rng, validation_mode)

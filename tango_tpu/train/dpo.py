@@ -1,0 +1,162 @@
+"""DPO trainer (Tango 2) — preference alignment on chosen/rejected audio pairs.
+
+Reference loop: /root/reference/tango2/tango2-train.py:291-670. Deltas vs SFT:
+both chosen & rejected wavs are featurized and VAE-encoded per step
+(:551-561), the frozen ref UNet is a copy of the starting UNet (:429-431),
+optional SFT-first epochs (:537,563-572). Recipe defaults: lr 9.6e-7,
+beta 2000, 5 epochs, 1 SFT epoch (README.md:155-166).
+
+TPU design mirrors sft.py: one jitted step over the mesh; the ref UNet params
+ride along as a donated-free constant input (replicated).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh
+
+from tango_tpu.configs import DPOConfig, TrainConfig
+from tango_tpu.models.dpo import DPOAudioDiffusion
+from tango_tpu.models.vae import AutoencoderKL
+from tango_tpu.parallel import mesh as pmesh
+from tango_tpu.train.sft import TrainState
+from tango_tpu.utils import checkpoint as ckpt_io
+
+
+class DPOTrainer:
+    def __init__(
+        self,
+        diffusion: DPOAudioDiffusion,
+        vae: AutoencoderKL,
+        vae_params,
+        config: DPOConfig,
+        total_steps: int,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.diffusion = diffusion
+        self.vae = vae
+        self.vae_params = vae_params
+        self.cfg = config
+        self.mesh = mesh
+        tx = optax.adamw(
+            learning_rate=config.learning_rate,
+            b1=config.adam_beta1,
+            b2=config.adam_beta2,
+            eps=config.adam_epsilon,
+            weight_decay=config.weight_decay,
+        )
+        if config.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)
+        self.tx = tx
+        self._dpo_step = None
+        self._sft_step = None
+
+    def init_state(self, unet_params) -> TrainState:
+        """Start from SFT'd params (ref copy is taken by the caller)."""
+        if self.mesh is not None:
+            unet_params = pmesh.shard_params(unet_params, self.mesh)
+        return TrainState(unet_params, self.tx.init(unet_params), jnp.zeros((), jnp.int32))
+
+    def _encode(self, fbank, rng):
+        mel = fbank[..., None]
+        return jax.lax.stop_gradient(
+            self.vae.apply({"params": self.vae_params}, mel, rng, method=self.vae.encode_first_stage)
+        )
+
+    def dpo_step(self, state: TrainState, ref_params, batch, rng):
+        """batch: {fbank_w, fbank_l (B,T,M), text_embeds, text_mask}."""
+        if self._dpo_step is None:
+
+            def impl(state, ref_params, batch, rng):
+                k_w, k_l, k_loss = jax.random.split(rng, 3)
+                lat_w = self._encode(batch["fbank_w"], k_w)
+                lat_l = self._encode(batch["fbank_l"], k_l)
+
+                def loss_fn(params):
+                    loss, metrics = self.diffusion.dpo_loss(
+                        params, ref_params, lat_w, lat_l,
+                        batch["text_embeds"], batch["text_mask"], k_loss,
+                    )
+                    return loss, metrics
+
+                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(params, opt_state, state.step + 1), loss, metrics
+
+            self._dpo_step = jax.jit(impl, donate_argnums=(0,))
+        return self._dpo_step(state, ref_params, batch, rng)
+
+    def sft_step(self, state: TrainState, batch, rng):
+        """SFT-first phase on stacked (w, l) latents (tango2-train.py:563-572)."""
+        if self._sft_step is None:
+
+            def impl(state, batch, rng):
+                k_w, k_l, k_loss = jax.random.split(rng, 3)
+                lat = jnp.concatenate(
+                    [self._encode(batch["fbank_w"], k_w), self._encode(batch["fbank_l"], k_l)], 0
+                )
+                emb = jnp.concatenate([batch["text_embeds"]] * 2, 0)
+                msk = jnp.concatenate([batch["text_mask"]] * 2, 0)
+
+                def loss_fn(params):
+                    return self.diffusion.sft_loss(params, lat, emb, msk, k_loss)
+
+                loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(params, opt_state, state.step + 1), loss
+
+            self._sft_step = jax.jit(impl, donate_argnums=(0,))
+        return self._sft_step(state, batch, rng)
+
+    def fit(
+        self,
+        state: TrainState,
+        ref_params,
+        train_batches: Callable[[], Iterable[dict]],
+        rng,
+        output_dir: str,
+        num_epochs: Optional[int] = None,
+        log_fn: Callable[[dict], None] = lambda d: None,
+    ) -> TrainState:
+        os.makedirs(output_dir, exist_ok=True)
+        num_epochs = num_epochs or self.cfg.num_train_epochs
+        for epoch in range(num_epochs):
+            t0, total, count = time.time(), 0.0, 0
+            accs = []
+            sft_phase = epoch < self.cfg.sft_first_epochs
+            for batch in train_batches():
+                rng, sub = jax.random.split(rng)
+                if sft_phase:
+                    state, loss = self.sft_step(state, batch, sub)
+                else:
+                    state, loss, metrics = self.dpo_step(state, ref_params, batch, sub)
+                    accs.append(float(metrics["implicit_acc"]))
+                total += float(loss)
+                count += 1
+            rec = {
+                "epoch": epoch,
+                "phase": "sft" if sft_phase else "dpo",
+                "loss": total / max(count, 1),
+                "implicit_acc": float(np.mean(accs)) if accs else None,
+                "time_s": round(time.time() - t0, 2),
+            }
+            log_fn(rec)
+            with open(os.path.join(output_dir, "summary.jsonl"), "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            ckpt_io.save_native(
+                os.path.join(output_dir, f"epoch_{epoch}"),
+                jax.device_get(state.params),
+                manifest=rec,
+            )
+        return state

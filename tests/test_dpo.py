@@ -1,0 +1,72 @@
+"""DPO loss semantics + trainer step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu import configs as C
+from tango_tpu.configs import DPOConfig
+from tango_tpu.models.dpo import DPOAudioDiffusion
+from tango_tpu.models.vae import AutoencoderKL
+from tango_tpu.train.dpo import DPOTrainer
+from tests.test_train import TINY_UNET, TINY_VAE
+
+
+def make_dpo(**kw):
+    return DPOAudioDiffusion(
+        unet_config=TINY_UNET, latent_t_size=8, latent_f_size=4, beta_dpo=2000.0, **kw
+    )
+
+
+def test_dpo_loss_identical_pair_is_log2():
+    """w == l and ref == model -> inside_term = 0 -> loss = -log(sigmoid(0)) = log 2."""
+    diff = make_dpo()
+    params = diff.init_params(jax.random.PRNGKey(0))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 4, 8))
+    emb = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 16))
+    msk = jnp.ones((2, 5), jnp.int32)
+    loss, metrics = diff.dpo_loss(params, params, lat, lat, emb, msk, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(float(loss), float(np.log(2.0)), rtol=1e-5)
+
+
+def test_dpo_loss_prefers_winner_direction():
+    """If the model scores w better than ref does (relative to l), loss < log2."""
+    diff = make_dpo()
+    params = diff.init_params(jax.random.PRNGKey(0))
+    ref = diff.init_params(jax.random.PRNGKey(9))  # different ref -> nonzero diff
+    lat_w = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 4, 8))
+    lat_l = jax.random.normal(jax.random.PRNGKey(2), (4, 8, 4, 8))
+    emb = jax.random.normal(jax.random.PRNGKey(3), (4, 5, 16))
+    msk = jnp.ones((4, 5), jnp.int32)
+    loss, metrics = diff.dpo_loss(params, ref, lat_w, lat_l, emb, msk, jax.random.PRNGKey(4))
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(metrics["implicit_acc"]) <= 1.0
+    # gradient flows to model params but loss is finite w.r.t. ref (stopped)
+    g = jax.grad(lambda p: diff.dpo_loss(p, ref, lat_w, lat_l, emb, msk, jax.random.PRNGKey(4))[0])(params)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in jax.tree_util.tree_leaves(g))
+
+
+def test_dpo_trainer_steps():
+    diff = make_dpo()
+    vae = AutoencoderKL(TINY_VAE)
+    rng = jax.random.PRNGKey(0)
+    vae_params = vae.init(rng, jnp.zeros((1, 16, 8, 1)), rng)["params"]
+    trainer = DPOTrainer(
+        diff, vae, vae_params,
+        DPOConfig(gradient_accumulation_steps=1, learning_rate=1e-4, sft_first_epochs=1),
+        total_steps=4,
+    )
+    params0 = diff.init_params(jax.random.PRNGKey(1))
+    state = trainer.init_state(params0)
+    ref_params = jax.tree_util.tree_map(lambda x: x.copy(), params0)
+    batch = {
+        "fbank_w": jax.random.normal(rng, (2, 16, 8)) * 0.5,
+        "fbank_l": jax.random.normal(jax.random.PRNGKey(5), (2, 16, 8)) * 0.5,
+        "text_embeds": jax.random.normal(rng, (2, 4, 16)) * 0.1,
+        "text_mask": jnp.ones((2, 4), jnp.int32),
+    }
+    state, sft_loss = trainer.sft_step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(sft_loss))
+    state, dpo_loss, metrics = trainer.dpo_step(state, ref_params, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(dpo_loss))
+    assert np.isfinite(float(metrics["raw_model_loss"]))

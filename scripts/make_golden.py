@@ -444,11 +444,97 @@ def make_sampling_golden():
     print("sampling_tiny:", lat.shape, float(lat.abs().mean()))
 
 
+def make_music_golden():
+    """Tiny UNet2DConditionModelMusic (triple cross-attention) + music
+    embedding layers golden from the reference mustango code."""
+    import types
+    # layers.py imports matplotlib/yaml; stub if missing
+    for mod in ("matplotlib", "matplotlib.pyplot", "yaml"):
+        if mod not in sys.modules:
+            try:
+                __import__(mod)
+            except ImportError:
+                sys.modules[mod] = types.ModuleType(mod)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_music_layers", f"{REF}/mustango/layers/layers.py"
+    )
+    ml = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ml)
+
+    torch.manual_seed(21)
+    d = 32
+    FME = ml.Fundamental_Music_Embedding(d_model=d, base=1, if_trainable=False,
+                                          translation_bias_type="nd")
+    PE = ml.Music_PositionalEncoding(d_model=d, if_index=True,
+                                     if_global_timing=True, if_modulo_timing=False,
+                                     device="cpu")
+    beat_layer = ml.Beat_Embedding(PE, d_model=d, d_oh_beat_type=7)
+    chord_layer = ml.Chord_Embedding(FME, PE, d_model=d, d_oh_type=12, d_oh_inv=4)
+
+    beats = torch.tensor([[2, 3, 4, 5, 0]])
+    beat_times = torch.tensor([[0.5, 1.0, 1.5, 2.0, 2.0]])
+    roots = torch.tensor([[12, 9, 2, 0, 0]])
+    ctypes = torch.tensor([[4, 2, 9, 0, 0]])
+    cinvs = torch.tensor([[3, 3, 2, 0, 0]])
+    ctimes = torch.tensor([[0.46, 1.39, 3.16, 3.16, 3.16]])
+    with torch.no_grad():
+        beat_emb = beat_layer(beats, beat_times, "cpu")
+        chord_emb = chord_layer(roots, ctypes, cinvs, ctimes, "cpu")
+
+    # tiny music UNet
+    from diffusers import UNet2DConditionModelMusic
+
+    unet = UNet2DConditionModelMusic(
+        sample_size=(16, 4), in_channels=8, out_channels=8,
+        down_block_types=("CrossAttnDownBlock2DMusic", "DownBlock2D"),
+        mid_block_type="UNetMidBlock2DCrossAttnMusic",
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2DMusic"),
+        block_out_channels=(32, 64), layers_per_block=1,
+        cross_attention_dim=d, attention_head_dim=(2, 4),
+        use_linear_projection=True, upcast_attention=True, norm_num_groups=8)
+    unet.eval()
+    x = torch.randn(2, 8, 16, 4)
+    t = torch.tensor([10, 700])
+    text = torch.randn(2, 7, d)
+    beat_f = beat_emb.repeat(2, 1, 1)
+    chord_f = chord_emb.repeat(2, 1, 1)
+    tmask = torch.tensor([[1]*7, [1]*4 + [0]*3]).bool()
+    bmask = torch.tensor([[1, 1, 1, 1, 0]] * 2).bool()
+    cmask = torch.tensor([[1, 1, 1, 0, 0]] * 2).bool()
+    with torch.no_grad():
+        out = unet(x, t, text, beat_f, chord_f,
+                   encoder_attention_mask=tmask,
+                   beat_attention_mask=bmask,
+                   chord_attention_mask=cmask).sample
+    music_sd = {
+        "FME.translation_bias": FME.translation_bias.detach(),
+        "beat_embedding_layer.beat_ffn.weight": beat_layer.beat_ffn.weight.detach(),
+        "beat_embedding_layer.beat_ffn.bias": beat_layer.beat_ffn.bias.detach(),
+        "chord_embedding_layer.chord_ffn.weight": chord_layer.chord_ffn.weight.detach(),
+        "chord_embedding_layer.chord_ffn.bias": chord_layer.chord_ffn.bias.detach(),
+    }
+    np.savez(
+        OUT / "music_tiny.npz",
+        beats=beats.numpy(), beat_times=beat_times.numpy(),
+        roots=roots.numpy(), ctypes=ctypes.numpy(), cinvs=cinvs.numpy(),
+        ctimes=ctimes.numpy(),
+        beat_emb=beat_emb.numpy(), chord_emb=chord_emb.numpy(),
+        x=x.numpy(), t=t.numpy(), text=text.numpy(),
+        tmask=tmask.numpy(), bmask=bmask.numpy(), cmask=cmask.numpy(),
+        out=out.numpy(),
+        **{f"music::{k}": v.float().numpy() for k, v in music_sd.items()},
+        **state_to_numpy(unet.state_dict()),
+    )
+    print("music_tiny:", out.shape, float(out.abs().mean()))
+
+
 if __name__ == "__main__":
     import sys as _sys
     only = _sys.argv[1:] if len(_sys.argv) > 1 else None
     for fn in [make_scheduler_golden, make_unet_golden, make_vae_golden,
-               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden]:
+               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden]:
         name = fn.__name__.replace("make_", "").replace("_golden", "")
         if only is None or name in only:
             fn()

@@ -94,8 +94,26 @@ class UNetConfig(_FromDict):
     extra_cond_dims: Tuple[int, ...] = ()
 
     def __post_init__(self):
-        object.__setattr__(self, "down_block_types", _tup(self.down_block_types))
-        object.__setattr__(self, "up_block_types", _tup(self.up_block_types))
+        down = _tup(self.down_block_types)
+        up = _tup(self.up_block_types)
+        mid = self.mid_block_type
+        # Mustango config files name triple-cross-attention blocks with a
+        # "Music" suffix (music_diffusion_model_config.json:20-44); in
+        # tango_tpu they are the SAME generalized blocks with 2 extra
+        # conditioning streams (beats + chords).
+        if any("Music" in b for b in down + up) or (mid and "Music" in mid):
+            down = tuple(b.replace("Music", "") for b in down)
+            up = tuple(b.replace("Music", "") for b in up)
+            mid = mid.replace("Music", "") if mid else mid
+            if self.extra_cond_streams == 0:
+                object.__setattr__(self, "extra_cond_streams", 2)
+                object.__setattr__(
+                    self, "extra_cond_dims",
+                    (self.cross_attention_dim, self.cross_attention_dim),
+                )
+        object.__setattr__(self, "down_block_types", down)
+        object.__setattr__(self, "up_block_types", up)
+        object.__setattr__(self, "mid_block_type", mid)
         object.__setattr__(self, "block_out_channels", _tup(self.block_out_channels))
         object.__setattr__(self, "extra_cond_dims", _tup(self.extra_cond_dims) if self.extra_cond_dims else ())
         if isinstance(self.attention_head_dim, (list, tuple)):

@@ -1,0 +1,273 @@
+"""Mustango — music-conditioned text-to-audio (beat & chord conditioning).
+
+Re-design of the reference Mustango stack:
+  * host-side beat/chord tokenizers (mustango/layers/layers.py:141-237) —
+    stringly chord parsing ("Gm7/Bb" -> root/type/inversion) and beat-type
+    vocab, padded to fixed lengths (beat_len 50, chord_len 20 —
+    mustango/models.py:330-339)
+  * Fundamental_Music_Embedding (layers.py:9-63): sin/cos of scalar values at
+    geometric angle rates with a trainable nd translation bias
+  * Beat_Embedding (layers.py:290-307): one-hot beat type ++ global-time FME
+    -> Linear
+  * Chord_Embedding (layers.py:257-287): FME(root) ++ one-hot type ++ one-hot
+    inversion ++ global-time FME -> Linear
+  * MusicAudioDiffusion (mustango/models.py:312-740): AudioDiffusion whose
+    UNet has THREE cross-attention streams (text, beats, chords — the music
+    blocks run three sequential Transformer2DModels,
+    unet_2d_blocks.py:1194-1260); CFG zeroes all three conditions.
+
+The triple-stream UNet is models/unet.py with extra_cond_streams=2 — no
+separate music UNet class is needed (torch keys attentions2/attentions3 map
+to the _extra{1,2} stream parameters in utils/convert.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu.models.diffusion import AudioDiffusion
+
+
+# ------------------------------------------------------- host-side tokenizers
+
+PITCH_DICT = {
+    "pad": 0, "None": 1, "N": 1, "A": 2, "A#": 3, "Bb": 3, "B": 4, "Cb": 4,
+    "B#": 5, "C": 5, "C#": 6, "Db": 6, "D": 7, "D#": 8, "Eb": 8, "E": 9,
+    "Fb": 9, "E#": 10, "F": 10, "F#": 11, "Gb": 11, "G": 12, "G#": 13, "Ab": 13,
+}
+CHORD_TYPE_DICT = {
+    "pad": 0, "None": 1, "N": 1, "maj": 2, "maj7": 3, "m": 4, "m6": 5,
+    "m7": 6, "m7b5": 7, "6": 8, "7": 9, "aug": 10, "dim": 11,
+}
+CHORD_INV_DICT = {"pad": 0, "None": 1, "N": 1, "inv": 2, "no_inv": 3}
+BEAT_DICT = {"pad": 0, "None": 1, 1.0: 2, 2.0: 3, 3.0: 4, 4.0: 5, 5.0: 6, 6.0: 7, 7.0: 8}
+
+
+def parse_chord(chord: str) -> Tuple[str, str, str]:
+    """"Gm7/Bb" -> (root, type, inversion) (layers.py:166-193)."""
+    if chord == "pad":
+        return "pad", "pad", "pad"
+    if chord == "N":
+        return "N", "N", "N"
+    inv = "inv" if len(chord.split("/")) > 1 else "no_inv"
+    body = chord.split("/")[0]
+    if len(body) > 1 and body[1] in "#b":
+        root = body[:2]
+    else:
+        root = body[0]
+    ctype = body[len(root):] if len(body) > len(root) else "maj"
+    return root, ctype, inv
+
+
+def tokenize_chords(
+    chords: Sequence[str], chord_times: Sequence[float], seq_len: int = 20
+):
+    """One sample -> (root, type, inv, time, mask) padded lists (layers.py:141-214)."""
+    chords = list(chords)
+    chord_times = list(chord_times)
+    if len(chords) == 0:
+        chords, chord_times = ["N"], [0.0]
+    chords = chords[:seq_len]
+    chord_times = chord_times[:seq_len]
+    pad = seq_len - len(chords)
+    mask = [1] * len(chords) + [0] * pad
+    chords = chords + ["pad"] * pad
+    chord_times = chord_times + [chord_times[-1]] * pad
+    roots, types, invs = [], [], []
+    for ch in chords:
+        r, t, i = parse_chord(ch)
+        roots.append(PITCH_DICT[r])
+        types.append(CHORD_TYPE_DICT[t])
+        invs.append(CHORD_INV_DICT[i])
+    return roots, types, invs, chord_times, mask
+
+
+def tokenize_beats(beats, seq_len: int = 50):
+    """One sample [[times], [types]] -> (type_ids, times, mask) (layers.py:216-237)."""
+    times, types = list(beats[0]), list(beats[1])
+    if len(times) == 0:
+        return [0] * seq_len, [0.0] * seq_len, [0] * seq_len
+    times, types = times[:seq_len], types[:seq_len]
+    pad = seq_len - len(times)
+    mask = [1] * len(times) + [0] * pad
+    times = times + [times[-1]] * pad
+    type_ids = [BEAT_DICT[float(x)] for x in types] + [0] * pad
+    return type_ids, times, mask
+
+
+def batch_tokenize_beats(batch_beats, seq_len: int = 50):
+    ids, times, masks = [], [], []
+    for b in batch_beats:
+        i, t, m = tokenize_beats(b, seq_len)
+        ids.append(i), times.append(t), masks.append(m)
+    return np.asarray(ids), np.asarray(times, np.float32), np.asarray(masks)
+
+
+def batch_tokenize_chords(batch_chords, batch_times, seq_len: int = 20):
+    roots, types, invs, times, masks = [], [], [], [], []
+    for c, t in zip(batch_chords, batch_times):
+        r, ty, iv, tt, m = tokenize_chords(c, t, seq_len)
+        roots.append(r), types.append(ty), invs.append(iv), times.append(tt), masks.append(m)
+    return (
+        np.asarray(roots), np.asarray(types), np.asarray(invs),
+        np.asarray(times, np.float32), np.asarray(masks),
+    )
+
+
+# ------------------------------------------------------------- device modules
+
+def fme_encode(values: jnp.ndarray, d_model: int, base: float) -> jnp.ndarray:
+    """Fundamental Music Embedding without bias (layers.py:29-54).
+
+    values (B, L) -> (B, L, d): sin at even dims, cos at odd dims of
+    value * angle_rate_i, angle_rate_i = base^(-2*(i//2)/d).
+    """
+    i = np.arange(d_model)
+    rates = 1.0 / np.power(base, (2 * (i // 2)) / d_model)
+    ang = values[..., None].astype(jnp.float32) * jnp.asarray(rates, jnp.float32)
+    even = jnp.sin(ang[..., 0::2])
+    odd = jnp.cos(ang[..., 1::2])
+    out = jnp.zeros(ang.shape, jnp.float32)
+    out = out.at[..., 0::2].set(even)
+    out = out.at[..., 1::2].set(odd)
+    return out
+
+
+class MusicConditioner(nn.Module):
+    """Beat + chord embedders (trainable parts: FME translation bias, ffns)."""
+
+    d_model: int = 1024
+    fme_base: float = 1.0
+    time_base: float = 10001.0
+    d_oh_beat_type: int = 7
+    d_oh_chord_type: int = 12
+    d_oh_inv: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def embed_beats(self, beat_ids, beat_times):
+        """(B, L) ids + times -> (B, L, d) (layers.py:290-307)."""
+        oh = jax.nn.one_hot(beat_ids, self.d_oh_beat_type, dtype=jnp.float32)
+        time_emb = fme_encode(beat_times, self.d_model, self.time_base)
+        merged = jnp.concatenate([oh, time_emb], axis=-1).astype(self.dtype)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="beat_ffn")(merged)
+
+    @nn.compact
+    def embed_chords(self, roots, types, invs, times):
+        """(B, L) token arrays -> (B, L, d) (layers.py:257-287)."""
+        bias = self.param(
+            "fme_translation_bias", nn.initializers.uniform(1.0), (1, self.d_model)
+        )
+        root_emb = fme_encode(roots.astype(jnp.float32), self.d_model, self.fme_base) + bias
+        type_oh = jax.nn.one_hot(types, self.d_oh_chord_type, dtype=jnp.float32)
+        inv_oh = jax.nn.one_hot(invs, self.d_oh_inv, dtype=jnp.float32)
+        time_emb = fme_encode(times, self.d_model, self.time_base)
+        merged = jnp.concatenate([root_emb, type_oh, inv_oh, time_emb], axis=-1).astype(self.dtype)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="chord_ffn")(merged)
+
+    def __call__(self, beat_ids, beat_times, roots, types, invs, chord_times):
+        return (
+            self.embed_beats(beat_ids, beat_times),
+            self.embed_chords(roots, types, invs, chord_times),
+        )
+
+
+@dataclasses.dataclass
+class MusicAudioDiffusion(AudioDiffusion):
+    """AudioDiffusion + beat/chord conditioning streams.
+
+    unet_config must have extra_cond_streams=2, extra_cond_dims=(d, d).
+    """
+
+    beat_len: int = 50
+    chord_len: int = 20
+    d_music: int = 1024
+
+    def __post_init__(self):
+        super().__post_init__()
+        assert self.unet_config.extra_cond_streams == 2, "music UNet needs 2 extra streams"
+        self.conditioner = MusicConditioner(d_model=self.d_music, dtype=self.dtype)
+
+    def init_conditioner_params(self, rng):
+        return self.conditioner.init(
+            rng,
+            jnp.zeros((1, self.beat_len), jnp.int32),
+            jnp.zeros((1, self.beat_len), jnp.float32),
+            jnp.zeros((1, self.chord_len), jnp.int32),
+            jnp.zeros((1, self.chord_len), jnp.int32),
+            jnp.zeros((1, self.chord_len), jnp.int32),
+            jnp.zeros((1, self.chord_len), jnp.float32),
+        )["params"]
+
+    def encode_music(self, cond_params, beats, chords, chords_time):
+        """Host tokenize + device embed -> (beat_emb, beat_mask, chord_emb, chord_mask).
+
+        (mustango/models.py:433-465)"""
+        b_ids, b_times, b_mask = batch_tokenize_beats(beats, self.beat_len)
+        c_roots, c_types, c_invs, c_times, c_mask = batch_tokenize_chords(
+            chords, chords_time, self.chord_len
+        )
+        beat_emb, chord_emb = self.conditioner.apply(
+            {"params": cond_params},
+            jnp.asarray(b_ids), jnp.asarray(b_times),
+            jnp.asarray(c_roots), jnp.asarray(c_types), jnp.asarray(c_invs),
+            jnp.asarray(c_times),
+        )
+        return beat_emb, jnp.asarray(b_mask), chord_emb, jnp.asarray(c_mask)
+
+    def music_loss(
+        self, unet_params, cond_params, latents, text_embeds, text_mask, rng,
+        beat_emb, beat_mask, chord_emb, chord_mask, validation_mode=False,
+    ):
+        """Training loss with music streams (mustango/models.py:469-537)."""
+        return self.loss(
+            unet_params, latents, text_embeds, text_mask, rng,
+            validation_mode=validation_mode,
+            extra_contexts=(beat_emb, chord_emb),
+            extra_masks=(beat_mask, chord_mask),
+        )
+
+    def music_sample(
+        self, unet_params, cond_embeds, cond_mask, rng,
+        beat_emb, beat_mask, chord_emb, chord_mask,
+        num_steps=200, guidance_scale=3.0,
+        uncond_embeds=None, uncond_mask=None,
+    ):
+        """CFG sampling: unconditional half zeroes text AND music conditions
+        (mustango/models.py:650-740)."""
+        uncond_extras = (jnp.zeros_like(beat_emb), jnp.zeros_like(chord_emb))
+        return self.sample(
+            unet_params, cond_embeds, cond_mask, rng,
+            num_steps=num_steps, guidance_scale=guidance_scale,
+            uncond_embeds=uncond_embeds, uncond_mask=uncond_mask,
+            extra_contexts=(beat_emb, chord_emb),
+            extra_masks=(beat_mask, chord_mask),
+            uncond_extra_contexts=uncond_extras,
+        )
+
+
+def convert_music_conditioner(sd) -> dict:
+    """Torch Mustango main-ckpt music layers -> MusicConditioner params.
+
+    Keys: FME.translation_bias, beat_embedding_layer.beat_ffn.{weight,bias},
+    chord_embedding_layer.chord_ffn.{weight,bias} (mustango/models.py:399-403).
+    """
+    import numpy as np
+
+    return {
+        "fme_translation_bias": np.asarray(sd["FME.translation_bias"]),
+        "beat_ffn": {
+            "kernel": np.asarray(sd["beat_embedding_layer.beat_ffn.weight"]).T,
+            "bias": np.asarray(sd["beat_embedding_layer.beat_ffn.bias"]),
+        },
+        "chord_ffn": {
+            "kernel": np.asarray(sd["chord_embedding_layer.chord_ffn.weight"]).T,
+            "bias": np.asarray(sd["chord_embedding_layer.chord_ffn.bias"]),
+        },
+    }

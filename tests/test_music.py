@@ -1,0 +1,115 @@
+"""Mustango: music embeddings + triple-cross-attention UNet parity, tokenizers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.conftest import load_golden
+from tests.test_models_parity import nchw_to_nhwc, nhwc_to_nchw
+from tango_tpu import configs as C
+from tango_tpu.models.music import (
+    MusicAudioDiffusion,
+    MusicConditioner,
+    batch_tokenize_beats,
+    batch_tokenize_chords,
+    convert_music_conditioner,
+    parse_chord,
+    tokenize_chords,
+)
+from tango_tpu.models.unet import UNet2DConditionModel
+from tango_tpu.utils.convert import convert_unet
+
+TINY_MUSIC_UNET = C.UNetConfig(
+    in_channels=8,
+    out_channels=8,
+    down_block_types=("CrossAttnDownBlock2DMusic", "DownBlock2D"),
+    mid_block_type="UNetMidBlock2DCrossAttnMusic",
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2DMusic"),
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    cross_attention_dim=32,
+    attention_head_dim=(2, 4),
+    norm_num_groups=8,
+)
+
+
+def test_music_config_normalization():
+    assert TINY_MUSIC_UNET.extra_cond_streams == 2
+    assert TINY_MUSIC_UNET.down_block_types == ("CrossAttnDownBlock2D", "DownBlock2D")
+    assert TINY_MUSIC_UNET.mid_block_type == "UNetMidBlock2DCrossAttn"
+
+
+def test_chord_parsing():
+    assert parse_chord("Gm7/Bb") == ("G", "m7", "inv")
+    assert parse_chord("Eb") == ("Eb", "maj", "no_inv")
+    assert parse_chord("F#dim") == ("F#", "dim", "no_inv")
+    assert parse_chord("N") == ("N", "N", "N")
+    roots, types, invs, times, mask = tokenize_chords(["Gm", "Eb"], [0.4, 1.2], seq_len=4)
+    assert roots == [12, 8, 0, 0] and types == [4, 2, 0, 0]
+    assert invs == [3, 3, 0, 0] and mask == [1, 1, 0, 0]
+    assert times == [0.4, 1.2, 1.2, 1.2]
+
+
+def test_music_embedding_parity():
+    g = load_golden("music_tiny")
+    params = convert_music_conditioner({k[7:]: g[k] for k in g.files if k.startswith("music::")})
+    cond = MusicConditioner(d_model=32)
+    beat_emb, chord_emb = cond.apply(
+        {"params": params},
+        jnp.asarray(g["beats"]), jnp.asarray(g["beat_times"]),
+        jnp.asarray(g["roots"]), jnp.asarray(g["ctypes"]), jnp.asarray(g["cinvs"]),
+        jnp.asarray(g["ctimes"]),
+    )
+    np.testing.assert_allclose(np.asarray(beat_emb), g["beat_emb"], atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(chord_emb), g["chord_emb"], atol=1e-5, rtol=1e-4)
+
+
+def test_music_unet_parity():
+    g = load_golden("music_tiny")
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_unet(sd)
+    unet = UNet2DConditionModel(TINY_MUSIC_UNET)
+    out = unet.apply(
+        {"params": params},
+        nchw_to_nhwc(g["x"]),
+        g["t"],
+        [jnp.asarray(g["text"]), jnp.asarray(g["beat_emb"]).repeat(2, 0), jnp.asarray(g["chord_emb"]).repeat(2, 0)],
+        encoder_attention_mask=[jnp.asarray(g["tmask"]), jnp.asarray(g["bmask"]), jnp.asarray(g["cmask"])],
+    )
+    np.testing.assert_allclose(nhwc_to_nchw(np.asarray(out)), g["out"], atol=3e-4, rtol=1e-3)
+
+
+def test_music_diffusion_loss_and_sample():
+    diff = MusicAudioDiffusion(
+        unet_config=TINY_MUSIC_UNET, latent_t_size=8, latent_f_size=4,
+        d_music=32, beat_len=6, chord_len=4,
+    )
+    rng = jax.random.PRNGKey(0)
+    unet_params = diff.init_params(rng)
+    cond_params = diff.init_conditioner_params(rng)
+
+    beats = [[[0.5, 1.0, 1.5], [1.0, 2.0, 3.0]], [[], []]]
+    chords = [["Gm", "Eb"], []]
+    chords_time = [[0.4, 1.2], []]
+    beat_emb, beat_mask, chord_emb, chord_mask = diff.encode_music(
+        cond_params, beats, chords, chords_time
+    )
+    assert beat_emb.shape == (2, 6, 32) and chord_emb.shape == (2, 4, 32)
+
+    text = jax.random.normal(rng, (2, 5, 32))
+    tmask = jnp.ones((2, 5), jnp.int32)
+    lat = jax.random.normal(rng, (2, 8, 4, 8))
+    loss = diff.music_loss(
+        unet_params, cond_params, lat, text, tmask, jax.random.PRNGKey(1),
+        beat_emb, beat_mask, chord_emb, chord_mask,
+    )
+    assert np.isfinite(float(loss))
+
+    out = diff.music_sample(
+        unet_params, text, tmask, jax.random.PRNGKey(2),
+        beat_emb, beat_mask, chord_emb, chord_mask,
+        num_steps=2, guidance_scale=3.0,
+        uncond_embeds=jnp.zeros_like(text), uncond_mask=tmask,
+    )
+    assert out.shape == (2, 8, 4, 8)
+    assert np.isfinite(np.asarray(out)).all()

@@ -10,6 +10,7 @@ JAX models reproduce the torch outputs. No reference code is copied into the
 repo — only numeric fixtures.
 """
 
+import os
 import pathlib
 import sys
 
@@ -530,11 +531,139 @@ def make_music_golden():
     print("music_tiny:", out.shape, float(out.abs().mean()))
 
 
+def make_metrics_golden():
+    """Reference metric functions on random features."""
+    import importlib.util
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(
+            f"ref_metric_{name}", f"{REF}/audioldm_eval/metrics/{name}.py")
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        return m
+
+    kl_m, isc_m, fid_m, kid_m = load("kl"), load("isc"), load("fid"), load("kid")
+    rng = np.random.RandomState(0)
+    n = 24
+    f1 = {
+        "2048": torch.tensor(rng.randn(n, 32).astype(np.float32)),
+        "logits": torch.tensor(rng.randn(n, 10).astype(np.float32)),
+        "file_path_": [f"/a/x{i}.wav" for i in range(n)],
+    }
+    f2 = {
+        "2048": torch.tensor(rng.randn(n, 32).astype(np.float32) + 0.3),
+        "logits": torch.tensor(rng.randn(n, 10).astype(np.float32) * 1.2),
+        "file_path_": [f"/b/x{i}.wav" for i in range(n)],
+    }
+    kl, _, _ = kl_m.calculate_kl(f1, f2, "logits", True)
+    isc = isc_m.calculate_isc(f1, feat_layer_name="logits", rng_seed=2020,
+                              samples_shuffle=True, splits=4)
+    fid = fid_m.calculate_fid(f1, f2, feat_layer_name="2048")
+    kid = kid_m.calculate_kid(f1, f2, feat_layer_name="2048", subsets=10,
+                              subset_size=12, degree=3, gamma=None, coef0=1,
+                              rng_seed=2020)
+    np.savez(
+        OUT / "metrics.npz",
+        f1_2048=f1["2048"].numpy(), f1_logits=f1["logits"].numpy(),
+        f2_2048=f2["2048"].numpy(), f2_logits=f2["logits"].numpy(),
+        kl_sigmoid=kl["kullback_leibler_divergence_sigmoid"],
+        kl_softmax=kl["kullback_leibler_divergence_softmax"],
+        isc_mean=isc["inception_score_mean"], isc_std=isc["inception_score_std"],
+        fid=fid["frechet_distance"],
+        kid_mean=kid["kernel_inception_distance_mean"],
+        kid_std=kid["kernel_inception_distance_std"],
+    )
+    print("metrics golden ok")
+
+
+def make_cnn14_golden():
+    """Reference Cnn14 trunk on an injected log-mel (torchlibrosa stubbed)."""
+    import types
+
+    tl = types.ModuleType("torchlibrosa")
+    tl_stft = types.ModuleType("torchlibrosa.stft")
+    tl_aug = types.ModuleType("torchlibrosa.augmentation")
+
+    class _Identity(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+        def forward(self, x):
+            return x
+
+    tl_stft.Spectrogram = _Identity
+    tl_stft.LogmelFilterBank = _Identity
+    tl_aug.SpecAugmentation = _Identity
+    sys.modules["torchlibrosa"] = tl
+    sys.modules["torchlibrosa.stft"] = tl_stft
+    sys.modules["torchlibrosa.augmentation"] = tl_aug
+
+    # panns models.py also imports pytorch_utils from its package; load both
+    import importlib.util
+
+    pkg = types.ModuleType("audioldm_eval")
+    fe = types.ModuleType("audioldm_eval.feature_extractors")
+    pa = types.ModuleType("audioldm_eval.feature_extractors.panns")
+    sys.modules.setdefault("audioldm_eval", pkg)
+    sys.modules["audioldm_eval.feature_extractors"] = fe
+    sys.modules["audioldm_eval.feature_extractors.panns"] = pa
+    spec_u = importlib.util.spec_from_file_location(
+        "audioldm_eval.feature_extractors.panns.pytorch_utils",
+        f"{REF}/audioldm_eval/feature_extractors/panns/pytorch_utils.py")
+    pu = importlib.util.module_from_spec(spec_u)
+    sys.modules["audioldm_eval.feature_extractors.panns.pytorch_utils"] = pu
+    spec_u.loader.exec_module(pu)
+    spec_m = importlib.util.spec_from_file_location(
+        "ref_panns_models", f"{REF}/audioldm_eval/feature_extractors/panns/models.py")
+    pm = importlib.util.module_from_spec(spec_m)
+
+    # Cnn14.__init__ tries to download ckpts; pre-create dummy dir + patch load
+    os.makedirs("/tmp/panns_ckpt_stub", exist_ok=True)
+    cwd = os.getcwd()
+    os.chdir("/tmp/panns_ckpt_stub")
+    os.makedirs("ckpt", exist_ok=True)
+    for name in ("Cnn14_mAP=0.431.pth", "Cnn14_16k_mAP=0.438.pth"):
+        p = os.path.join("ckpt", name)
+        if not os.path.exists(p):
+            open(p, "wb").close()
+    orig_load = torch.load
+    torch.load = lambda *a, **k: {"model": {}}
+    orig_lsd = torch.nn.Module.load_state_dict
+    torch.nn.Module.load_state_dict = lambda self, sd, **k: None
+    try:
+        spec_m.loader.exec_module(pm)
+        torch.manual_seed(33)
+        model = pm.Cnn14(
+            features_list=["2048", "logits"], sample_rate=16000, window_size=512,
+            hop_size=160, mel_bins=64, fmin=50, fmax=8000, classes_num=11)
+    finally:
+        torch.load = orig_load
+        torch.nn.Module.load_state_dict = orig_lsd
+        os.chdir(cwd)
+    # randomize batchnorm running stats so eval-mode conversion is non-trivial
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+    model.eval()
+    logmel = torch.randn(2, 1, 64, 64) * 3 - 4  # (B, 1, T, mel)
+    with torch.no_grad():
+        out = model(logmel)
+    np.savez(
+        OUT / "cnn14_tiny.npz",
+        logmel=logmel.numpy(),
+        emb=out["2048"].numpy(),
+        logits=out["logits"].numpy(),
+        **state_to_numpy({k: v for k, v in model.state_dict().items()
+                          if not k.startswith(("spectrogram_extractor", "logmel_extractor", "spec_augmenter"))}),
+    )
+    print("cnn14_tiny:", out["2048"].shape, float(out["logits"].abs().mean()))
+
+
 if __name__ == "__main__":
     import sys as _sys
     only = _sys.argv[1:] if len(_sys.argv) > 1 else None
     for fn in [make_scheduler_golden, make_unet_golden, make_vae_golden,
-               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden]:
+               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden]:
         name = fn.__name__.replace("make_", "").replace("_golden", "")
         if only is None or name in only:
             fn()

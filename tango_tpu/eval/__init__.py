@@ -1,0 +1,17 @@
+from tango_tpu.eval.metrics import (
+    calculate_fid,
+    calculate_isc,
+    calculate_kid,
+    calculate_kl,
+    frechet_distance,
+)
+from tango_tpu.eval.evaluator import EvaluationHelper
+
+__all__ = [
+    "EvaluationHelper",
+    "calculate_fid",
+    "calculate_isc",
+    "calculate_kid",
+    "calculate_kl",
+    "frechet_distance",
+]

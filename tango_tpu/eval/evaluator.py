@@ -1,0 +1,229 @@
+"""EvaluationHelper — end-to-end metric driver over two wav directories.
+
+API and result-key parity with the reference
+(/root/reference/audioldm_eval/eval.py:21-325): same-name pairing gate,
+FD (Cnn14 2048), FAD (VGGish), KL softmax/sigmoid (Cnn14 logits), IS, KID,
+LSD/SSIM_STFT and PSNR/SSIM on paired mels; writes
+`<gen_dir>_evaluation_results.json` with the same keys (eval.py:300-324).
+
+Feature extractors are the JAX ports (eval/panns.py, eval/vggish.py); their
+pretrained weights load from torch checkpoints via the converters — pass
+`cnn14_ckpt` / `vggish_ckpt` paths (zero-egress environments must provide
+them locally; metrics needing a missing extractor return NaN).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu.audio.stft import MelSpectrogram, hann_window_periodic, mel_filter_bank
+from tango_tpu.audio.wav import read_wav
+from tango_tpu.configs import StftConfig
+from tango_tpu.eval import metrics as M
+from tango_tpu.eval.panns import Cnn14, convert_cnn14, logmel_frontend
+from tango_tpu.eval.vggish import VGGish, convert_vggish, waveform_to_examples
+
+
+def _read_mono_16k(path: str, target_sr: int) -> np.ndarray:
+    from tango_tpu.audio.wav import resample_poly
+
+    wav, sr = read_wav(path)
+    if wav.ndim > 1:
+        wav = wav[:, 0]
+    wav = resample_poly(wav, sr, target_sr)
+    # WaveDataset pads to >= 2s and normalizes (datasets/load_mel.py:12-80)
+    if len(wav) < 2 * target_sr:
+        wav = np.pad(wav, (0, 2 * target_sr - len(wav)))
+    peak = np.max(np.abs(wav))
+    if peak > 0:
+        wav = wav / peak * 0.5
+    return wav.astype(np.float32)
+
+
+class EvaluationHelper:
+    def __init__(
+        self,
+        sampling_rate: int = 16000,
+        device=None,  # accepted for reference API parity; unused (JAX manages placement)
+        backbone: str = "cnn14",
+        cnn14_ckpt: Optional[str] = None,
+        vggish_ckpt: Optional[str] = None,
+    ):
+        assert sampling_rate == 16000, "16 kHz evaluation only (reference also supports 32k)"
+        self.sampling_rate = sampling_rate
+        self.cnn14 = Cnn14()
+        self.cnn14_params = None
+        if cnn14_ckpt and os.path.exists(cnn14_ckpt):
+            from tango_tpu.utils.convert import load_torch_bin
+
+            sd = load_torch_bin(cnn14_ckpt)
+            self.cnn14_params = convert_cnn14(sd)
+        self.vggish = VGGish()
+        self.vggish_params = None
+        if vggish_ckpt and os.path.exists(vggish_ckpt):
+            from tango_tpu.utils.convert import load_torch_bin
+
+            self.vggish_params = convert_vggish(load_torch_bin(vggish_ckpt))
+        # paired-mel frontend: TacotronSTFT(512, 160, 512, 64, 16000, 50, 8000)
+        # (eval.py:63-64)
+        self.paired_stft = MelSpectrogram(
+            StftConfig(filter_length=512, hop_length=160, win_length=512,
+                       n_mel_channels=64, mel_fmin=50, mel_fmax=8000)
+        )
+
+    # ------------------------------------------------------------- file logic
+    def get_filename_intersection_ratio(self, dir1, dir2, threshold=0.99) -> bool:
+        keys1 = {os.path.splitext(os.path.basename(x))[0] for x in os.listdir(dir1)}
+        keys2 = {os.path.splitext(os.path.basename(x))[0] for x in os.listdir(dir2)}
+        inter = keys1 & keys2
+        return (
+            len(inter) / max(len(keys1), 1) > threshold
+            and len(inter) / max(len(keys2), 1) > threshold
+        )
+
+    def _wav_files(self, d: str, limit_num=None) -> List[str]:
+        fs = sorted(
+            os.path.join(d, x) for x in os.listdir(d) if x.lower().endswith(".wav")
+        )
+        return fs[:limit_num] if limit_num else fs
+
+    # ---------------------------------------------------------------- features
+    def cnn14_features(self, files: List[str]) -> Dict[str, np.ndarray]:
+        assert self.cnn14_params is not None, "Cnn14 weights not loaded"
+        feats_2048, logits, paths = [], [], []
+        apply = jax.jit(lambda p, m: self.cnn14.apply({"params": p}, m))
+        for f in files:
+            wav = _read_mono_16k(f, self.sampling_rate)
+            mel = logmel_frontend(wav[None, :])
+            out = apply(self.cnn14_params, mel)
+            feats_2048.append(np.asarray(out["2048"])[0])
+            logits.append(np.asarray(out["logits"])[0])
+            paths.append(f)
+        return {
+            "2048": np.stack(feats_2048),
+            "logits": np.stack(logits),
+            "file_path_": paths,
+        }
+
+    def vggish_embeddings(self, files: List[str]) -> np.ndarray:
+        assert self.vggish_params is not None, "VGGish weights not loaded"
+        apply = jax.jit(lambda p, x: self.vggish.apply({"params": p}, x))
+        outs = []
+        for f in files:
+            wav = _read_mono_16k(f, self.sampling_rate)
+            ex = waveform_to_examples(wav, self.sampling_rate)
+            if len(ex) == 0:
+                continue
+            outs.append(np.asarray(apply(self.vggish_params, jnp.asarray(ex))))
+        return np.concatenate(outs, 0)
+
+    # ------------------------------------------------------------------- main
+    def main(self, generate_files_path: str, groundtruth_path: str, limit_num=None) -> dict:
+        assert os.path.exists(generate_files_path), generate_files_path
+        assert os.path.exists(groundtruth_path), groundtruth_path
+        same_name = self.get_filename_intersection_ratio(generate_files_path, groundtruth_path)
+        return self.calculate_metrics(generate_files_path, groundtruth_path, same_name, limit_num)
+
+    def calculate_metrics(self, gen_dir, ref_dir, same_name, limit_num=None) -> dict:
+        gen_files = self._wav_files(gen_dir, limit_num)
+        ref_files = self._wav_files(ref_dir, limit_num)
+        out: dict = {}
+
+        out.update(self.calculate_lsd(gen_files, ref_files, same_name))
+        out.update(self.calculate_psnr_ssim(gen_files, ref_files, same_name))
+
+        if self.cnn14_params is not None:
+            fd_gen = self.cnn14_features(gen_files)
+            fd_ref = self.cnn14_features(ref_files)
+            kl, _, _ = M.calculate_kl(fd_gen, fd_ref, "logits", same_name)
+            out.update(kl)
+            out.update(M.calculate_isc(fd_gen, "logits", rng_seed=2020, samples_shuffle=True, splits=10))
+            out.update(M.calculate_fid(fd_gen, fd_ref, "2048"))
+            out.update(
+                M.calculate_kid(fd_gen, fd_ref, "2048", subsets=100, subset_size=1000,
+                                degree=3, gamma=None, coef0=1, rng_seed=2020)
+            )
+        if self.vggish_params is not None:
+            emb_gen = self.vggish_embeddings(gen_files)
+            emb_ref = self.vggish_embeddings(ref_files)
+            out["frechet_audio_distance"] = M.frechet_distance(emb_gen, emb_ref)
+
+        nan = float("nan")
+        result = {
+            "frechet_distance": out.get("frechet_distance", nan),
+            "frechet_audio_distance": out.get("frechet_audio_distance", nan),
+            "kl_sigmoid": out.get("kullback_leibler_divergence_sigmoid", nan),
+            "kl_softmax": out.get("kullback_leibler_divergence_softmax", nan),
+            "lsd": out.get("lsd", nan),
+            "psnr": out.get("psnr", nan),
+            "ssim": out.get("ssim", nan),
+            "ssim_stft": out.get("ssim_stft", nan),
+            "is_mean": out.get("inception_score_mean", nan),
+            "is_std": out.get("inception_score_std", nan),
+            "kid_mean": out.get("kernel_inception_distance_mean", nan),
+            "kid_std": out.get("kernel_inception_distance_std", nan),
+        }
+        result = {k: round(v, 4) if np.isfinite(v) else v for k, v in result.items()}
+        with open(gen_dir + "_evaluation_results.json", "w") as f:
+            json.dump(result, f, indent=4)
+        return result
+
+    # --------------------------------------------------------- paired metrics
+    def _paired(self, gen_files, ref_files):
+        by_name = {os.path.splitext(os.path.basename(f))[0]: f for f in ref_files}
+        for g in gen_files:
+            key = os.path.splitext(os.path.basename(g))[0]
+            if key in by_name:
+                yield g, by_name[key]
+
+    def calculate_lsd(self, gen_files, ref_files, same_name, time_offset=160 * 7) -> dict:
+        if not same_name:
+            return {"lsd": -1, "ssim_stft": -1}
+        lsds, ssims = [], []
+        for g, r in self._paired(gen_files, ref_files):
+            a1 = _read_mono_16k(g, self.sampling_rate)
+            a2 = _read_mono_16k(r, self.sampling_rate)
+            # HiFi-GAN introduces a 7-frame offset (eval.py:136-151)
+            a1 = a1[time_offset:]
+            a1 = a1 - a1.mean()
+            a2 = a2 - a2.mean()
+            a1 = a1 / max(np.abs(a1).max(), 1e-8)
+            a2 = a2 / max(np.abs(a2).max(), 1e-8)
+            n = min(len(a1), len(a2))
+            res = M.log_spectral_distance(a1[:n], a2[:n])
+            if np.isfinite(res["lsd"]):
+                lsds.append(res["lsd"])
+                ssims.append(res["ssim"])
+        return {
+            "lsd": float(np.mean(lsds)) if lsds else -1,
+            "ssim_stft": float(np.mean(ssims)) if ssims else -1,
+        }
+
+    def calculate_psnr_ssim(self, gen_files, ref_files, same_name) -> dict:
+        if not same_name:
+            return {"psnr": -1, "ssim": -1}
+        psnrs, ssims = [], []
+        for g, r in self._paired(gen_files, ref_files):
+            m1 = self._mel(g)
+            m2 = self._mel(r)
+            n = min(len(m1), len(m2))
+            p = M.psnr(m1[:n], m2[:n])
+            if np.isinf(p):
+                continue
+            psnrs.append(p)
+            ssims.append(M.ssim(m1[:n], m2[:n]))
+        return {
+            "psnr": float(np.mean(psnrs)) if psnrs else -1,
+            "ssim": float(np.mean(ssims)) if ssims else -1,
+        }
+
+    def _mel(self, path: str) -> np.ndarray:
+        wav = _read_mono_16k(path, self.sampling_rate)
+        mel, _ = self.paired_stft.mel_spectrogram(jnp.asarray(wav[None, :]))
+        return np.asarray(mel)[0]

@@ -1,0 +1,118 @@
+"""PANNs Cnn14 feature extractor — JAX port for FD/KL/IS/KID features.
+
+Reference: audioldm_eval/feature_extractors/panns/models.py:168-326 (Cnn14,
+16 kHz config: window 512, hop 160, 64 mels, fmin 50, fmax 8000, 527 classes).
+Frontend is torchlibrosa Spectrogram (power) + LogmelFilterBank
+(10*log10(clip(mel, 1e-10)), slaney mel) — reproduced with the XLA STFT.
+
+Inference-only: BatchNorms apply running statistics (eval mode); weights come
+from the released Cnn14_16k checkpoint via `convert_cnn14`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu.audio.stft import hann_window_periodic, mel_filter_bank, stft_magnitude
+
+
+def logmel_frontend(wav: jnp.ndarray, sr: int = 16000, n_fft: int = 512, hop: int = 160,
+                    n_mels: int = 64, fmin: float = 50.0, fmax: float = 8000.0) -> jnp.ndarray:
+    """(B, L) -> (B, T, n_mels) log-mel (power, 10log10, amin 1e-10)."""
+    window = jnp.asarray(hann_window_periodic(n_fft))
+    mag = stft_magnitude(wav, n_fft, hop, window)
+    power = mag**2
+    mel_fb = jnp.asarray(mel_filter_bank(sr, n_fft, n_mels, fmin, fmax).T)
+    mel = jnp.matmul(power, mel_fb, preferred_element_type=jnp.float32)
+    return 10.0 * jnp.log10(jnp.clip(mel, 1e-10, None))
+
+
+class BatchNormEval(nn.Module):
+    """Inference-mode BatchNorm: y = (x - mean) / sqrt(var + eps) * w + b."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return x * inv + (bias - mean * inv)
+
+
+class ConvBlock(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, pool: int = 2):
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, name="conv1")(x)
+        x = jax.nn.relu(BatchNormEval(self.out_channels, name="bn1")(x))
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, name="conv2")(x)
+        x = jax.nn.relu(BatchNormEval(self.out_channels, name="bn2")(x))
+        if pool > 1:
+            x = nn.avg_pool(x, (pool, pool), strides=(pool, pool))
+        return x
+
+
+class Cnn14(nn.Module):
+    """(B, T, 64) log-mel -> {"2048": (B,2048), "logits": (B,527)}."""
+
+    classes_num: int = 527
+
+    @nn.compact
+    def __call__(self, logmel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        x = logmel[..., None]  # (B, T, M, 1) NHWC
+        # bn0 normalizes over the MEL axis (reference transposes to put mel in
+        # the channel slot — models.py:279-281)
+        x = jnp.swapaxes(x, 2, 3)  # (B, T, 1, M)
+        x = BatchNormEval(64, name="bn0")(x)
+        x = jnp.swapaxes(x, 2, 3)
+
+        for i, ch in enumerate((64, 128, 256, 512, 1024, 2048)):
+            x = ConvBlock(ch, name=f"conv_block{i + 1}")(x, pool=2 if i < 5 else 1)
+        x = x.mean(axis=2)  # mean over mel  -> (B, T', C)
+        x = x.max(axis=1) + x.mean(axis=1)  # (B, C)
+        x = nn.Dense(2048, name="fc1")(x)
+        embedding = jax.nn.relu(x)
+        logits = nn.Dense(self.classes_num, name="fc_audioset")(embedding)
+        return {"2048": embedding, "logits": logits, "clipwise_output": jax.nn.sigmoid(logits)}
+
+
+def convert_cnn14(sd) -> dict:
+    """torch Cnn14 state dict (released ckpt["model"]) -> params."""
+    params: dict = {}
+
+    def bn(prefix):
+        return {
+            "scale": np.asarray(sd[prefix + ".weight"]),
+            "bias": np.asarray(sd[prefix + ".bias"]),
+            "mean": np.asarray(sd[prefix + ".running_mean"]),
+            "var": np.asarray(sd[prefix + ".running_var"]),
+        }
+
+    params["bn0"] = bn("bn0")
+    for i in range(1, 7):
+        blk = f"conv_block{i}"
+        params[blk] = {
+            "conv1": {"kernel": np.transpose(np.asarray(sd[f"{blk}.conv1.weight"]), (2, 3, 1, 0))},
+            "conv2": {"kernel": np.transpose(np.asarray(sd[f"{blk}.conv2.weight"]), (2, 3, 1, 0))},
+            "bn1": bn(f"{blk}.bn1"),
+            "bn2": bn(f"{blk}.bn2"),
+        }
+    params["fc1"] = {
+        "kernel": np.asarray(sd["fc1.weight"]).T,
+        "bias": np.asarray(sd["fc1.bias"]),
+    }
+    params["fc_audioset"] = {
+        "kernel": np.asarray(sd["fc_audioset.weight"]).T,
+        "bias": np.asarray(sd["fc_audioset.bias"]),
+    }
+    return params

@@ -1,0 +1,120 @@
+"""VGGish embedding model — JAX port for the Frechet Audio Distance.
+
+Reference: audioldm_eval/metrics/fad.py loads torch.hub
+harritaylor/torchvggish (the Google VGGish AudioSet model). Architecture and
+frontend follow the published VGGish spec:
+
+  frontend (mel_features.py of the original release):
+    16 kHz mono -> frames of 400 samples (25 ms) hop 160 (10 ms), periodic
+    Hann, |rfft| at fft size 512 (MAGNITUDE, not power), HTK-scale mel with 64
+    bands in [125, 7500] Hz (no normalization), log(mel + 0.01), then examples
+    of 96 frames with hop 96 -> (N, 96, 64).
+
+  network (vggish.py of the torch release):
+    conv64 -> pool -> conv128 -> pool -> conv256 x2 -> pool -> conv512 x2 ->
+    pool, flatten (512*6*4 with torch's NCHW ordering), fc 4096 -> fc 4096 ->
+    fc 128, ReLU everywhere, final ReLU included.
+
+`convert_vggish` maps the torchvggish state dict. FAD is then the Frechet
+distance over per-file mean-pooled... NOTE: the reference FAD computes
+embeddings for ALL examples of every file concatenated (fad.py:96-129), not
+per-file means; we match that.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ------------------------------------------------------------------ frontend
+
+def _htk_mel(f):
+    return 1127.0 * np.log(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def vggish_mel_matrix(num_spectrogram_bins: int = 257, sr: int = 16000,
+                      n_mels: int = 64, fmin: float = 125.0, fmax: float = 7500.0) -> np.ndarray:
+    """(num_spectrogram_bins, n_mels), HTK scale, unnormalized triangles."""
+    nyquist = sr / 2.0
+    spectrogram_bins_hz = np.linspace(0.0, nyquist, num_spectrogram_bins)
+    spectrogram_bins_mel = _htk_mel(spectrogram_bins_hz)
+    band_edges_mel = np.linspace(_htk_mel(fmin), _htk_mel(fmax), n_mels + 2)
+    weights = np.zeros((num_spectrogram_bins, n_mels))
+    for i in range(n_mels):
+        lower, center, upper = band_edges_mel[i : i + 3]
+        lower_slope = (spectrogram_bins_mel - lower) / (center - lower)
+        upper_slope = (upper - spectrogram_bins_mel) / (upper - center)
+        weights[:, i] = np.maximum(0.0, np.minimum(lower_slope, upper_slope))
+    weights[0, :] = 0.0  # DC bin excluded (mel_features.py)
+    return weights.astype(np.float32)
+
+
+def waveform_to_examples(wav: np.ndarray, sr: int = 16000) -> np.ndarray:
+    """mono float waveform -> (N, 96, 64) log-mel examples."""
+    from tango_tpu.audio.wav import resample_poly
+
+    if sr != 16000:
+        wav = resample_poly(wav, sr, 16000)
+    win, hop, n_fft = 400, 160, 512
+    if len(wav) < win:
+        wav = np.pad(wav, (0, win - len(wav)))
+    n_frames = 1 + (len(wav) - win) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(win)[None, :]
+    window = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(win) / win)
+    frames = wav[idx] * window
+    mag = np.abs(np.fft.rfft(frames, n_fft, axis=-1))
+    mel = mag.dot(vggish_mel_matrix())
+    log_mel = np.log(mel + 0.01)
+    # frame into non-overlapping 96-frame examples
+    n_ex = log_mel.shape[0] // 96
+    if n_ex == 0:
+        return np.zeros((0, 96, 64), np.float32)
+    return log_mel[: n_ex * 96].reshape(n_ex, 96, 64).astype(np.float32)
+
+
+# -------------------------------------------------------------------- network
+
+class VGGish(nn.Module):
+    """(N, 96, 64) examples -> (N, 128) embeddings."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = x[..., None]  # NHWC
+        cfg = [(64,), (128,), (256, 256), (512, 512)]
+        li = 0
+        for group in cfg:
+            for ch in group:
+                x = nn.Conv(ch, (3, 3), padding=1, name=f"conv{li}")(x)
+                x = jax.nn.relu(x)
+                li += 1
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # torch flattens NCHW (C,H,W) = (512, 6, 4); we are NHWC (6, 4, 512)
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+        x = jax.nn.relu(nn.Dense(4096, name="fc0")(x))
+        x = jax.nn.relu(nn.Dense(4096, name="fc1")(x))
+        x = jax.nn.relu(nn.Dense(128, name="fc2")(x))
+        return x
+
+
+def convert_vggish(sd) -> dict:
+    """torchvggish state dict -> VGGish params.
+
+    torch keys: features.{0,3,6,8,11,13}.{weight,bias} (convs),
+    embeddings.{0,2,4}.{weight,bias} (linears).
+    """
+    conv_ids = [0, 3, 6, 8, 11, 13]
+    params: dict = {}
+    for i, tid in enumerate(conv_ids):
+        params[f"conv{i}"] = {
+            "kernel": np.transpose(np.asarray(sd[f"features.{tid}.weight"]), (2, 3, 1, 0)),
+            "bias": np.asarray(sd[f"features.{tid}.bias"]),
+        }
+    for i, tid in enumerate([0, 2, 4]):
+        params[f"fc{i}"] = {
+            "kernel": np.asarray(sd[f"embeddings.{tid}.weight"]).T,
+            "bias": np.asarray(sd[f"embeddings.{tid}.bias"]),
+        }
+    return params

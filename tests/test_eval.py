@@ -1,0 +1,111 @@
+"""Eval suite: metric parity vs reference functions, Cnn14 parity, end-to-end
+EvaluationHelper run on synthetic wav dirs."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from tests.conftest import load_golden
+from tango_tpu.eval import metrics as M
+from tango_tpu.eval.panns import Cnn14, convert_cnn14
+
+
+def _featdicts(g):
+    f1 = {"2048": g["f1_2048"], "logits": g["f1_logits"],
+          "file_path_": [f"/a/x{i}.wav" for i in range(len(g["f1_2048"]))]}
+    f2 = {"2048": g["f2_2048"], "logits": g["f2_logits"],
+          "file_path_": [f"/b/x{i}.wav" for i in range(len(g["f2_2048"]))]}
+    return f1, f2
+
+
+def test_kl_parity():
+    g = load_golden("metrics")
+    f1, f2 = _featdicts(g)
+    out, _, _ = M.calculate_kl(f1, f2, "logits", True)
+    np.testing.assert_allclose(out["kullback_leibler_divergence_softmax"], g["kl_softmax"], rtol=1e-4)
+    np.testing.assert_allclose(out["kullback_leibler_divergence_sigmoid"], g["kl_sigmoid"], rtol=1e-4)
+
+
+def test_isc_parity():
+    g = load_golden("metrics")
+    f1, _ = _featdicts(g)
+    out = M.calculate_isc(f1, "logits", rng_seed=2020, samples_shuffle=True, splits=4)
+    np.testing.assert_allclose(out["inception_score_mean"], g["isc_mean"], rtol=1e-5)
+    np.testing.assert_allclose(out["inception_score_std"], g["isc_std"], rtol=1e-4)
+
+
+def test_fid_parity():
+    g = load_golden("metrics")
+    f1, f2 = _featdicts(g)
+    out = M.calculate_fid(f1, f2, "2048")
+    np.testing.assert_allclose(out["frechet_distance"], g["fid"], rtol=1e-4)
+
+
+def test_kid_parity():
+    g = load_golden("metrics")
+    f1, f2 = _featdicts(g)
+    out = M.calculate_kid(f1, f2, "2048", subsets=10, subset_size=12, rng_seed=2020)
+    np.testing.assert_allclose(out["kernel_inception_distance_mean"], g["kid_mean"], rtol=1e-4)
+    np.testing.assert_allclose(out["kernel_inception_distance_std"], g["kid_std"], rtol=1e-3)
+
+
+def test_cnn14_parity():
+    g = load_golden("cnn14_tiny")
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_cnn14(sd)
+    model = Cnn14(classes_num=11)
+    logmel = np.transpose(g["logmel"][:, 0], (0, 1, 2))  # (B, T, mel)
+    out = model.apply({"params": params}, logmel)
+    np.testing.assert_allclose(np.asarray(out["2048"]), g["emb"], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["logits"]), g["logits"], atol=2e-4, rtol=1e-3)
+
+
+def test_evaluation_helper_end_to_end(tmp_path):
+    """Structural run without pretrained extractors: paired LSD/PSNR/SSIM +
+    result JSON with the reference key set."""
+    from tango_tpu.audio.wav import write_wav
+    from tango_tpu.eval.evaluator import EvaluationHelper
+
+    gen = tmp_path / "gen"
+    ref = tmp_path / "ref"
+    gen.mkdir(), ref.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        t = np.linspace(0, 2.0, 32000, endpoint=False)
+        base = 0.4 * np.sin(2 * np.pi * (300 + 50 * i) * t)
+        write_wav(str(ref / f"output_{i}.wav"), base.astype(np.float32))
+        noisy = base + 0.05 * rng.randn(len(t))
+        write_wav(str(gen / f"output_{i}.wav"), noisy.astype(np.float32))
+
+    helper = EvaluationHelper(16000)
+    result = helper.main(str(gen), str(ref))
+    expected_keys = {
+        "frechet_distance", "frechet_audio_distance", "kl_sigmoid", "kl_softmax",
+        "lsd", "psnr", "ssim", "ssim_stft", "is_mean", "is_std", "kid_mean", "kid_std",
+    }
+    assert set(result) == expected_keys
+    assert np.isfinite(result["lsd"]) and result["lsd"] > 0
+    assert np.isfinite(result["psnr"]) and result["psnr"] > 5
+    assert 0 < result["ssim"] <= 1
+    assert os.path.exists(str(gen) + "_evaluation_results.json")
+
+
+def test_psnr_ssim_identity():
+    a = np.random.RandomState(1).randn(64, 64)
+    assert M.psnr(a, a) == float("inf")
+    assert abs(M.ssim(a, a) - 1.0) < 1e-9
+
+
+def test_vggish_frontend_shapes():
+    from tango_tpu.eval.vggish import VGGish, waveform_to_examples
+
+    wav = np.random.RandomState(0).randn(32000).astype(np.float32) * 0.1
+    ex = waveform_to_examples(wav, 16000)
+    assert ex.shape[1:] == (96, 64)
+    assert ex.shape[0] == 2  # 2 seconds -> 2 examples
+    model = VGGish()
+    params = model.init(jax.random.PRNGKey(0), ex)["params"]
+    emb = model.apply({"params": params}, ex)
+    assert emb.shape == (2, 128)

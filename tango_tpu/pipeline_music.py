@@ -1,0 +1,276 @@
+"""Mustango — user-facing music generation pipeline.
+
+API parity with the reference Mustango class
+(/root/reference/mustango/mustango.py:135-204): `generate(prompt, steps=100,
+guidance=3)` predicts beats (DeBERTa head) and chords (FLAN-T5 seq2seq) from
+the caption, then runs the triple-stream music diffusion and decodes.
+
+The two feature predictors are host-side autoregressive LLM inferences (two
+extra model calls per prompt, reference mustango.py:51-132); they are wrapped
+behind `MusicFeaturePredictor`, which uses HF torch models when their
+checkpoints are available and otherwise lets callers supply beats/chords
+explicitly (generate(..., beats=..., chords=..., chords_times=...)). The
+TPU compute path (diffusion + VAE + vocoder) is pure tango_tpu.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu import configs as C
+from tango_tpu.models.music import MusicAudioDiffusion, convert_music_conditioner
+from tango_tpu.models.t5 import FLAN_T5_LARGE, T5Encoder, convert_t5_encoder
+from tango_tpu.models.vae import AutoencoderKL
+from tango_tpu.models.hifigan import HiFiGANGenerator, waveform_to_int16
+from tango_tpu.pipeline import Tango, _default_dtype, _try_load_tokenizer
+from tango_tpu.utils import convert as conv
+
+
+class MusicFeaturePredictor:
+    """Caption -> (beats, chords, chord_times).
+
+    Post-processing matches the reference exactly (mustango.py:51-132):
+    beat intervals cumsum'd and cut at 10 s / 50 beats, beat counts cycle
+    1..max_beat; chords decoded as "<chord> at <time>" joined by " n ".
+    """
+
+    def __init__(self, path: Optional[str] = None, device: str = "cpu",
+                 beats_fn=None, chords_fn=None):
+        self._beats_fn = beats_fn
+        self._chords_fn = chords_fn
+        self._torch_ready = False
+        if path is not None and beats_fn is None:
+            self._init_torch(path, device)
+
+    def _init_torch(self, path: str, device: str):
+        import torch
+        from transformers import AutoTokenizer, T5ForConditionalGeneration
+
+        from tango_tpu.utils.deberta_head import DebertaV2ForTokenClassificationRegression
+
+        self.beats_tokenizer = AutoTokenizer.from_pretrained("microsoft/deberta-v3-large")
+        self.beats_model = DebertaV2ForTokenClassificationRegression.from_pretrained(
+            "microsoft/deberta-v3-large"
+        )
+        self.beats_model.eval().to(device)
+        self.beats_model.load_state_dict(
+            __import__("torch").load(f"{path}/beats/microsoft-deberta-v3-large.pt", map_location="cpu")
+        )
+        self.chords_tokenizer = AutoTokenizer.from_pretrained("google/flan-t5-large")
+        self.chords_model = T5ForConditionalGeneration.from_pretrained("google/flan-t5-large")
+        self.chords_model.eval().to(device)
+        self.chords_model.load_state_dict(
+            __import__("torch").load(f"{path}/chords/flan-t5-large.bin", map_location="cpu")
+        )
+        self._torch_ready = True
+
+    # ---------------------------------------------------------- beat decode
+    @staticmethod
+    def postprocess_beats(logits_first_token: np.ndarray, intervals: np.ndarray):
+        """(num_classes,), (L,) -> (max_beat, beat_times, beats) (mustango.py:60-90)."""
+        max_beat = int(1 + np.argmax(logits_first_token))
+        cums = np.cumsum(np.round(intervals.astype(np.float32), 4))
+        beat_times = [round(float(t), 2) for t in cums if t < 10][:50]
+        if not beat_times:
+            return max_beat, [], [[], []]
+        counts = [float(1.0 + np.mod(i, max_beat)) for i in range(len(beat_times))]
+        return max_beat, beat_times, [[beat_times, counts]]
+
+    @staticmethod
+    def chords_prompt(prompt: str, beat_times: Sequence[float], max_beat: int) -> str:
+        return "Caption: {} \\n Timestamps: {} \\n Max Beat: {}".format(
+            prompt, " , ".join(str(round(t, 2)) for t in beat_times), max_beat
+        )
+
+    @staticmethod
+    def parse_chords(decoded: str) -> Tuple[List[str], List[float]]:
+        chords, times = [], []
+        for item in decoded.split(" n "):
+            if " at " not in item:
+                continue
+            c, ct = item.split(" at ")
+            try:
+                times.append(float(ct))
+            except ValueError:
+                continue
+            chords.append(c.strip())
+        return chords, times
+
+    def generate(self, prompt: str):
+        if self._beats_fn is not None:
+            logits, intervals = self._beats_fn(prompt)
+        elif self._torch_ready:
+            import torch
+
+            tok = self.beats_tokenizer(
+                prompt, max_length=512, padding=True, truncation=True, return_tensors="pt"
+            )
+            with torch.no_grad():
+                out = self.beats_model(**tok)
+            logits = out["logits"][0, 0].numpy()
+            intervals = out["values"][0, :, 0].numpy()
+        else:
+            raise RuntimeError("No beat predictor available; pass beats explicitly")
+
+        max_beat, beat_times, beats = self.postprocess_beats(np.asarray(logits), np.asarray(intervals))
+        cprompt = self.chords_prompt(prompt, beat_times, max_beat)
+
+        if self._chords_fn is not None:
+            decoded = self._chords_fn(cprompt)
+        else:
+            import torch
+
+            tok = self.chords_tokenizer(
+                cprompt, max_length=512, padding=True, truncation=True, return_tensors="pt"
+            )
+            gen = self.chords_model.generate(
+                input_ids=tok["input_ids"], attention_mask=tok["attention_mask"],
+                min_length=8, max_length=128, num_beams=5,
+                early_stopping=True, num_return_sequences=1,
+            )
+            decoded = self.chords_tokenizer.decode(
+                gen[0], skip_special_tokens=True, clean_up_tokenization_spaces=True
+            )
+        chords, chord_times = self.parse_chords(decoded)
+        return beats, chords, chord_times
+
+
+def convert_mustango_ldm(sd) -> dict:
+    """pytorch_model_ldm.bin -> {unet_params, t5_params, conditioner_params}."""
+    unet_sd = {k[len("unet."):]: v for k, v in sd.items() if k.startswith("unet.")}
+    text_sd = {k[len("text_encoder."):]: v for k, v in sd.items() if k.startswith("text_encoder.")}
+    music_sd = {
+        k: v for k, v in sd.items()
+        if k.startswith(("FME.", "beat_embedding_layer.", "chord_embedding_layer."))
+    }
+    return {
+        "unet_params": conv.convert_unet(unet_sd),
+        "t5_params": convert_t5_encoder(text_sd) if text_sd else None,
+        "conditioner_params": convert_music_conditioner(music_sd) if music_sd else None,
+    }
+
+
+class Mustango:
+    """Music generation pipeline (reference mustango/mustango.py:135-204)."""
+
+    def __init__(self, name_or_path: Optional[str] = None, tokenizer=None,
+                 dtype=None, predictor: Optional[MusicFeaturePredictor] = None):
+        self.dtype = dtype or _default_dtype()
+        self.tokenizer = tokenizer
+        self.predictor = predictor
+        self._fns = {}
+        if name_or_path is not None:
+            path = name_or_path
+            if not os.path.isdir(path):
+                from huggingface_hub import snapshot_download
+
+                path = snapshot_download(repo_id=name_or_path)
+            self._load_snapshot(path)
+
+    def _load_snapshot(self, path: str):
+        with open(f"{path}/configs/vae_config.json") as f:
+            vae_cfg = C.VAEConfig.from_dict(json.load(f))
+        with open(f"{path}/configs/music_diffusion_model_config.json") as f:
+            unet_cfg = C.UNetConfig.from_dict(json.load(f))
+        vae_sd = conv.load_torch_bin(f"{path}/vae/pytorch_model_vae.bin")
+        ldm_sd = conv.load_torch_bin(f"{path}/ldm/pytorch_model_ldm.bin")
+        parts = convert_mustango_ldm(ldm_sd)
+        vocoder_sd = {k[len("vocoder."):]: v for k, v in vae_sd.items() if k.startswith("vocoder.")}
+        self._build(
+            unet_cfg, vae_cfg,
+            unet_params=parts["unet_params"],
+            conditioner_params=parts["conditioner_params"],
+            t5_params=parts["t5_params"],
+            vae_params=conv.convert_vae(vae_sd),
+            hifigan_params=conv.convert_hifigan(vocoder_sd) if vocoder_sd else None,
+        )
+        if self.predictor is None:
+            try:
+                self.predictor = MusicFeaturePredictor(path)
+            except Exception:
+                self.predictor = None
+        if self.tokenizer is None:
+            self.tokenizer = _try_load_tokenizer("google/flan-t5-large")
+
+    @classmethod
+    def from_components(cls, *, unet_config, vae_config, unet_params, vae_params,
+                        conditioner_params, t5_config=None, t5_params=None,
+                        hifigan_config=None, hifigan_params=None, tokenizer=None,
+                        predictor=None, dtype=None, latent_t_size=256, latent_f_size=16,
+                        d_music=None):
+        self = cls(None, tokenizer=tokenizer, dtype=dtype, predictor=predictor)
+        self._build(
+            unet_config, vae_config, unet_params=unet_params, vae_params=vae_params,
+            conditioner_params=conditioner_params, t5_config=t5_config,
+            t5_params=t5_params, hifigan_config=hifigan_config,
+            hifigan_params=hifigan_params, latent_t_size=latent_t_size,
+            latent_f_size=latent_f_size, d_music=d_music,
+        )
+        return self
+
+    def _build(self, unet_cfg, vae_cfg, *, unet_params, vae_params, conditioner_params,
+               t5_params=None, t5_config=None, hifigan_config=None, hifigan_params=None,
+               latent_t_size=256, latent_f_size=16, d_music=None):
+        self.model = MusicAudioDiffusion(
+            unet_config=unet_cfg,
+            latent_t_size=latent_t_size,
+            latent_f_size=latent_f_size,
+            dtype=self.dtype,
+            d_music=d_music or unet_cfg.cross_attention_dim,
+        )
+        self.unet_params = unet_params
+        self.conditioner_params = conditioner_params
+        self.vae = AutoencoderKL(vae_cfg, dtype=self.dtype)
+        self.vae_params = vae_params
+        self.t5 = T5Encoder(t5_config or FLAN_T5_LARGE, dtype=self.dtype) if (
+            t5_params is not None or t5_config is not None
+        ) else None
+        self.t5_params = t5_params
+        self.vocoder = (
+            HiFiGANGenerator(hifigan_config or C.TANGO_HIFIGAN, dtype=self.dtype)
+            if hifigan_params is not None else None
+        )
+        self.hifigan_params = hifigan_params
+        self._rng = jax.random.PRNGKey(0)
+
+    def encode_text(self, prompts, max_length=128):
+        batch = self.tokenizer(
+            list(prompts), max_length=max_length, padding="max_length",
+            truncation=True, return_tensors="np",
+        )
+        ids = jnp.asarray(batch["input_ids"])
+        mask = jnp.asarray(batch["attention_mask"])
+        return self.t5.apply({"params": self.t5_params}, ids, mask), mask
+
+    def generate(self, prompt: str, steps: int = 100, guidance: float = 3.0,
+                 samples: int = 1, disable_progress: bool = True,
+                 beats=None, chords=None, chords_times=None,
+                 seed: Optional[int] = None) -> np.ndarray:
+        if beats is None:
+            assert self.predictor is not None, "no music predictor; pass beats/chords"
+            beats, chords, chords_times = self.predictor.generate(prompt)
+
+        beat_emb, beat_mask, chord_emb, chord_mask = self.model.encode_music(
+            self.conditioner_params, beats if beats and beats[0] else [[[], []]],
+            [chords], [chords_times],
+        )
+        cond, cond_mask = self.encode_text([prompt])
+        uncond, uncond_mask = self.encode_text([""])
+        self._rng, sub = jax.random.split(self._rng)
+        rng = jax.random.PRNGKey(seed) if seed is not None else sub
+        latents = self.model.music_sample(
+            self.unet_params, cond, cond_mask, rng,
+            beat_emb, beat_mask, chord_emb, chord_mask,
+            num_steps=steps, guidance_scale=guidance,
+            uncond_embeds=uncond, uncond_mask=uncond_mask,
+        )
+        mel = self.vae.apply({"params": self.vae_params}, latents, method=self.vae.decode_first_stage)
+        wav = self.vocoder.apply({"params": self.hifigan_params}, mel[..., 0])
+        return waveform_to_int16(np.asarray(wav.astype(jnp.float32)))[0]

@@ -1,0 +1,49 @@
+"""DeBERTa-v3 token classification + regression head (Mustango beat predictor).
+
+Re-implementation of the reference's custom head
+(/root/reference/mustango/modelling_deberta_v2.py:1474-1560): a stock HF
+DebertaV2Model trunk with two parallel heads —
+  * classifier: Linear(hidden) -> Linear(4)   (max-beat class from token 0)
+  * regressor:  Linear(hidden) -> Linear(1)   (per-token beat intervals)
+
+Unlike the reference (which vendors the whole 1.7k-line DeBERTa file), this
+builds on transformers' maintained DebertaV2Model — only the head is custom.
+Host-side torch (the beat predictor is an autoregressive conditioning model,
+not part of the TPU compute path).
+"""
+
+from __future__ import annotations
+
+import torch
+import torch.nn as nn
+from transformers import DebertaV2Model, DebertaV2PreTrainedModel
+
+
+class DebertaV2ForTokenClassificationRegression(DebertaV2PreTrainedModel):
+    _keys_to_ignore_on_load_unexpected = [r"pooler"]
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.num_labels = 4
+        self.deberta = DebertaV2Model(config)
+        self.dropout = nn.Dropout(config.hidden_dropout_prob)
+        self.hidden1 = nn.Linear(config.hidden_size, config.hidden_size)
+        self.classifier = nn.Linear(config.hidden_size, self.num_labels)
+        self.hidden2 = nn.Linear(config.hidden_size, config.hidden_size)
+        self.regressor = nn.Linear(config.hidden_size, 1)
+        self.post_init()
+
+    def forward(self, input_ids=None, attention_mask=None, token_type_ids=None,
+                position_ids=None, inputs_embeds=None, **kw):
+        outputs = self.deberta(
+            input_ids,
+            attention_mask=attention_mask,
+            token_type_ids=token_type_ids,
+            position_ids=position_ids,
+            inputs_embeds=inputs_embeds,
+        )
+        seq = self.dropout(outputs[0])
+        return {
+            "logits": self.classifier(self.hidden1(seq)),
+            "values": self.regressor(self.hidden2(seq)),
+        }

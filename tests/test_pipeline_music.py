@@ -1,0 +1,92 @@
+"""Mustango pipeline with dwarf components + stub predictors."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tango_tpu import configs as C
+from tango_tpu.models.music import MusicAudioDiffusion
+from tango_tpu.models.t5 import T5Config, T5Encoder
+from tango_tpu.models.vae import AutoencoderKL
+from tango_tpu.models.hifigan import HiFiGANGenerator
+from tango_tpu.pipeline_music import Mustango, MusicFeaturePredictor
+from tests.test_pipeline import StubTokenizer, TINY_T5, TINY_VAE, TINY_HIFI
+
+TINY_MUSIC_UNET = C.UNetConfig(
+    in_channels=8,
+    out_channels=8,
+    down_block_types=("CrossAttnDownBlock2DMusic", "DownBlock2D"),
+    mid_block_type="UNetMidBlock2DCrossAttnMusic",
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2DMusic"),
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    cross_attention_dim=16,
+    attention_head_dim=(2, 4),
+    norm_num_groups=8,
+)
+
+
+def stub_predictor():
+    def beats_fn(prompt):
+        logits = np.array([0.1, 0.2, 3.0, 0.1])  # argmax 2 -> max_beat 3
+        intervals = np.full(600, 0.5, np.float32)
+        return logits, intervals
+
+    def chords_fn(cprompt):
+        assert "Caption:" in cprompt and "Max Beat: 3" in cprompt
+        return "Gm at 0.46 n Eb at 1.39 n F7 at 3.16"
+
+    return MusicFeaturePredictor(beats_fn=beats_fn, chords_fn=chords_fn)
+
+
+def test_predictor_postprocess():
+    p = stub_predictor()
+    beats, chords, chord_times = p.generate("a jazzy tune")
+    times, counts = beats[0]
+    assert times[0] == 0.5 and times[-1] <= 10.0
+    assert counts[:4] == [1.0, 2.0, 3.0, 1.0]  # cycles mod max_beat=3
+    assert chords == ["Gm", "Eb", "F7"]
+    assert chord_times == [0.46, 1.39, 3.16]
+
+
+def test_parse_chords_malformed():
+    chords, times = MusicFeaturePredictor.parse_chords("Gm at 0.5 n garbage n C at x n D at 2.0")
+    assert chords == ["Gm", "D"] and times == [0.5, 2.0]
+
+
+def test_mustango_generate():
+    k = jax.random.PRNGKey(0)
+    model = MusicAudioDiffusion(
+        unet_config=TINY_MUSIC_UNET, latent_t_size=8, latent_f_size=4,
+        d_music=16, beat_len=50, chord_len=20,
+    )
+    unet_params = model.init_params(k)
+    cond_params = model.init_conditioner_params(k)
+    vae = AutoencoderKL(TINY_VAE)
+    vae_params = vae.init(k, jnp.zeros((1, 16, 8, 1)), k)["params"]
+    t5 = T5Encoder(TINY_T5)
+    t5_params = t5.init(k, jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32))["params"]
+    hifi = HiFiGANGenerator(TINY_HIFI)
+    hifi_params = hifi.init(k, jnp.zeros((1, 8, 8)))["params"]
+
+    m = Mustango.from_components(
+        unet_config=TINY_MUSIC_UNET,
+        vae_config=TINY_VAE,
+        unet_params=unet_params,
+        vae_params=vae_params,
+        conditioner_params=cond_params,
+        t5_config=TINY_T5,
+        t5_params=t5_params,
+        hifigan_config=TINY_HIFI,
+        hifigan_params=hifi_params,
+        tokenizer=StubTokenizer(),
+        predictor=stub_predictor(),
+        latent_t_size=8,
+        latent_f_size=4,
+        d_music=16,
+    )
+    wav = m.generate("an upbeat jazz piece", steps=2, guidance=3.0, seed=1)
+    assert wav.dtype == np.int16
+    assert wav.shape == (16 * 160 + 32,)
+    assert np.abs(wav).max() > 0

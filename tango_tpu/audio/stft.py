@@ -179,3 +179,62 @@ def wav_batch_to_fbank(
     y = jnp.nan_to_num(jnp.clip(jnp.asarray(waveforms), -1.0, 1.0))
     fbank, log_mag = mel.mel_spectrogram(y)
     return pad_spec(fbank, target_length), pad_spec(log_mag, target_length)
+
+
+# ------------------------------------------------------------- inverse / GL
+
+def stft_complex(y: jnp.ndarray, n_fft: int, hop: int, window: jnp.ndarray):
+    """(B, T) -> (magnitude, phase) like the reference STFT.transform
+    (stft.py:52-84)."""
+    frames = frame_signal(y.astype(jnp.float32), n_fft, hop)
+    spec = jnp.fft.rfft(frames * window[None, None, :], axis=-1)
+    return jnp.abs(spec), jnp.angle(spec)
+
+
+def istft(magnitude: jnp.ndarray, phase: jnp.ndarray, n_fft: int, hop: int,
+          window: jnp.ndarray) -> jnp.ndarray:
+    """Inverse STFT with window-sumsquare normalization.
+
+    Equivalent to the reference conv-transpose inverse (stft.py:86-128):
+    overlap-add of window * irfft(spec), divided by the squared-window
+    envelope, with the n_fft//2 reflect-pad margins trimmed.
+    magnitude/phase: (B, n_frames, 1 + n_fft//2) — NOTE: time-major (our
+    convention), transpose of the reference's channel-major layout.
+    """
+    b, n_frames, _ = magnitude.shape
+    spec = magnitude * jnp.exp(1j * phase)
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window[None, None, :]
+
+    out_len = n_fft + hop * (n_frames - 1)
+    idx = (np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
+    sig = jnp.zeros((b, out_len), jnp.float32).at[:, idx].add(
+        frames.reshape(b, -1), indices_are_sorted=False, unique_indices=False
+    )
+
+    wss = np.zeros(out_len, np.float32)
+    w2 = np.asarray(window) ** 2
+    for i in range(n_frames):
+        wss[i * hop : i * hop + n_fft] += w2
+    tiny = np.finfo(np.float32).tiny
+    sig = jnp.where(wss[None, :] > tiny, sig / jnp.where(wss > tiny, wss, 1.0)[None, :], sig)
+
+    pad = n_fft // 2
+    return sig[:, pad:-pad]
+
+
+def griffin_lim(magnitude: jnp.ndarray, n_fft: int = 1024, hop: int = 160,
+                n_iters: int = 30, rng=None) -> jnp.ndarray:
+    """Phase reconstruction (audio_processing.py:66-82).
+
+    magnitude: (B, n_frames, 1 + n_fft//2) linear magnitudes.
+    """
+    window = jnp.asarray(hann_window_periodic(n_fft))
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    phase = jax.random.uniform(rng, magnitude.shape, minval=-np.pi, maxval=np.pi)
+    signal = istft(magnitude, phase, n_fft, hop, window)
+    for _ in range(n_iters):
+        _, phase = stft_complex(signal, n_fft, hop, window)
+        n = min(phase.shape[1], magnitude.shape[1])
+        signal = istft(magnitude[:, :n], phase[:, :n], n_fft, hop, window)
+    return signal

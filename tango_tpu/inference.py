@@ -1,0 +1,104 @@
+"""Batch generation + objective evaluation driver.
+
+Reference equivalents: inference.py:71-203 (generate AudioCaps test set from a
+trained checkpoint, run audioldm_eval, log results) and inference_hf.py:70-119
+(same from a released HF snapshot). Usage:
+
+    python -m tango_tpu.inference --model <snapshot_dir> \
+        --test_file data/test_audiocaps_subset.json \
+        --reference_dir data/audiocaps_test_references/subset \
+        --num_steps 200 --guidance 3 --batch_size 8 [--num_samples 1]
+
+Outputs wavs named output_{i}.wav matching manifest line indices
+(README.md:203-207 pairing convention), writes metrics JSON + summary.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="tango_tpu inference + eval")
+    p.add_argument("--model", type=str, required=True, help="snapshot dir or HF repo id")
+    p.add_argument("--test_file", type=str, required=True)
+    p.add_argument("--text_key", type=str, default="captions")
+    p.add_argument("--reference_dir", type=str, default=None)
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--num_steps", type=int, default=200)
+    p.add_argument("--guidance", type=float, default=3.0)
+    p.add_argument("--num_samples", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_test_instances", type=int, default=-1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cnn14_ckpt", type=str, default=None)
+    p.add_argument("--vggish_ckpt", type=str, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import numpy as np
+
+    from tango_tpu.audio.wav import write_wav
+    from tango_tpu.pipeline import Tango
+    from tango_tpu.train.data import load_manifest
+
+    exp_id = str(int(time.time()))
+    out_dir = args.output_dir or os.path.join(
+        "outputs", f"{exp_id}_steps_{args.num_steps}_guidance_{args.guidance}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    examples = load_manifest(args.test_file)
+    prompts = [e.caption for e in examples]
+    if args.num_test_instances > 0:
+        prompts = prompts[: args.num_test_instances]
+
+    tango = Tango(args.model)
+    t0 = time.time()
+    waves = tango.generate_for_batch(
+        prompts,
+        steps=args.num_steps,
+        guidance=args.guidance,
+        samples=args.num_samples,
+        batch_size=args.batch_size,
+        seed=args.seed,
+    )
+    gen_time = time.time() - t0
+
+    for i, w in enumerate(waves):
+        w0 = w if args.num_samples == 1 else w[0]
+        write_wav(os.path.join(out_dir, f"output_{i}.wav"), w0, 16000)
+
+    audio_sec = len(prompts) * 10.24
+    record = {
+        "exp_id": exp_id,
+        "model": args.model,
+        "num_prompts": len(prompts),
+        "num_steps": args.num_steps,
+        "guidance": args.guidance,
+        "gen_time_s": round(gen_time, 2),
+        "x_realtime": round(audio_sec / gen_time, 3),
+        "output_dir": out_dir,
+    }
+
+    if args.reference_dir:
+        from tango_tpu.eval.evaluator import EvaluationHelper
+
+        helper = EvaluationHelper(
+            16000, cnn14_ckpt=args.cnn14_ckpt, vggish_ckpt=args.vggish_ckpt
+        )
+        result = helper.main(out_dir, args.reference_dir)
+        record["metrics"] = result
+
+    with open("summary.jsonl", "a") as f:
+        f.write(json.dumps(record) + "\n")
+    print(json.dumps(record, indent=2))
+
+
+if __name__ == "__main__":
+    main()

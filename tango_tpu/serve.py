@@ -1,0 +1,81 @@
+"""Serving layer — programmatic Predictor + CLI.
+
+Reference equivalents: the Replicate cog predictor (predict.py:29-60) and the
+shell drivers (inference.sh). The Predictor mirrors cog's setup/predict
+lifecycle: weights load once, each predict() call generates one clip and
+writes a wav. The CLI is the quick path:
+
+    python -m tango_tpu.serve --model <snapshot> --prompt "an audio prompt" \
+        --steps 100 --guidance 3 --output out.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+
+class Predictor:
+    """cog-style predictor (predict.py:29-60)."""
+
+    def __init__(self):
+        self.tango = None
+
+    def setup(self, model: str = "declare-lab/tango"):
+        from tango_tpu.pipeline import Tango
+
+        self.tango = Tango(model)
+        # warm the 100-step program so first request latency is steady-state
+        try:
+            self.tango.generate("warmup", steps=100)
+        except Exception:
+            pass
+
+    def predict(self, prompt: str, steps: int = 100, guidance: float = 3.0,
+                output_path: str = "output.wav", seed: Optional[int] = None) -> str:
+        from tango_tpu.audio.wav import write_wav
+
+        assert self.tango is not None, "call setup() first"
+        wav = self.tango.generate(prompt, steps=steps, guidance=guidance, seed=seed)
+        write_wav(output_path, wav, 16000)
+        return output_path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="tango_tpu generation CLI")
+    p.add_argument("--model", type=str, default="declare-lab/tango")
+    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--guidance", type=float, default=3.0)
+    p.add_argument("--samples", type=int, default=1)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--output", type=str, default="output.wav")
+    p.add_argument("--music", action="store_true", help="use the Mustango pipeline")
+    args = p.parse_args(argv)
+
+    from tango_tpu.audio.wav import write_wav
+
+    t0 = time.time()
+    if args.music:
+        from tango_tpu.pipeline_music import Mustango
+
+        model = Mustango(args.model)
+        wav = model.generate(args.prompt, steps=args.steps, guidance=args.guidance, seed=args.seed)
+    else:
+        from tango_tpu.pipeline import Tango
+
+        model = Tango(args.model)
+        wav = model.generate(
+            args.prompt, steps=args.steps, guidance=args.guidance,
+            samples=args.samples, seed=args.seed,
+        )
+        if args.samples > 1:
+            wav = wav[0]
+    write_wav(args.output, wav, 16000)
+    print(f"wrote {args.output} in {time.time()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -81,3 +81,39 @@ def test_fbank_shape_tango_config():
     fbank, log_mag = wav_batch_to_fbank(mel, y, target_length=1024)
     assert fbank.shape == (1, 1024, 64)
     assert log_mag.shape == (1, 1024, 512)  # 513 -> odd channel dropped
+
+
+def test_istft_roundtrip():
+    import jax.numpy as jnp
+
+    from tango_tpu.audio.stft import hann_window_periodic, istft, stft_complex
+
+    n_fft, hop = 1024, 160
+    t = np.linspace(0, 1, 16000, endpoint=False)
+    y = (0.5 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 1313 * t)).astype(np.float32)
+    window = jnp.asarray(hann_window_periodic(n_fft))
+    mag, phase = stft_complex(y[None], n_fft, hop, window)
+    rec = np.asarray(istft(mag, phase, n_fft, hop, window))[0]
+    n = min(len(rec), len(y))
+    # interior must reconstruct; edges are window-attenuated
+    err = np.abs(rec[2000 : n - 2000] - y[2000 : n - 2000]).max()
+    assert err < 1e-3, err
+
+
+def test_griffin_lim_converges():
+    import jax.numpy as jnp
+
+    from tango_tpu.audio.stft import griffin_lim, hann_window_periodic, stft_complex
+
+    n_fft, hop = 512, 128
+    t = np.linspace(0, 0.5, 8000, endpoint=False)
+    y = (0.5 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
+    window = jnp.asarray(hann_window_periodic(n_fft))
+    mag, _ = stft_complex(y[None], n_fft, hop, window)
+    rec = np.asarray(griffin_lim(mag, n_fft, hop, n_iters=32))[0]
+    mag2, _ = stft_complex(rec[None, : len(y)], n_fft, hop, window)
+    n = min(mag.shape[1], mag2.shape[1])
+    # compare interior frames (edge frames are window-attenuated)
+    a, b = mag[0, 4 : n - 4], mag2[0, 4 : n - 4]
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 0.2, rel

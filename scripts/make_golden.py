@@ -659,11 +659,68 @@ def make_cnn14_golden():
     print("cnn14_tiny:", out["2048"].shape, float(out["logits"].abs().mean()))
 
 
+def make_film_unet_golden():
+    """Tiny openai-style FiLM UNet from the reference audioldm package."""
+    import types
+    import importlib.util
+
+    sys.modules.setdefault("audioldm", types.ModuleType("audioldm"))
+    fake_utils = sys.modules.get("audioldm.utils") or types.ModuleType("audioldm.utils")
+    fake_utils.instantiate_from_config = lambda *a, **k: None
+    sys.modules["audioldm.utils"] = fake_utils
+    ld_pkg = types.ModuleType("audioldm.latent_diffusion")
+    sys.modules["audioldm.latent_diffusion"] = ld_pkg
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(
+            f"audioldm.latent_diffusion.{name}",
+            f"{REF}/audioldm/latent_diffusion/{name}.py")
+        m = importlib.util.module_from_spec(spec)
+        sys.modules[f"audioldm.latent_diffusion.{name}"] = m
+        spec.loader.exec_module(m)
+        return m
+
+    load("util")
+    load("attention")
+    om = load("openaimodel")
+
+    torch.manual_seed(44)
+    unet = om.UNetModel(
+        image_size=16,
+        in_channels=8,
+        out_channels=8,
+        model_channels=32,
+        num_res_blocks=1,
+        attention_resolutions=[2],
+        channel_mult=(1, 2),
+        num_head_channels=16,
+        extra_film_condition_dim=24,
+        extra_film_use_concat=True,
+        use_spatial_transformer=True,
+    )
+    # the reference zero-inits the final conv (zero_module) -> randomize for
+    # a meaningful parity target
+    unet.out[2].weight.data.normal_(0, 0.05)
+    unet.out[2].bias.data.normal_(0, 0.05)
+    unet.eval()
+    x = torch.randn(2, 8, 16, 4)
+    t = torch.tensor([10, 700])
+    film = torch.randn(2, 24)
+    with torch.no_grad():
+        out = unet(x, t, y=film)
+    np.savez(
+        OUT / "film_unet_tiny.npz",
+        x=x.numpy(), t=t.numpy(), film=film.numpy(), out=out.numpy(),
+        **state_to_numpy(unet.state_dict()),
+    )
+    print("film_unet_tiny:", out.shape, float(out.abs().mean()))
+
+
 if __name__ == "__main__":
     import sys as _sys
     only = _sys.argv[1:] if len(_sys.argv) > 1 else None
     for fn in [make_scheduler_golden, make_unet_golden, make_vae_golden,
-               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden]:
+               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden]:
         name = fn.__name__.replace("make_", "").replace("_golden", "")
         if only is None or name in only:
             fn()

@@ -1,0 +1,15 @@
+from tango_tpu.audioldm.pipeline import (
+    AudioLDMPipeline,
+    build_model,
+    duration_to_latent_t_size,
+    style_transfer,
+    text_to_audio,
+)
+
+__all__ = [
+    "AudioLDMPipeline",
+    "build_model",
+    "duration_to_latent_t_size",
+    "style_transfer",
+    "text_to_audio",
+]

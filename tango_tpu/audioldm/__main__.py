@@ -1,0 +1,3 @@
+from tango_tpu.audioldm.cli import main
+
+main()

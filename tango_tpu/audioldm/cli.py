@@ -1,0 +1,77 @@
+"""AudioLDM CLI — generation + style transfer.
+
+Reference: /root/reference/audioldm/__main__.py:11-183. Modes:
+  * generation:      python -m tango_tpu.audioldm -t "text" --ckpt path.ckpt
+  * style_transfer:  ... --mode transfer -f source.wav --transfer_strength 0.5
+
+Batch file input via --text_list (one prompt per line), matching the
+reference's -tl flag.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="tango_tpu AudioLDM CLI")
+    p.add_argument("--mode", type=str, default="generation",
+                   choices=["generation", "transfer"])
+    p.add_argument("-t", "--text", type=str, default="")
+    p.add_argument("-tl", "--text_list", type=str, default="")
+    p.add_argument("-f", "--file_path", type=str, default=None)
+    p.add_argument("--transfer_strength", type=float, default=0.5)
+    p.add_argument("-ckpt", "--ckpt_path", type=str, required=True)
+    p.add_argument("-s", "--save_path", type=str, default="./output")
+    p.add_argument("-dur", "--duration", type=float, default=10.0)
+    p.add_argument("-gs", "--guidance_scale", type=float, default=2.5)
+    p.add_argument("-n", "--n_candidate_gen_per_text", type=int, default=3)
+    p.add_argument("--ddim_steps", type=int, default=200)
+    p.add_argument("-b", "--batchsize", type=int, default=1)
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from tango_tpu.audio.wav import write_wav
+    from tango_tpu.audioldm.pipeline import build_model, style_transfer, text_to_audio
+
+    os.makedirs(args.save_path, exist_ok=True)
+    pipeline = build_model(args.ckpt_path)
+
+    prompts = []
+    if args.text_list:
+        with open(args.text_list) as f:
+            prompts = [ln.strip() for ln in f if ln.strip()]
+    elif args.text:
+        prompts = [args.text]
+    else:
+        raise SystemExit("provide -t or -tl")
+
+    for i, text in enumerate(prompts):
+        if args.mode == "generation":
+            wavs = text_to_audio(
+                pipeline, text,
+                original_audio_file_path=args.file_path,
+                seed=args.seed, ddim_steps=args.ddim_steps,
+                duration=args.duration, batchsize=args.batchsize,
+                guidance_scale=args.guidance_scale,
+                n_candidate_gen_per_text=args.n_candidate_gen_per_text,
+            )
+        else:
+            wavs = style_transfer(
+                pipeline, text, args.file_path, args.transfer_strength,
+                seed=args.seed, duration=args.duration,
+                batchsize=args.batchsize, guidance_scale=args.guidance_scale,
+                ddim_steps=args.ddim_steps,
+            )
+        name = text.replace(" ", "_")[:60] or f"sample_{i}"
+        for j, w in enumerate(wavs):
+            write_wav(os.path.join(args.save_path, f"{name}_{j}.wav"), w, 16000)
+        print(f"[{i}] wrote {len(wavs)} wav(s) for: {text}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,256 @@
+"""AudioLDM standalone pipeline — text-to-audio and style transfer.
+
+Reference: /root/reference/audioldm/pipeline.py:52-300 and ldm.py. AudioLDM
+conditions its FiLM UNet on a single CLAP embedding (not token-level
+cross-attention like Tango):
+
+  * text_to_audio: CLAP text embedding -> CFG DDIM sampling (default 200
+    steps, guidance 2.5, 3 candidates re-ranked by CLAP similarity) -> VAE
+    decode -> HiFi-GAN. Duration sets the latent time size
+    (duration * 25.6 — pipeline.py:94-95).
+  * style_transfer: encode the source mel to a latent, noise it to
+    t0 = strength * steps, denoise with text conditioning
+    (pipeline.py:201-267 semantics).
+
+Scheduler: the LDM 'linear' schedule == scaled_linear with
+beta in [0.0015, 0.0195], epsilon prediction (audioldm/utils.py:130-132).
+
+CLAP: the conditioner is a small protocol (text_embed/unconditional_embed);
+a torch-backed LAION-CLAP adapter can be plugged in, and tests inject stubs.
+A native JAX CLAP tower is tracked for a later round.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu import configs as C
+from tango_tpu.audio.stft import MelSpectrogram, wav_batch_to_fbank
+from tango_tpu.configs import SchedulerConfig, VAEConfig
+from tango_tpu.models.audioldm_unet import AUDIOLDM_S_UNET, FilmUNet, FilmUNetConfig
+from tango_tpu.models.hifigan import HiFiGANGenerator, waveform_to_int16
+from tango_tpu.models.vae import AutoencoderKL
+from tango_tpu.schedulers import DDIMScheduler
+
+AUDIOLDM_SCHEDULER = SchedulerConfig(
+    beta_start=0.0015,
+    beta_end=0.0195,
+    beta_schedule="scaled_linear",
+    prediction_type="epsilon",
+    clip_sample=False,
+    set_alpha_to_one=False,
+    steps_offset=1,
+)
+
+
+def duration_to_latent_t_size(duration: float) -> int:
+    return int(duration * 25.6)
+
+
+class ClapConditioner:
+    """Protocol: prompt(s) -> (B, 512) embeddings + unconditional embedding."""
+
+    dim: int = 512
+
+    def text_embed(self, prompts: Sequence[str]) -> np.ndarray:
+        raise NotImplementedError
+
+    def unconditional_embed(self, batch: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def similarity(self, waveforms: np.ndarray, prompt: str) -> np.ndarray:
+        """For candidate re-ranking; default: no preference."""
+        return np.zeros(len(waveforms))
+
+
+class StubClapConditioner(ClapConditioner):
+    """Deterministic text-hash embeddings (tests / no-CLAP environments)."""
+
+    def __init__(self, dim: int = 512):
+        self.dim = dim
+
+    def text_embed(self, prompts):
+        out = np.zeros((len(prompts), self.dim), np.float32)
+        for i, p in enumerate(prompts):
+            rng = np.random.RandomState(abs(hash(p)) % (2**31))
+            v = rng.randn(self.dim)
+            out[i] = v / np.linalg.norm(v)
+        return out
+
+    def unconditional_embed(self, batch):
+        return np.zeros((batch, self.dim), np.float32)
+
+
+@dataclasses.dataclass
+class AudioLDMPipeline:
+    """The LatentDiffusion equivalent, pure-function style."""
+
+    unet_config: FilmUNetConfig = AUDIOLDM_S_UNET
+    vae_config: VAEConfig = dataclasses.field(default_factory=VAEConfig)
+    hifigan_config: C.HiFiGANConfig = dataclasses.field(default_factory=C.HiFiGANConfig)
+    scheduler_config: SchedulerConfig = AUDIOLDM_SCHEDULER
+    stft_config: C.StftConfig = dataclasses.field(default_factory=C.StftConfig)
+    latent_f_size: int = 16
+    dtype: any = jnp.float32
+
+    unet_params: Optional[dict] = None
+    vae_params: Optional[dict] = None
+    hifigan_params: Optional[dict] = None
+    conditioner: Optional[ClapConditioner] = None
+
+    def __post_init__(self):
+        self.unet = FilmUNet(self.unet_config, dtype=self.dtype)
+        self.vae = AutoencoderKL(self.vae_config, dtype=self.dtype)
+        self.vocoder = HiFiGANGenerator(self.hifigan_config, dtype=self.dtype)
+        self.scheduler = DDIMScheduler.create(self.scheduler_config)
+        self.stft = MelSpectrogram(self.stft_config)
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_path: str, conditioner: Optional[ClapConditioner] = None,
+                        dtype=jnp.float32) -> "AudioLDMPipeline":
+        """Load the monolithic audioldm-*-full.ckpt (models.py:27-52 layout)."""
+        from tango_tpu.models.audioldm_unet import convert_film_unet
+        from tango_tpu.utils import convert as conv
+
+        sd = conv.load_torch_bin(ckpt_path)
+        vae_sd, scale = conv.split_audioldm_ckpt(sd)
+        unet_sd = {
+            k[len("model.diffusion_model."):]: v
+            for k, v in sd.items()
+            if k.startswith("model.diffusion_model.")
+        }
+        vocoder_sd = {k[len("vocoder."):]: v for k, v in vae_sd.items() if k.startswith("vocoder.")}
+        self = cls(
+            vae_config=dataclasses.replace(VAEConfig(), scale_factor=scale),
+            dtype=dtype,
+            unet_params=convert_film_unet(unet_sd),
+            vae_params=conv.convert_vae(vae_sd),
+            hifigan_params=conv.convert_hifigan(vocoder_sd) if vocoder_sd else None,
+            conditioner=conditioner or StubClapConditioner(),
+        )
+        return self
+
+    # -------------------------------------------------------------- sampling
+    def sample_latents(self, film_cond, film_uncond, rng, *, latent_t_size: int,
+                       ddim_steps: int, guidance_scale: float,
+                       init_latents=None, t_start: Optional[int] = None) -> jnp.ndarray:
+        """CFG DDIM scan over the FiLM UNet; optional partial-noising start."""
+        sched = self.scheduler
+        all_ts = sched.timesteps(ddim_steps)
+        if t_start is not None:
+            all_ts = all_ts[all_ts <= t_start]
+        timesteps = jnp.asarray(all_ts)
+        b = film_cond.shape[0]
+        shape = (b, latent_t_size, self.latent_f_size, self.unet_config.in_channels)
+
+        k_init, _ = jax.random.split(rng)
+        if init_latents is None:
+            latents = jax.random.normal(k_init, shape, jnp.float32)
+        else:
+            latents = init_latents
+
+        film = jnp.concatenate([film_uncond, film_cond], axis=0)
+
+        def body(lat, t):
+            lat_in = jnp.concatenate([lat, lat], axis=0)
+            t_b = jnp.full((2 * b,), t, jnp.int32)
+            pred = self.unet.apply(
+                {"params": self.unet_params}, lat_in.astype(self.dtype), t_b, film
+            ).astype(jnp.float32)
+            pu, pc = jnp.split(pred, 2, axis=0)
+            pred = pu + guidance_scale * (pc - pu)
+            lat, _ = self.scheduler.step(pred, t, lat, jnp.zeros_like(lat), ddim_steps, eta=0.0)
+            return lat, None
+
+        latents, _ = jax.lax.scan(body, latents, timesteps)
+        return latents
+
+    def decode(self, latents) -> np.ndarray:
+        mel = self.vae.apply({"params": self.vae_params}, latents, method=self.vae.decode_first_stage)
+        wav = self.vocoder.apply({"params": self.hifigan_params}, mel[..., 0])
+        return waveform_to_int16(np.asarray(wav.astype(jnp.float32)))
+
+
+def build_model(ckpt_path: str, conditioner=None, **kw) -> AudioLDMPipeline:
+    """Reference build_model equivalent (pipeline.py:52-92)."""
+    return AudioLDMPipeline.from_checkpoint(ckpt_path, conditioner=conditioner, **kw)
+
+
+def text_to_audio(
+    pipeline: AudioLDMPipeline,
+    text: str,
+    original_audio_file_path: Optional[str] = None,
+    seed: int = 42,
+    ddim_steps: int = 200,
+    duration: float = 10.0,
+    batchsize: int = 1,
+    guidance_scale: float = 2.5,
+    n_candidate_gen_per_text: int = 3,
+) -> np.ndarray:
+    """pipeline.py:107-143 semantics; candidates re-ranked by CLAP similarity."""
+    cond = pipeline.conditioner
+    n = batchsize * max(n_candidate_gen_per_text, 1)
+    film_cond = jnp.asarray(np.repeat(cond.text_embed([text]), n, axis=0))
+    film_uncond = jnp.asarray(cond.unconditional_embed(n))
+
+    rng = jax.random.PRNGKey(seed)
+    latents = pipeline.sample_latents(
+        film_cond, film_uncond, rng,
+        latent_t_size=duration_to_latent_t_size(duration),
+        ddim_steps=ddim_steps, guidance_scale=guidance_scale,
+    )
+    wavs = pipeline.decode(latents)
+    if n_candidate_gen_per_text > 1:
+        sims = cond.similarity(wavs.astype(np.float32) / 32768.0, text)
+        order = np.argsort(-np.asarray(sims))
+        wavs = wavs[order]
+    return wavs[:batchsize]
+
+
+def style_transfer(
+    pipeline: AudioLDMPipeline,
+    text: str,
+    original_audio_file_path: str,
+    transfer_strength: float,
+    seed: int = 42,
+    duration: float = 10.0,
+    batchsize: int = 1,
+    guidance_scale: float = 2.5,
+    ddim_steps: int = 200,
+) -> np.ndarray:
+    """pipeline.py:146-267: noise the source latent to strength*steps, denoise
+    under text conditioning."""
+    from tango_tpu.audio.wav import read_wav_file
+
+    target_len = int(duration * 102.4)
+    wav = read_wav_file(original_audio_file_path, target_len * 160)
+    fbank, _ = wav_batch_to_fbank(pipeline.stft, wav, target_len)
+    mel = fbank[..., None]
+
+    rng = jax.random.PRNGKey(seed)
+    k_enc, k_noise, k_samp = jax.random.split(rng, 3)
+    z0 = pipeline.vae.apply(
+        {"params": pipeline.vae_params}, mel, k_enc, method=pipeline.vae.encode_first_stage
+    )
+    z0 = jnp.repeat(z0, batchsize, axis=0)
+
+    t_start_idx = int(transfer_strength * ddim_steps)
+    all_ts = pipeline.scheduler.timesteps(ddim_steps)
+    t0 = int(all_ts[max(len(all_ts) - t_start_idx, 0)] if t_start_idx < len(all_ts) else all_ts[0])
+    noise = jax.random.normal(k_noise, z0.shape, jnp.float32)
+    noisy = pipeline.scheduler.add_noise(z0.astype(jnp.float32), noise, jnp.full((z0.shape[0],), t0))
+
+    cond = pipeline.conditioner
+    film_cond = jnp.asarray(np.repeat(cond.text_embed([text]), batchsize, axis=0))
+    film_uncond = jnp.asarray(cond.unconditional_embed(batchsize))
+    latents = pipeline.sample_latents(
+        film_cond, film_uncond, k_samp,
+        latent_t_size=z0.shape[1], ddim_steps=ddim_steps,
+        guidance_scale=guidance_scale, init_latents=noisy, t_start=t0,
+    )
+    return pipeline.decode(latents)

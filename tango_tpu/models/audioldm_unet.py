@@ -1,0 +1,341 @@
+"""AudioLDM's FiLM-conditioned UNet (openai-style) — NHWC Flax port.
+
+Reference: /root/reference/audioldm/latent_diffusion/openaimodel.py:430-793
+with the audioldm-s config (audioldm/utils.py:144-156): model_channels 128,
+channel_mult (1,2,3,5), 2 res blocks/level, self-attention SpatialTransformers
+at downsample rates {2,4,8}, num_head_channels 32, and a 512-d CLAP embedding
+FiLM-conditioned by CONCATENATION with the time embedding
+(extra_film_use_concat=True -> ResBlock emb Linear takes 2*time_embed_dim).
+
+Differences from the Tango/diffusers UNet worth noting:
+  * timestep embedding is [cos, sin] ordered (util.py timestep_embedding)
+  * skip connections are saved after EVERY input block including downsamples
+  * SpatialTransformer here runs WITHOUT cross-attention context (FiLM is the
+    only conditioning): attn2 is a second self-attention
+    (openaimodel.py:556-566 no_context path)
+  * proj_in/proj_out are 1x1 convs (attention.py SpatialTransformer)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu.configs import _FromDict
+from tango_tpu.models.unet import Attention, FeedForward
+from tango_tpu.ops.basic import group_norm, silu
+
+
+@dataclasses.dataclass(frozen=True)
+class FilmUNetConfig(_FromDict):
+    """Key-compatible with the reference unet_config params (utils.py:144-156)."""
+
+    image_size: int = 64
+    in_channels: int = 8
+    out_channels: int = 8
+    model_channels: int = 128
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (8, 4, 2)
+    channel_mult: Tuple[int, ...] = (1, 2, 3, 5)
+    num_head_channels: int = 32
+    extra_film_condition_dim: Optional[int] = 512
+    extra_film_use_concat: bool = True
+    use_spatial_transformer: bool = True
+    use_scale_shift_norm: bool = False
+    conv_resample: bool = True
+
+    def __post_init__(self):
+        object.__setattr__(self, "attention_resolutions", tuple(self.attention_resolutions))
+        object.__setattr__(self, "channel_mult", tuple(self.channel_mult))
+
+
+AUDIOLDM_S_UNET = FilmUNetConfig()
+
+
+def openai_timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
+    """[cos, sin] ordering (latent_diffusion/util.py timestep_embedding)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class FilmResBlock(nn.Module):
+    out_channels: int
+    use_scale_shift_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        in_ch = x.shape[-1]
+        s1 = self.param("in_norm_scale", nn.initializers.ones, (in_ch,))
+        b1 = self.param("in_norm_bias", nn.initializers.zeros, (in_ch,))
+        h = group_norm(x, s1, b1, 32, 1e-5, act="silu")
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+
+        emb_dim = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
+        e = nn.Dense(emb_dim, dtype=self.dtype, name="emb_proj")(silu(emb))
+
+        s2 = self.param("out_norm_scale", nn.initializers.ones, (self.out_channels,))
+        b2 = self.param("out_norm_bias", nn.initializers.zeros, (self.out_channels,))
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(e, 2, axis=-1)
+            h = group_norm(h, s2, b2, 32, 1e-5)
+            h = h * (1.0 + scale[:, None, None, :]) + shift[:, None, None, :]
+            h = silu(h)
+        else:
+            h = h + e[:, None, None, :]
+            h = group_norm(h, s2, b2, 32, 1e-5, act="silu")
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="out_conv")(h)
+
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class SelfSpatialTransformer(nn.Module):
+    """SpatialTransformer with no_context=True (both attentions are self)."""
+
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        residual = x
+        s = self.param("norm_scale", nn.initializers.ones, (c,))
+        bb = self.param("norm_bias", nn.initializers.zeros, (c,))
+        h = group_norm(x, s, bb, 32, 1e-6)
+        inner = self.heads * self.dim_head
+        h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(b, hh * ww, inner)
+        h2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(h)
+        h = h + Attention(self.heads, self.dim_head, True, self.dtype, name="attn1")(h2)
+        h2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = h + Attention(self.heads, self.dim_head, True, self.dtype, name="attn2")(h2)
+        h2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(h)
+        h = h + FeedForward(self.dtype, name="ff")(h2)
+        h = h.reshape(b, hh, ww, inner)
+        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return h + residual
+
+
+class FilmDownsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class FilmUpsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class FilmUNet(nn.Module):
+    cfg: FilmUNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def _heads(self, ch):
+        return ch // self.cfg.num_head_channels, self.cfg.num_head_channels
+
+    @nn.compact
+    def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
+                 film_cond: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """sample (B, T, F, C) NHWC, film_cond (B, extra_film_condition_dim)."""
+        cfg = self.cfg
+        time_embed_dim = cfg.model_channels * 4
+
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps[None], (sample.shape[0],))
+        t_emb = openai_timestep_embedding(timesteps, cfg.model_channels)
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_0")(t_emb.astype(self.dtype))
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_2")(silu(emb))
+
+        if cfg.extra_film_condition_dim is not None:
+            assert film_cond is not None, "FiLM condition required"
+            film = nn.Dense(time_embed_dim, dtype=self.dtype, name="film_emb")(
+                film_cond.astype(self.dtype)
+            )
+            if cfg.extra_film_use_concat:
+                emb = jnp.concatenate([emb, film], axis=-1)
+            else:
+                emb = emb + film
+
+        h = nn.Conv(cfg.model_channels, (3, 3), padding=1, dtype=self.dtype, name="input_conv")(
+            sample.astype(self.dtype)
+        )
+        hs = [h]
+        ch = cfg.model_channels
+        ds = 1
+        block_idx = 1
+        for level, mult in enumerate(cfg.channel_mult):
+            for _ in range(cfg.num_res_blocks):
+                ch = mult * cfg.model_channels
+                h = FilmResBlock(ch, cfg.use_scale_shift_norm, self.dtype,
+                                 name=f"input_{block_idx}_res")(h, emb)
+                if ds in cfg.attention_resolutions:
+                    heads, dim_head = self._heads(ch)
+                    h = SelfSpatialTransformer(heads, dim_head, self.dtype,
+                                               name=f"input_{block_idx}_attn")(h)
+                hs.append(h)
+                block_idx += 1
+            if level != len(cfg.channel_mult) - 1:
+                h = FilmDownsample(ch, self.dtype, name=f"input_{block_idx}_down")(h)
+                hs.append(h)
+                block_idx += 1
+                ds *= 2
+
+        heads, dim_head = self._heads(ch)
+        h = FilmResBlock(ch, cfg.use_scale_shift_norm, self.dtype, name="middle_res1")(h, emb)
+        h = SelfSpatialTransformer(heads, dim_head, self.dtype, name="middle_attn")(h)
+        h = FilmResBlock(ch, cfg.use_scale_shift_norm, self.dtype, name="middle_res2")(h, emb)
+
+        block_idx = 0
+        for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+            for i in range(cfg.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                ch = cfg.model_channels * mult
+                h = FilmResBlock(ch, cfg.use_scale_shift_norm, self.dtype,
+                                 name=f"output_{block_idx}_res")(h, emb)
+                if ds in cfg.attention_resolutions:
+                    heads, dim_head = self._heads(ch)
+                    h = SelfSpatialTransformer(heads, dim_head, self.dtype,
+                                               name=f"output_{block_idx}_attn")(h)
+                if level and i == cfg.num_res_blocks:
+                    h = FilmUpsample(ch, self.dtype, name=f"output_{block_idx}_up")(h)
+                    ds //= 2
+                block_idx += 1
+
+        s = self.param("out_norm_scale", nn.initializers.ones, (h.shape[-1],))
+        b = self.param("out_norm_bias", nn.initializers.zeros, (h.shape[-1],))
+        h = group_norm(h, s, b, 32, 1e-5, act="silu")
+        return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       kernel_init=nn.initializers.zeros, name="out_conv")(h)
+
+
+def convert_film_unet(sd, cfg: FilmUNetConfig = AUDIOLDM_S_UNET) -> dict:
+    """torch openai UNetModel state dict -> FilmUNet params.
+
+    torch layout: input_blocks.N.M.* / middle_block.M.* / output_blocks.N.M.*
+    where M indexes the layers inside each TimestepEmbedSequential.
+    """
+    import re
+
+    p: dict = {}
+
+    def conv(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    def set_(path, v):
+        node = p
+        parts = path.split("/")
+        for q in parts[:-1]:
+            node = node.setdefault(q, {})
+        node[parts[-1]] = v
+
+    def res_block(src_prefix, dst_prefix):
+        set_(f"{dst_prefix}/in_norm_scale", np.asarray(sd[f"{src_prefix}.in_layers.0.weight"]))
+        set_(f"{dst_prefix}/in_norm_bias", np.asarray(sd[f"{src_prefix}.in_layers.0.bias"]))
+        set_(f"{dst_prefix}/in_conv/kernel", conv(np.asarray(sd[f"{src_prefix}.in_layers.2.weight"])))
+        set_(f"{dst_prefix}/in_conv/bias", np.asarray(sd[f"{src_prefix}.in_layers.2.bias"]))
+        set_(f"{dst_prefix}/emb_proj/kernel", np.asarray(sd[f"{src_prefix}.emb_layers.1.weight"]).T)
+        set_(f"{dst_prefix}/emb_proj/bias", np.asarray(sd[f"{src_prefix}.emb_layers.1.bias"]))
+        set_(f"{dst_prefix}/out_norm_scale", np.asarray(sd[f"{src_prefix}.out_layers.0.weight"]))
+        set_(f"{dst_prefix}/out_norm_bias", np.asarray(sd[f"{src_prefix}.out_layers.0.bias"]))
+        set_(f"{dst_prefix}/out_conv/kernel", conv(np.asarray(sd[f"{src_prefix}.out_layers.3.weight"])))
+        set_(f"{dst_prefix}/out_conv/bias", np.asarray(sd[f"{src_prefix}.out_layers.3.bias"]))
+        if f"{src_prefix}.skip_connection.weight" in sd:
+            set_(f"{dst_prefix}/skip/kernel", conv(np.asarray(sd[f"{src_prefix}.skip_connection.weight"])))
+            set_(f"{dst_prefix}/skip/bias", np.asarray(sd[f"{src_prefix}.skip_connection.bias"]))
+
+    def spatial(src_prefix, dst_prefix):
+        set_(f"{dst_prefix}/norm_scale", np.asarray(sd[f"{src_prefix}.norm.weight"]))
+        set_(f"{dst_prefix}/norm_bias", np.asarray(sd[f"{src_prefix}.norm.bias"]))
+        for name in ("proj_in", "proj_out"):
+            set_(f"{dst_prefix}/{name}/kernel", conv(np.asarray(sd[f"{src_prefix}.{name}.weight"])))
+            set_(f"{dst_prefix}/{name}/bias", np.asarray(sd[f"{src_prefix}.{name}.bias"]))
+        tb = f"{src_prefix}.transformer_blocks.0"
+        for ln in ("norm1", "norm2", "norm3"):
+            set_(f"{dst_prefix}/{ln}/scale", np.asarray(sd[f"{tb}.{ln}.weight"]))
+            set_(f"{dst_prefix}/{ln}/bias", np.asarray(sd[f"{tb}.{ln}.bias"]))
+        for attn in ("attn1", "attn2"):
+            for proj in ("to_q", "to_k", "to_v"):
+                set_(f"{dst_prefix}/{attn}/{proj}/kernel", np.asarray(sd[f"{tb}.{attn}.{proj}.weight"]).T)
+            set_(f"{dst_prefix}/{attn}/to_out_0/kernel", np.asarray(sd[f"{tb}.{attn}.to_out.0.weight"]).T)
+            set_(f"{dst_prefix}/{attn}/to_out_0/bias", np.asarray(sd[f"{tb}.{attn}.to_out.0.bias"]))
+        set_(f"{dst_prefix}/ff/net_0_proj/kernel", np.asarray(sd[f"{tb}.ff.net.0.proj.weight"]).T)
+        set_(f"{dst_prefix}/ff/net_0_proj/bias", np.asarray(sd[f"{tb}.ff.net.0.proj.bias"]))
+        set_(f"{dst_prefix}/ff/net_2/kernel", np.asarray(sd[f"{tb}.ff.net.2.weight"]).T)
+        set_(f"{dst_prefix}/ff/net_2/bias", np.asarray(sd[f"{tb}.ff.net.2.bias"]))
+
+    set_("time_embed_0/kernel", np.asarray(sd["time_embed.0.weight"]).T)
+    set_("time_embed_0/bias", np.asarray(sd["time_embed.0.bias"]))
+    set_("time_embed_2/kernel", np.asarray(sd["time_embed.2.weight"]).T)
+    set_("time_embed_2/bias", np.asarray(sd["time_embed.2.bias"]))
+    if "film_emb.weight" in sd:
+        set_("film_emb/kernel", np.asarray(sd["film_emb.weight"]).T)
+        set_("film_emb/bias", np.asarray(sd["film_emb.bias"]))
+
+    set_("input_conv/kernel", conv(np.asarray(sd["input_blocks.0.0.weight"])))
+    set_("input_conv/bias", np.asarray(sd["input_blocks.0.0.bias"]))
+
+    # walk torch block indices mirroring the constructor order
+    n_levels = len(cfg.channel_mult)
+    idx = 1
+    ds = 1
+    for level in range(n_levels):
+        for _ in range(cfg.num_res_blocks):
+            res_block(f"input_blocks.{idx}.0", f"input_{idx}_res")
+            if ds in cfg.attention_resolutions:
+                spatial(f"input_blocks.{idx}.1", f"input_{idx}_attn")
+            idx += 1
+        if level != n_levels - 1:
+            set_(f"input_{idx}_down/conv/kernel", conv(np.asarray(sd[f"input_blocks.{idx}.0.op.weight"])))
+            set_(f"input_{idx}_down/conv/bias", np.asarray(sd[f"input_blocks.{idx}.0.op.bias"]))
+            idx += 1
+            ds *= 2
+
+    res_block("middle_block.0", "middle_res1")
+    spatial("middle_block.1", "middle_attn")
+    res_block("middle_block.2", "middle_res2")
+
+    out_idx = 0
+    for level in range(n_levels - 1, -1, -1):
+        for i in range(cfg.num_res_blocks + 1):
+            res_block(f"output_blocks.{out_idx}.0", f"output_{out_idx}_res")
+            li = 1
+            if ds in cfg.attention_resolutions:
+                spatial(f"output_blocks.{out_idx}.{li}", f"output_{out_idx}_attn")
+                li += 1
+            if level and i == cfg.num_res_blocks:
+                set_(f"output_{out_idx}_up/conv/kernel",
+                     conv(np.asarray(sd[f"output_blocks.{out_idx}.{li}.conv.weight"])))
+                set_(f"output_{out_idx}_up/conv/bias",
+                     np.asarray(sd[f"output_blocks.{out_idx}.{li}.conv.bias"]))
+                ds //= 2
+            out_idx += 1
+
+    set_("out_norm_scale", np.asarray(sd["out.0.weight"]))
+    set_("out_norm_bias", np.asarray(sd["out.0.bias"]))
+    set_("out_conv/kernel", conv(np.asarray(sd["out.2.weight"])))
+    set_("out_conv/bias", np.asarray(sd["out.2.bias"]))
+    return p

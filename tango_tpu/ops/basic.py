@@ -12,8 +12,18 @@ XLA implementations are the reference/CPU fallback and the numerics oracle.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+@functools.cache
+def _gn_pallas_enabled() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 def silu(x: jnp.ndarray) -> jnp.ndarray:
@@ -31,13 +41,19 @@ def group_norm(
     """GroupNorm over a channels-last tensor of shape (..., spatial..., C).
 
     Matches torch.nn.GroupNorm(num_groups, C, eps): stats per (batch, group)
-    over all spatial positions and the group's channels.
+    over all spatial positions and the group's channels. On TPU, dispatches to
+    the fused single-pass Pallas kernel (ops/gn_silu_pallas.py).
 
     Args:
       x: (B, *spatial, C)
       scale, bias: (C,)
       act: optional fused activation: None | "silu".
     """
+    if _gn_pallas_enabled():
+        from tango_tpu.ops.gn_silu_pallas import gn_pallas_supported, group_norm_pallas
+
+        if gn_pallas_supported(x, num_groups):
+            return group_norm_pallas(x, scale, bias, num_groups, eps, act)
     orig_dtype = x.dtype
     b = x.shape[0]
     c = x.shape[-1]

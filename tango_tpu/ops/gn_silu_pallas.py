@@ -1,0 +1,106 @@
+"""Fused GroupNorm(+SiLU) — Pallas TPU kernel.
+
+GroupNorm is ~23% of a UNet eval when left to XLA (measured by ablation:
+30.5ms -> 23.6ms with normalization removed): the f32 stats force multi-pass
+HBM round-trips between the conv that produced the activation and the conv
+that consumes it. This kernel reads the activation once per batch element:
+sums and sum-of-squares accumulate in f32 while the block is VMEM-resident,
+group statistics reduce over the channel (lane) axis via a tiny 0/1 matmul
+(C x G on the MXU — lanes cannot be partially reduced on the VPU), and the
+normalize + affine + SiLU writes straight back out.
+
+Channels-last layout (B, S, C); groups divide C. Stats match
+torch.nn.GroupNorm (per (batch, group) over S x C/G).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int, eps: float,
+               act: str | None):
+    x = x_ref[0].astype(jnp.float32)  # (S, C)
+    s, c = x.shape
+    g = num_groups
+    cg = c // g
+
+    # 0/1 group-membership matrix (C, G) built from iota — MXU-reduces lanes
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
+    member = (ch // cg == gr).astype(jnp.float32)
+
+    col_sum = jnp.sum(x, axis=0, keepdims=True)          # (1, C)
+    col_sumsq = jnp.sum(x * x, axis=0, keepdims=True)    # (1, C)
+    gsum = jnp.dot(col_sum, member, preferred_element_type=jnp.float32)    # (1, G)
+    gsumsq = jnp.dot(col_sumsq, member, preferred_element_type=jnp.float32)
+
+    n = jnp.float32(s * cg)
+    mean_g = gsum / n
+    var_g = gsumsq / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+
+    # broadcast group stats back to channels: (1, G) @ (G, C)
+    mean_c = jnp.dot(mean_g, member.T, preferred_element_type=jnp.float32)  # (1, C)
+    inv_c = jnp.dot(inv_g, member.T, preferred_element_type=jnp.float32)
+
+    gamma = scale_ref[0].astype(jnp.float32)[None, :]
+    beta = bias_ref[0].astype(jnp.float32)[None, :]
+    a = inv_c * gamma
+    b = beta - mean_c * a
+    y = x * a + b
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "act", "interpret"))
+def group_norm_pallas(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int,
+    eps: float = 1e-6,
+    act: str | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x (B, *spatial, C) -> GroupNorm(+SiLU)(x), one HBM read + one write."""
+    orig_shape = x.shape
+    b = x.shape[0]
+    c = x.shape[-1]
+    x3 = x.reshape(b, -1, c)
+    s = x3.shape[1]
+
+    out = pl.pallas_call(
+        functools.partial(_gn_kernel, num_groups=num_groups, eps=eps, act=act),
+        out_shape=jax.ShapeDtypeStruct(x3.shape, x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * s * c,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=b * s * c if act == "silu" else 0,
+        ),
+        interpret=interpret,
+    )(x3, scale.reshape(1, c), bias.reshape(1, c))
+    return out.reshape(orig_shape)
+
+
+def gn_pallas_supported(x: jnp.ndarray, num_groups: int) -> bool:
+    """Whole-sample blocks must fit VMEM with headroom (~8 MB in f32)."""
+    c = x.shape[-1]
+    s = int(np.prod(x.shape[1:-1]))
+    if c % num_groups != 0:
+        return False
+    return s * c * 4 <= 8 * 1024 * 1024

@@ -1,0 +1,86 @@
+"""AudioLDM pipeline: tiny end-to-end text_to_audio + style_transfer."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tango_tpu import configs as C
+from tango_tpu.audioldm.pipeline import (
+    AudioLDMPipeline,
+    StubClapConditioner,
+    duration_to_latent_t_size,
+    style_transfer,
+    text_to_audio,
+)
+from tango_tpu.models.audioldm_unet import FilmUNetConfig
+
+TINY_FILM_UNET = FilmUNetConfig(
+    in_channels=8, out_channels=8, model_channels=32, num_res_blocks=1,
+    attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=16,
+    extra_film_condition_dim=32, extra_film_use_concat=True,
+)
+TINY_VAE = C.VAEConfig(embed_dim=8, z_channels=8, ch=32, ch_mult=(1, 2), num_res_blocks=1)
+TINY_HIFI = C.HiFiGANConfig(num_mels=8, upsample_initial_channel=32)
+
+
+@pytest.fixture(scope="module")
+def tiny_audioldm(tmp_path_factory):
+    pipe = AudioLDMPipeline(
+        unet_config=TINY_FILM_UNET,
+        vae_config=TINY_VAE,
+        hifigan_config=TINY_HIFI,
+        stft_config=C.StftConfig(n_mel_channels=8),
+        latent_f_size=4,
+        conditioner=StubClapConditioner(dim=32),
+    )
+    k = jax.random.PRNGKey(0)
+    pipe.unet_params = pipe.unet.init(
+        k, jnp.zeros((1, 8, 4, 8)), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 32))
+    )["params"]
+    pipe.vae_params = pipe.vae.init(k, jnp.zeros((1, 16, 8, 1)), k)["params"]
+    pipe.hifigan_params = pipe.vocoder.init(k, jnp.zeros((1, 8, 8)))["params"]
+    return pipe
+
+
+def test_duration_mapping():
+    assert duration_to_latent_t_size(10) == 256
+
+
+def test_text_to_audio(tiny_audioldm):
+    wavs = text_to_audio(
+        tiny_audioldm, "a cat meows", duration=8 / 25.6, ddim_steps=3,
+        batchsize=1, n_candidate_gen_per_text=2,
+    )
+    assert wavs.shape[0] == 1
+    assert wavs.dtype == np.int16
+
+
+def test_style_transfer(tiny_audioldm, tmp_path):
+    from tango_tpu.audio.wav import write_wav
+
+    src = str(tmp_path / "src.wav")
+    t = np.linspace(0, 1, 16000, endpoint=False)
+    write_wav(src, (0.5 * np.sin(2 * np.pi * 330 * t)).astype(np.float32))
+    # duration chosen so mel length 16 -> latent 8 (ch_mult (1,2) => /2)
+    wavs = style_transfer(
+        tiny_audioldm, "lo-fi beat", src, transfer_strength=0.5,
+        duration=16 / 102.4, ddim_steps=4, batchsize=1,
+    )
+    assert wavs.shape[0] == 1 and wavs.dtype == np.int16
+
+
+def test_candidate_ranking_uses_similarity(tiny_audioldm):
+    class BiasedCond(StubClapConditioner):
+        def similarity(self, wavs, prompt):
+            return np.arange(len(wavs))[::-1] * -1.0  # prefers the LAST candidate
+
+    tiny_audioldm.conditioner = BiasedCond(dim=32)
+    wavs = text_to_audio(
+        tiny_audioldm, "x", duration=8 / 25.6, ddim_steps=2,
+        batchsize=1, n_candidate_gen_per_text=3, seed=5,
+    )
+    assert wavs.shape[0] == 1
+    tiny_audioldm.conditioner = StubClapConditioner(dim=32)

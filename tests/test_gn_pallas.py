@@ -1,0 +1,45 @@
+"""Fused GroupNorm+SiLU Pallas kernel vs XLA reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tango_tpu.ops.basic import group_norm
+from tango_tpu.ops.gn_silu_pallas import gn_pallas_supported, group_norm_pallas
+
+
+@pytest.mark.parametrize(
+    "shape,groups,act",
+    [
+        ((2, 256, 16, 320), 32, "silu"),
+        ((2, 64, 4, 1280), 32, None),
+        ((3, 37, 8, 64), 8, "silu"),  # odd spatial size
+    ],
+)
+def test_gn_pallas_matches_xla(shape, groups, act):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(k1, shape, jnp.float32) * 2 + 0.5
+    scale = jax.random.normal(k2, (shape[-1],)) * 0.2 + 1.0
+    bias = jax.random.normal(k3, (shape[-1],)) * 0.1
+    ref = group_norm(x, scale, bias, groups, 1e-6, act=act)
+    out = group_norm_pallas(x, scale, bias, groups, 1e-6, act=act, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_gn_pallas_bf16():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 8, 64), jnp.bfloat16)
+    scale = jnp.ones((64,))
+    bias = jnp.zeros((64,))
+    ref = group_norm(x, scale, bias, 8, 1e-5, act="silu")
+    out = group_norm_pallas(x, scale, bias, 8, 1e-5, act="silu", interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_gn_supported_gate():
+    assert gn_pallas_supported(jnp.zeros((1, 256, 16, 320)), 32)
+    assert not gn_pallas_supported(jnp.zeros((1, 256, 16, 320)), 7)  # 320 % 7
+    assert not gn_pallas_supported(jnp.zeros((1, 4096, 16, 640)), 32)  # too big for VMEM

@@ -113,3 +113,21 @@ def test_music_diffusion_loss_and_sample():
     )
     assert out.shape == (2, 8, 4, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_film_unet_parity():
+    """AudioLDM openai-style FiLM UNet vs reference (belongs to the audioldm
+    family but shares this golden-driven test module)."""
+    from tango_tpu.models.audioldm_unet import FilmUNet, FilmUNetConfig, convert_film_unet
+
+    g = load_golden("film_unet_tiny")
+    cfg = FilmUNetConfig(
+        image_size=16, in_channels=8, out_channels=8, model_channels=32,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_head_channels=16, extra_film_condition_dim=24, extra_film_use_concat=True,
+    )
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_film_unet(sd, cfg)
+    model = FilmUNet(cfg)
+    out = model.apply({"params": params}, nchw_to_nhwc(g["x"]), g["t"], g["film"])
+    np.testing.assert_allclose(nhwc_to_nchw(np.asarray(out)), g["out"], atol=2e-4, rtol=1e-3)

@@ -221,3 +221,46 @@ def log_spectral_distance(audio1: np.ndarray, audio2: np.ndarray, n_fft: int = 2
     lsd = np.mean(np.sqrt(np.mean((np.log10(s1 / s2)) ** 2, axis=-1)))
     lg1, lg2 = np.log10(s1), np.log10(s2)
     return {"lsd": float(lsd), "ssim": ssim(lg1, lg2)}
+
+
+# ----------------------------------------------------------------------- NDB
+
+def calculate_ndb(
+    train_features: np.ndarray,
+    test_features: np.ndarray,
+    number_of_bins: int = 50,
+    significance_level: float = 0.05,
+    rng_seed: int = 0,
+) -> dict:
+    """Number of Statistically-Different Bins (reference metrics/ndb.py).
+
+    K-means bins on the reference set; per-bin two-proportion z-test between
+    reference and generated bin frequencies; NDB = #bins where the proportions
+    differ significantly. Returns NDB and the JS divergence of bin histograms.
+    """
+    from scipy.stats import norm
+    from sklearn.cluster import KMeans
+
+    km = KMeans(n_clusters=number_of_bins, random_state=rng_seed, n_init=3)
+    train_labels = km.fit_predict(train_features)
+    test_labels = km.predict(test_features)
+
+    n1, n2 = len(train_labels), len(test_labels)
+    p1 = np.bincount(train_labels, minlength=number_of_bins) / n1
+    p2 = np.bincount(test_labels, minlength=number_of_bins) / n2
+
+    p_pool = (p1 * n1 + p2 * n2) / (n1 + n2)
+    se = np.sqrt(p_pool * (1 - p_pool) * (1 / n1 + 1 / n2))
+    z = np.zeros(number_of_bins)
+    nz = se > 0
+    z[nz] = (p1[nz] - p2[nz]) / se[nz]
+    threshold = norm.ppf(1 - significance_level / 2)
+    ndb = int(np.sum(np.abs(z) > threshold))
+
+    def _kl(a, b):
+        m = a > 0
+        return float(np.sum(a[m] * np.log(a[m] / np.maximum(b[m], 1e-12))))
+
+    mix = 0.5 * (p1 + p2)
+    js = 0.5 * _kl(p1, mix) + 0.5 * _kl(p2, mix)
+    return {"ndb": ndb, "ndb_over_bins": ndb / number_of_bins, "js_divergence": float(js)}

@@ -1,0 +1,143 @@
+"""DPO training CLI — `python -m tango_tpu.train.dpo_cli`.
+
+Reference: tango2/tango2-train.py:291-670. Dataset: JSON manifest of
+{"captions", "chosen", "rejected"} wav paths (the reference materializes
+audio-alpaca rows to wav files first, tango2-train.py:344-349 — use
+scripts/prepare_audio_alpaca.py for that step when the HF dataset is
+available). Recipe defaults follow README.md:155-166: lr 9.6e-7, beta 2000,
+5 epochs, 1 SFT-first epoch, bs 4 x ga 4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="tango_tpu DPO training")
+    p.add_argument("--train_file", type=str, required=True,
+                   help="JSONL: {captions, chosen, rejected} per line")
+    p.add_argument("--tango_snapshot", type=str, required=True,
+                   help="starting SFT checkpoint (reference-format snapshot)")
+    p.add_argument("--learning_rate", type=float, default=9.6e-7)
+    p.add_argument("--beta_dpo", type=float, default=2000.0)
+    p.add_argument("--num_train_epochs", type=int, default=5)
+    p.add_argument("--sft_first_epochs", type=int, default=1)
+    p.add_argument("--per_device_train_batch_size", type=int, default=4)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=4)
+    p.add_argument("--target_length", type=int, default=1024)
+    p.add_argument("--max_text_length", type=int, default=128)
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def load_preference_manifest(path: str):
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                rows.append(json.loads(line))
+    return rows
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tango_tpu.audio.stft import MelSpectrogram, wav_batch_to_fbank
+    from tango_tpu.audio.wav import read_wav_file
+    from tango_tpu.configs import DPOConfig
+    from tango_tpu.models.dpo import DPOAudioDiffusion
+    from tango_tpu.models.t5 import FLAN_T5_LARGE, T5Encoder
+    from tango_tpu.models.vae import AutoencoderKL
+    from tango_tpu.parallel import mesh as pmesh
+    from tango_tpu.train.dpo import DPOTrainer
+    from tango_tpu.utils import checkpoint as ckpt_io
+
+    out_dir = args.output_dir or os.path.join("saved", f"dpo_{int(time.time())}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    loaded = ckpt_io.load_tango_snapshot(args.tango_snapshot)
+    vae = AutoencoderKL(loaded["vae_config"])
+    t5 = T5Encoder(FLAN_T5_LARGE)
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(loaded["main_config"].text_encoder_name)
+
+    cfg = DPOConfig(
+        learning_rate=args.learning_rate,
+        beta_dpo=args.beta_dpo,
+        num_train_epochs=args.num_train_epochs,
+        sft_first_epochs=args.sft_first_epochs,
+        per_device_train_batch_size=args.per_device_train_batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+    )
+    mesh = pmesh.make_mesh(data=-1, model=args.model_parallel)
+    data_size = mesh.shape["data"]
+    bs = args.per_device_train_batch_size * data_size
+
+    diffusion = DPOAudioDiffusion(
+        unet_config=loaded["unet_config"], beta_dpo=args.beta_dpo
+    )
+    vae_params = jax.device_put(loaded["vae_params"], pmesh.replicated(mesh))
+    t5_params = jax.device_put(loaded["t5_params"], pmesh.replicated(mesh))
+
+    rows = load_preference_manifest(args.train_file)
+    steps_per_epoch = max(len(rows) // bs // args.gradient_accumulation_steps, 1)
+    trainer = DPOTrainer(
+        diffusion, vae, vae_params, cfg,
+        total_steps=steps_per_epoch * args.num_train_epochs, mesh=mesh,
+    )
+    state = trainer.init_state(loaded["unet_params"])
+    # frozen reference copy of the STARTING unet (tango2-train.py:429-431)
+    ref_params = jax.device_put(loaded["unet_params"], pmesh.replicated(mesh))
+
+    stft = MelSpectrogram(loaded["stft_config"])
+    t5_apply = jax.jit(lambda p, i, m: t5.apply({"params": p}, i, m))
+
+    def batches():
+        import random
+
+        order = list(range(len(rows)))
+        random.Random(args.seed).shuffle(order)
+        for k in range(0, len(order) - bs + 1, bs):
+            chunk = [rows[i] for i in order[k : k + bs]]
+            w = np.concatenate(
+                [read_wav_file(r["chosen"], args.target_length * 160) for r in chunk], 0
+            )
+            l = np.concatenate(
+                [read_wav_file(r["rejected"], args.target_length * 160) for r in chunk], 0
+            )
+            fb_w, _ = wav_batch_to_fbank(stft, w, args.target_length)
+            fb_l, _ = wav_batch_to_fbank(stft, l, args.target_length)
+            tok = tokenizer(
+                [r["captions"] for r in chunk], max_length=args.max_text_length,
+                padding="max_length", truncation=True, return_tensors="np",
+            )
+            embeds = t5_apply(t5_params, tok["input_ids"], tok["attention_mask"])
+            yield pmesh.shard_batch(
+                {
+                    "fbank_w": jnp.asarray(fb_w),
+                    "fbank_l": jnp.asarray(fb_l),
+                    "text_embeds": embeds,
+                    "text_mask": jnp.asarray(tok["attention_mask"]),
+                },
+                mesh,
+            )
+
+    with mesh:
+        trainer.fit(
+            state, ref_params, batches, jax.random.PRNGKey(args.seed), out_dir,
+            log_fn=lambda r: print(json.dumps(r), flush=True),
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Profiling / timing utilities — first-class observability (SURVEY.md §5
+notes the reference has none; the north-star metric is audio-sec/sec/chip).
+
+  * `device_timer`: wall-clock a jitted fn with block_until_ready semantics
+    forced by a host fetch (the axon relay's block_until_ready returns early
+    for small transfers; fetching a scalar is the reliable sync).
+  * `trace`: context manager around jax.profiler for TensorBoard traces.
+  * `realtime_factor`: audio benchmark bookkeeping.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Iterable
+
+import jax
+import numpy as np
+
+
+def sync(tree) -> None:
+    """Reliably wait for device work: fetch one element of one leaf."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if leaves:
+        np.asarray(jax.device_get(jax.tree_util.tree_map(lambda x: x, leaves[0]))).ravel()[:1]
+
+
+def device_timer(fn: Callable, *args, iters: int = 5, warmup: int = 1) -> dict:
+    """Median/percentile wall times of fn(*args) with proper syncing."""
+    for _ in range(warmup):
+        sync(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        sync(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    return {
+        "p50_s": float(np.median(times)),
+        "mean_s": float(times.mean()),
+        "min_s": float(times.min()),
+        "iters": iters,
+    }
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/tango_tpu_trace"):
+    """jax.profiler trace for TensorBoard (works on real TPU backends)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def realtime_factor(audio_seconds: float, wall_seconds: float, chips: int = 1) -> float:
+    return audio_seconds / wall_seconds / chips

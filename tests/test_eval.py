@@ -109,3 +109,15 @@ def test_vggish_frontend_shapes():
     params = model.init(jax.random.PRNGKey(0), ex)["params"]
     emb = model.apply({"params": params}, ex)
     assert emb.shape == (2, 128)
+
+
+def test_ndb_same_vs_shifted():
+    rng = np.random.RandomState(0)
+    ref = rng.randn(600, 8)
+    same = rng.randn(600, 8)
+    shifted = rng.randn(600, 8) + 2.5
+    same_res = M.calculate_ndb(ref, same, number_of_bins=10)
+    shift_res = M.calculate_ndb(ref, shifted, number_of_bins=10)
+    assert same_res["ndb"] <= 3
+    assert shift_res["ndb"] >= 7
+    assert shift_res["js_divergence"] > same_res["js_divergence"]

@@ -716,11 +716,48 @@ def make_film_unet_golden():
     print("film_unet_tiny:", out.shape, float(out.abs().mean()))
 
 
+def make_clap_text_golden():
+    """HF RobertaModel (tiny, random) + CLAP-style projection golden."""
+    from transformers import RobertaConfig as HFRC, RobertaModel
+
+    torch.manual_seed(55)
+    cfg = HFRC(
+        vocab_size=120, hidden_size=32, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=1, pad_token_id=1,
+    )
+    model = RobertaModel(cfg)
+    model.eval()
+    proj = torch.nn.Sequential(
+        torch.nn.Linear(32, 16), torch.nn.ReLU(), torch.nn.Linear(16, 16)
+    )
+    ids = torch.randint(3, 120, (2, 9))
+    ids[0, 6:] = 1  # pad
+    mask = (ids != 1).long()
+    ids[:, 0] = 0  # <s>
+    mask[:, 0] = 1
+    with torch.no_grad():
+        out = model(input_ids=ids, attention_mask=mask)
+        pooled = out.pooler_output
+        p = proj(pooled)
+        emb = torch.nn.functional.normalize(p, dim=-1)
+    sd = {k: v for k, v in model.state_dict().items()}
+    sd.update({f"text_projection.{k}": v for k, v in proj.state_dict().items()})
+    np.savez(
+        OUT / "clap_text_tiny.npz",
+        ids=ids.numpy(), mask=mask.numpy(),
+        pooled=pooled.numpy(), emb=emb.numpy(),
+        last_hidden=out.last_hidden_state.numpy(),
+        **state_to_numpy(sd),
+    )
+    print("clap_text_tiny:", emb.shape, float(emb.abs().mean()))
+
+
 if __name__ == "__main__":
     import sys as _sys
     only = _sys.argv[1:] if len(_sys.argv) > 1 else None
     for fn in [make_scheduler_golden, make_unet_golden, make_vae_golden,
-               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden]:
+               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden, make_clap_text_golden]:
         name = fn.__name__.replace("make_", "").replace("_golden", "")
         if only is None or name in only:
             fn()

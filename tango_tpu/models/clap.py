@@ -1,0 +1,221 @@
+"""CLAP text tower — JAX RoBERTa encoder + projection (LAION-CLAP).
+
+Reference: audioldm/clap/open_clip/model.py:517-527, 657-664, 731-746 —
+the text path AudioLDM conditions on is RobertaModel("roberta-base")'s
+pooler_output -> Sequential(Linear 768->512, ReLU, Linear 512->512) ->
+L2-normalize. The unconditional embedding is the embedding of "" (encoders.py
+get_unconditional_condition).
+
+RoBERTa specifics reproduced:
+  * position ids = cumsum(mask) * mask + padding_idx (pad token 1, offset 2)
+  * post-LayerNorm transformer blocks, gelu FFN, learned positions
+  * pooler = tanh(Linear(hidden_cls))
+
+The audio tower (HTSAT swin transformer) is wrapped behind the
+ClapConditioner protocol for scoring and is tracked for a native port in a
+later round — text conditioning (what AudioLDM's generation path needs) is
+fully TPU-native here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu.configs import _FromDict
+
+
+@dataclasses.dataclass(frozen=True)
+class RobertaConfig(_FromDict):
+    vocab_size: int = 50265
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 514
+    type_vocab_size: int = 1
+    layer_norm_eps: float = 1e-5
+    pad_token_id: int = 1
+    projection_dim: int = 512
+
+
+ROBERTA_BASE = RobertaConfig()
+
+
+def roberta_position_ids(input_ids: jnp.ndarray, pad_id: int = 1) -> jnp.ndarray:
+    mask = (input_ids != pad_id).astype(jnp.int32)
+    return jnp.cumsum(mask, axis=1) * mask + pad_id
+
+
+class RobertaSelfAttention(nn.Module):
+    cfg: RobertaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_bias):
+        c = self.cfg
+        h = c.num_attention_heads
+        d = c.hidden_size // h
+        b, s, _ = x.shape
+        q = nn.Dense(c.hidden_size, dtype=self.dtype, name="query")(x)
+        k = nn.Dense(c.hidden_size, dtype=self.dtype, name="key")(x)
+        v = nn.Dense(c.hidden_size, dtype=self.dtype, name="value")(x)
+        q = q.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits * (d**-0.5) + mask_bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(b, s, -1)
+        return nn.Dense(c.hidden_size, dtype=self.dtype, name="output_dense")(out)
+
+
+class RobertaLayer(nn.Module):
+    cfg: RobertaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_bias):
+        c = self.cfg
+        a = RobertaSelfAttention(c, self.dtype, name="attention")(x, mask_bias)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="attention_ln")(x + a)
+        h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate")(x)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(h)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="output_ln")(x + h)
+
+
+class ClapTextEncoder(nn.Module):
+    """input_ids, attention_mask -> L2-normalized (B, projection_dim)."""
+
+    cfg: RobertaConfig = ROBERTA_BASE
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
+                 return_hidden: bool = False):
+        c = self.cfg
+        word = self.param("word_embeddings", nn.initializers.normal(0.02),
+                          (c.vocab_size, c.hidden_size))
+        pos = self.param("position_embeddings", nn.initializers.normal(0.02),
+                         (c.max_position_embeddings, c.hidden_size))
+        typ = self.param("token_type_embeddings", nn.initializers.normal(0.02),
+                         (c.type_vocab_size, c.hidden_size))
+        pos_ids = roberta_position_ids(input_ids, c.pad_token_id)
+        x = (
+            jnp.take(word, input_ids, axis=0)
+            + jnp.take(pos, pos_ids, axis=0)
+            + typ[0][None, None, :]
+        ).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="embeddings_ln")(x)
+
+        mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * jnp.finfo(
+            jnp.float32
+        ).min
+        for i in range(c.num_hidden_layers):
+            x = RobertaLayer(c, self.dtype, name=f"layer_{i}")(x, mask_bias)
+        if return_hidden:
+            return x
+        pooled = jnp.tanh(nn.Dense(c.hidden_size, dtype=self.dtype, name="pooler")(x[:, 0]))
+        proj = nn.Dense(c.projection_dim, dtype=self.dtype, name="proj_0")(pooled)
+        proj = nn.Dense(c.projection_dim, dtype=self.dtype, name="proj_2")(jax.nn.relu(proj))
+        norm = jnp.sqrt(jnp.sum(proj.astype(jnp.float32) ** 2, axis=-1, keepdims=True))
+        return (proj.astype(jnp.float32) / jnp.maximum(norm, 1e-12)).astype(self.dtype)
+
+
+def convert_clap_text(sd, prefix: str = "") -> dict:
+    """HF RobertaModel (+ CLAP text_projection) state dict -> params.
+
+    For the monolithic audioldm ckpt pass prefix="cond_stage_model.model." so
+    keys resolve as {prefix}text_branch.* / {prefix}text_projection.*.
+    For a bare HF RobertaModel state dict use prefix="" with text_projection
+    keys absent (projection params are then left uninitialized -> pass
+    proj=False usage or provide them separately).
+    """
+    tb = f"{prefix}text_branch." if f"{prefix}text_branch.embeddings.word_embeddings.weight" in sd else prefix
+    p: dict = {
+        "word_embeddings": np.asarray(sd[f"{tb}embeddings.word_embeddings.weight"]),
+        "position_embeddings": np.asarray(sd[f"{tb}embeddings.position_embeddings.weight"]),
+        "token_type_embeddings": np.asarray(sd[f"{tb}embeddings.token_type_embeddings.weight"]),
+        "embeddings_ln": {
+            "scale": np.asarray(sd[f"{tb}embeddings.LayerNorm.weight"]),
+            "bias": np.asarray(sd[f"{tb}embeddings.LayerNorm.bias"]),
+        },
+    }
+    i = 0
+    while f"{tb}encoder.layer.{i}.attention.self.query.weight" in sd:
+        le = f"{tb}encoder.layer.{i}."
+
+        def lin(name):
+            return {
+                "kernel": np.asarray(sd[le + name + ".weight"]).T,
+                "bias": np.asarray(sd[le + name + ".bias"]),
+            }
+
+        p[f"layer_{i}"] = {
+            "attention": {
+                "query": lin("attention.self.query"),
+                "key": lin("attention.self.key"),
+                "value": lin("attention.self.value"),
+                "output_dense": lin("attention.output.dense"),
+            },
+            "attention_ln": {
+                "scale": np.asarray(sd[le + "attention.output.LayerNorm.weight"]),
+                "bias": np.asarray(sd[le + "attention.output.LayerNorm.bias"]),
+            },
+            "intermediate": lin("intermediate.dense"),
+            "output": lin("output.dense"),
+            "output_ln": {
+                "scale": np.asarray(sd[le + "output.LayerNorm.weight"]),
+                "bias": np.asarray(sd[le + "output.LayerNorm.bias"]),
+            },
+        }
+        i += 1
+    if f"{tb}pooler.dense.weight" in sd:
+        p["pooler"] = {
+            "kernel": np.asarray(sd[f"{tb}pooler.dense.weight"]).T,
+            "bias": np.asarray(sd[f"{tb}pooler.dense.bias"]),
+        }
+    if f"{prefix}text_projection.0.weight" in sd:
+        p["proj_0"] = {
+            "kernel": np.asarray(sd[f"{prefix}text_projection.0.weight"]).T,
+            "bias": np.asarray(sd[f"{prefix}text_projection.0.bias"]),
+        }
+        p["proj_2"] = {
+            "kernel": np.asarray(sd[f"{prefix}text_projection.2.weight"]).T,
+            "bias": np.asarray(sd[f"{prefix}text_projection.2.bias"]),
+        }
+    return p
+
+
+class ClapTextConditioner:
+    """ClapConditioner (audioldm/pipeline.py protocol) on the JAX text tower."""
+
+    def __init__(self, params, tokenizer, cfg: RobertaConfig = ROBERTA_BASE,
+                 max_length: int = 77, dtype=jnp.float32):
+        self.model = ClapTextEncoder(cfg, dtype=dtype)
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.dim = cfg.projection_dim
+        self._apply = jax.jit(lambda p, i, m: self.model.apply({"params": p}, i, m))
+        self._uncond = None
+
+    def text_embed(self, prompts):
+        tok = self.tokenizer(
+            list(prompts), padding="max_length", truncation=True,
+            max_length=self.max_length, return_tensors="np",
+        )
+        return np.asarray(
+            self._apply(self.params, jnp.asarray(tok["input_ids"]), jnp.asarray(tok["attention_mask"]))
+        )
+
+    def unconditional_embed(self, batch):
+        if self._uncond is None:
+            self._uncond = self.text_embed([""])
+        return np.repeat(self._uncond, batch, axis=0)

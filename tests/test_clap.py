@@ -1,0 +1,50 @@
+"""CLAP text tower parity vs HF RobertaModel + projection."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tests.conftest import load_golden
+from tango_tpu.models.clap import ClapTextEncoder, RobertaConfig, convert_clap_text
+
+TINY_ROBERTA = RobertaConfig(
+    vocab_size=120, hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+    intermediate_size=64, max_position_embeddings=40, projection_dim=16,
+)
+
+
+def test_clap_text_parity():
+    g = load_golden("clap_text_tiny")
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_clap_text(sd)
+    model = ClapTextEncoder(TINY_ROBERTA)
+    hidden = model.apply({"params": params}, g["ids"], g["mask"], return_hidden=True)
+    valid = g["mask"].astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(hidden)[valid], g["last_hidden"][valid], atol=2e-4, rtol=1e-3
+    )
+    emb = model.apply({"params": params}, g["ids"], g["mask"])
+    np.testing.assert_allclose(np.asarray(emb), g["emb"], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=-1), 1.0, atol=1e-5)
+
+
+def test_clap_conditioner_protocol():
+    from tests.test_pipeline import StubTokenizer
+    import jax
+
+    g = load_golden("clap_text_tiny")
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_clap_text(sd)
+    from tango_tpu.models.clap import ClapTextConditioner
+
+    class Tok(StubTokenizer):
+        def __call__(self, texts, max_length=16, **kw):
+            out = super().__call__(texts, max_length=max_length)
+            out["input_ids"] = np.clip(out["input_ids"], 0, 119)
+            return out
+
+    cond = ClapTextConditioner(params, Tok(), TINY_ROBERTA, max_length=12)
+    e = cond.text_embed(["a drum loop", "silence"])
+    assert e.shape == (2, 16)
+    u = cond.unconditional_embed(3)
+    assert u.shape == (3, 16)
+    np.testing.assert_array_equal(u[0], u[2])

@@ -1,0 +1,76 @@
+"""Convert reference torch checkpoints to native tango_tpu (orbax) format.
+
+    python scripts/convert_checkpoint.py tango <snapshot_dir> <out_dir>
+    python scripts/convert_checkpoint.py audioldm <ckpt.ckpt> <out_dir>
+    python scripts/convert_checkpoint.py mustango <snapshot_dir> <out_dir>
+
+One-time conversion; afterwards pipelines can load with
+tango_tpu.utils.checkpoint.load_native (no torch import needed at serve time).
+"""
+
+import json
+import sys
+
+
+def main():
+    kind, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
+    from tango_tpu.utils import checkpoint as ckpt_io
+
+    if kind == "tango":
+        loaded = ckpt_io.load_tango_snapshot(src)
+        tree = {
+            "unet": loaded["unet_params"],
+            "vae": loaded["vae_params"],
+            "t5": loaded["t5_params"],
+            "hifigan": loaded["hifigan_params"],
+        }
+        manifest = {
+            "kind": "tango",
+            "unet_config": loaded["unet_config"].to_dict(),
+            "vae_config": loaded["vae_config"].to_dict(),
+            "stft_config": loaded["stft_config"].to_dict(),
+            "main_config": loaded["main_config"].to_dict(),
+        }
+    elif kind == "audioldm":
+        vae_params, hifigan_params, scale = ckpt_io.load_audioldm_ckpt(src)
+        from tango_tpu.models.audioldm_unet import convert_film_unet
+        from tango_tpu.utils import convert as conv
+
+        sd = conv.load_torch_bin(src)
+        unet_sd = {
+            k[len("model.diffusion_model."):]: v
+            for k, v in sd.items()
+            if k.startswith("model.diffusion_model.")
+        }
+        tree = {
+            "unet": convert_film_unet(unet_sd) if unet_sd else None,
+            "vae": vae_params,
+            "hifigan": hifigan_params,
+        }
+        manifest = {"kind": "audioldm", "scale_factor": scale}
+    elif kind == "mustango":
+        from tango_tpu.pipeline_music import convert_mustango_ldm
+        from tango_tpu.utils import convert as conv
+
+        vae_sd = conv.load_torch_bin(f"{src}/vae/pytorch_model_vae.bin")
+        ldm_sd = conv.load_torch_bin(f"{src}/ldm/pytorch_model_ldm.bin")
+        parts = convert_mustango_ldm(ldm_sd)
+        vocoder_sd = {k[8:]: v for k, v in vae_sd.items() if k.startswith("vocoder.")}
+        tree = {
+            "unet": parts["unet_params"],
+            "t5": parts["t5_params"],
+            "conditioner": parts["conditioner_params"],
+            "vae": conv.convert_vae(vae_sd),
+            "hifigan": conv.convert_hifigan(vocoder_sd) if vocoder_sd else None,
+        }
+        manifest = {"kind": "mustango"}
+    else:
+        raise SystemExit(f"unknown kind {kind}")
+
+    tree = {k: v for k, v in tree.items() if v is not None}
+    ckpt_io.save_native(dst, tree, manifest)
+    print(f"converted {kind} checkpoint -> {dst}")
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,9 @@ def main():
     dtype = jnp.bfloat16
     steps = 100
     guidance = 3.0
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    # default: the serving throughput point (batch 4 prompts = 8 CFG samples);
+    # pass an explicit batch for latency-oriented runs (batch 1).
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     audio_sec_per_clip = 10.24  # 256 latent frames (models.py:260)
 
     diffusion = AudioDiffusion(unet_config=C.TANGO_UNET, dtype=dtype)
@@ -74,9 +76,13 @@ def main():
         wav = vocoder.apply({"params": voc_params}, mel[..., 0])
         return wav
 
+    def _sync(w):
+        # relay-safe sync: fetch one device-side scalar (see docs/PERF.md)
+        float(w.ravel()[0])
+
     t0 = time.time()
     wav = generate(unet_params, vae_params, voc_params, rng, guidance)
-    wav.block_until_ready()
+    _sync(wav)
     compile_s = time.time() - t0
     print(f"# first call (compile+run): {compile_s:.1f}s", file=sys.stderr)
 
@@ -84,7 +90,7 @@ def main():
     for i in range(3):
         t0 = time.time()
         wav = generate(unet_params, vae_params, voc_params, jax.random.PRNGKey(i), guidance)
-        wav.block_until_ready()
+        _sync(wav)
         times.append(time.time() - t0)
     p50 = float(np.median(times))
     realtime = batch * audio_sec_per_clip / p50

@@ -56,6 +56,8 @@ class Tango:
         dtype: Any = None,
         max_text_length: int = 128,
         rng_seed: int = 0,
+        cast_params: bool = True,
+        mesh=None,
     ):
         self.dtype = dtype or _default_dtype()
         self.max_text_length = max_text_length
@@ -63,6 +65,12 @@ class Tango:
         self._sample_cache = {}
         self._decode_cache = {}
         self.tokenizer = tokenizer
+        # cast_params: store weights in the compute dtype (halves HBM traffic
+        # for bf16 inference); scheduler/softmax math stays f32 regardless.
+        self.cast_params = cast_params
+        # mesh: optional ('data','model') mesh — generate_for_batch shards
+        # prompts over 'data' so one program serves 1..N chips.
+        self.mesh = mesh
 
         if name_or_path is not None:
             path = name_or_path
@@ -103,8 +111,10 @@ class Tango:
         dtype=None,
         latent_t_size: int = 256,
         latent_f_size: int = 16,
+        cast_params: bool = False,
+        mesh=None,
     ) -> "Tango":
-        self = cls(None, tokenizer=tokenizer, dtype=dtype)
+        self = cls(None, tokenizer=tokenizer, dtype=dtype, cast_params=cast_params, mesh=mesh)
         self._build(
             unet_config=unet_config,
             vae_config=vae_config,
@@ -137,6 +147,16 @@ class Tango:
         latent_t_size: int = 256,
         latent_f_size: int = 16,
     ):
+        def maybe_cast(tree):
+            if tree is None or not self.cast_params or self.dtype == jnp.float32:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, self.dtype)
+                if jnp.asarray(x).dtype == jnp.float32
+                else jnp.asarray(x),
+                tree,
+            )
+
         self.model = AudioDiffusion(
             unet_config=unet_config,
             scheduler_config=scheduler_config or C.SD21_SCHEDULER,
@@ -144,6 +164,19 @@ class Tango:
             latent_f_size=latent_f_size,
             dtype=self.dtype,
         )
+        unet_params = maybe_cast(unet_params)
+        vae_params = maybe_cast(vae_params)
+        t5_params = maybe_cast(t5_params)
+        hifigan_params = maybe_cast(hifigan_params)
+        if self.mesh is not None:
+            from tango_tpu.parallel import mesh as pmesh
+
+            unet_params = pmesh.shard_params(unet_params, self.mesh)
+            vae_params = jax.device_put(vae_params, pmesh.replicated(self.mesh))
+            if t5_params is not None:
+                t5_params = jax.device_put(t5_params, pmesh.replicated(self.mesh))
+            if hifigan_params is not None:
+                hifigan_params = jax.device_put(hifigan_params, pmesh.replicated(self.mesh))
         self.unet_params = unet_params
         self.vae = AutoencoderKL(vae_config, dtype=self.dtype)
         self.vae_params = vae_params
@@ -268,6 +301,12 @@ class Tango:
             uncond, uncond_mask = cond, cond_mask
 
         rng = jax.random.PRNGKey(seed) if seed is not None else self.next_rng()
+        if self.mesh is not None:
+            from tango_tpu.parallel import mesh as pmesh
+
+            cond, cond_mask, uncond, uncond_mask = pmesh.shard_batch(
+                (cond, cond_mask, uncond, uncond_mask), self.mesh
+            )
         latents = self._sample_fn(steps, cfg)(
             self.unet_params, cond, cond_mask, uncond, uncond_mask, rng,
             jnp.float32(guidance),

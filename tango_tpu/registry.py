@@ -1,0 +1,85 @@
+"""Model registry — checkpoint metadata and cache-path conventions.
+
+Reference equivalent: audioldm/utils.py get_metadata()/download_checkpoint
+(:204-281) and the HF repo ids used across the products. Downloads are gated
+(zero-egress environments raise with the URL so users can fetch out-of-band).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+CACHE_ROOT = os.environ.get(
+    "TANGO_TPU_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "tango_tpu")
+)
+
+REGISTRY = {
+    # monolithic AudioLDM checkpoints (zenodo, audioldm/utils.py:206-248)
+    "audioldm-s-full": {
+        "kind": "audioldm_ckpt",
+        "path": os.path.join(CACHE_ROOT, "audioldm-s-full.ckpt"),
+        "url": "https://zenodo.org/record/7600541/files/audioldm-s-full?download=1",
+    },
+    "audioldm-l-full": {
+        "kind": "audioldm_ckpt",
+        "path": os.path.join(CACHE_ROOT, "audioldm-l-full.ckpt"),
+        "url": "https://zenodo.org/record/7698295/files/audioldm-full-l.ckpt?download=1",
+    },
+    "audioldm-m-full": {
+        "kind": "audioldm_ckpt",
+        "path": os.path.join(CACHE_ROOT, "audioldm-m-full.ckpt"),
+        "url": "https://zenodo.org/record/7698295/files/audioldm-m-full.ckpt?download=1",
+    },
+    # HF snapshot repos (tango.py:10, mustango.py:142, README tables)
+    "declare-lab/tango": {"kind": "tango_snapshot"},
+    "declare-lab/tango-full-ft-audiocaps": {"kind": "tango_snapshot"},
+    "declare-lab/tango-full-ft-audio-music-caps": {"kind": "tango_snapshot"},
+    "declare-lab/tango2": {"kind": "tango_snapshot"},
+    "declare-lab/tango2-full": {"kind": "tango_snapshot"},
+    "declare-lab/mustango": {"kind": "mustango_snapshot"},
+    # eval feature extractors (eval.py:246-252, fad.py:59)
+    "cnn14-16k": {
+        "kind": "torch_weights",
+        "path": os.path.join(CACHE_ROOT, "Cnn14_16k_mAP=0.438.pth"),
+        "url": "https://zenodo.org/record/3987831/files/Cnn14_16k_mAP%3D0.438.pth",
+    },
+    "vggish": {
+        "kind": "torch_weights",
+        "path": os.path.join(CACHE_ROOT, "vggish-10086976.pth"),
+        "url": "https://github.com/harritaylor/torchvggish/releases/download/v0.1/vggish-10086976.pth",
+    },
+}
+
+
+def get_metadata() -> dict:
+    return REGISTRY
+
+
+def resolve(name: str, download: bool = True) -> str:
+    """Return a local path for a registry entry, downloading if permitted."""
+    meta = REGISTRY.get(name)
+    if meta is None:
+        # treat as a local path or HF repo id
+        return name
+    path = meta.get("path")
+    if path and os.path.exists(path):
+        return path
+    if meta["kind"].endswith("snapshot"):
+        from huggingface_hub import snapshot_download
+
+        return snapshot_download(repo_id=name)
+    if not download:
+        raise FileNotFoundError(f"{name} not cached at {path}")
+    url = meta.get("url")
+    try:
+        import urllib.request
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        urllib.request.urlretrieve(url, path)
+        return path
+    except Exception as e:
+        raise FileNotFoundError(
+            f"Could not download {name} (zero-egress?). Fetch manually:\n"
+            f"  {url}\n-> {path}"
+        ) from e

@@ -91,3 +91,43 @@ def test_tp_forward_matches_replicated():
     with mesh:
         out = jax.jit(lambda p: unet.apply({"params": p}, x, t, c))(params_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pipeline_dp_generation():
+    """Tango.generate_for_batch sharded over 8 virtual devices matches shapes."""
+    import numpy as np
+    from tango_tpu.parallel import mesh as pmesh
+    from tests.test_pipeline import (
+        StubTokenizer, TINY_HIFI, TINY_T5, TINY_UNET, TINY_VAE,
+    )
+    from tango_tpu.models.t5 import T5Encoder
+    from tango_tpu.models.unet import UNet2DConditionModel
+    from tango_tpu.models.vae import AutoencoderKL
+    from tango_tpu.models.hifigan import HiFiGANGenerator
+    from tango_tpu.pipeline import Tango
+
+    k = jax.random.PRNGKey(0)
+    unet = UNet2DConditionModel(TINY_UNET)
+    unet_params = unet.init(
+        k, jnp.zeros((1, 8, 4, 8)), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 2, 16))
+    )["params"]
+    vae = AutoencoderKL(TINY_VAE)
+    vae_params = vae.init(k, jnp.zeros((1, 32, 16, 1)), k)["params"]
+    t5 = T5Encoder(TINY_T5)
+    t5_params = t5.init(k, jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32))["params"]
+    hifi = HiFiGANGenerator(TINY_HIFI)
+    hifi_params = hifi.init(k, jnp.zeros((1, 8, 8)))["params"]
+
+    mesh = pmesh.make_mesh(data=8, model=1)
+    with mesh:
+        tango = Tango.from_components(
+            unet_config=TINY_UNET, vae_config=TINY_VAE,
+            unet_params=unet_params, vae_params=vae_params,
+            t5_config=TINY_T5, t5_params=t5_params,
+            hifigan_config=TINY_HIFI, hifigan_params=hifi_params,
+            tokenizer=StubTokenizer(), latent_t_size=8, latent_f_size=4,
+            mesh=mesh,
+        )
+        outs = tango.generate_for_batch([f"p{i}" for i in range(8)], steps=2, batch_size=8)
+    assert len(outs) == 8
+    assert all(o.dtype == np.int16 for o in outs)

@@ -753,11 +753,111 @@ def make_clap_text_golden():
     print("clap_text_tiny:", emb.shape, float(emb.abs().mean()))
 
 
+def make_htsat_golden():
+    """Tiny HTSAT trunk golden from the reference (frontend stubbed)."""
+    import types
+    import importlib.util
+
+    # stub torchlibrosa (same as cnn14)
+    tl = types.ModuleType("torchlibrosa")
+    tl_stft = types.ModuleType("torchlibrosa.stft")
+    tl_aug = types.ModuleType("torchlibrosa.augmentation")
+
+    class _Id(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+        def forward(self, x):
+            return x
+
+    tl_stft.Spectrogram = _Id
+    tl_stft.LogmelFilterBank = _Id
+    tl_aug.SpecAugmentation = _Id
+    sys.modules["torchlibrosa"] = tl
+    sys.modules["torchlibrosa.stft"] = tl_stft
+    sys.modules["torchlibrosa.augmentation"] = tl_aug
+
+    pkg = types.ModuleType("audioldm.clap.open_clip")
+    sys.modules.setdefault("audioldm", types.ModuleType("audioldm"))
+    sys.modules.setdefault("audioldm.clap", types.ModuleType("audioldm.clap"))
+    sys.modules["audioldm.clap.open_clip"] = pkg
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(
+            f"audioldm.clap.open_clip.{name}",
+            f"{REF}/audioldm/clap/open_clip/{name}.py")
+        m = importlib.util.module_from_spec(spec)
+        sys.modules[f"audioldm.clap.open_clip.{name}"] = m
+        spec.loader.exec_module(m)
+        return m
+
+    # utils imports torchvision; stub the two functions htsat needs
+    fake_utils = types.ModuleType("audioldm.clap.open_clip.utils")
+
+    def _do_mixup(x, lam):
+        return x
+
+    def _interp(x, ratio):
+        (b, t, c) = x.shape
+        up = x[:, :, None, :].repeat(1, 1, ratio, 1).reshape(b, t * ratio, c)
+        return up
+
+    fake_utils.do_mixup = _do_mixup
+    fake_utils.interpolate = _interp
+    sys.modules["audioldm.clap.open_clip.utils"] = fake_utils
+    load("feature_fusion")
+    ht = load("htsat")
+
+    class Cfg:
+        mel_bins = 16
+        window_size = 256
+        hop_size = 128
+        sample_rate = 8000
+        fmin = 50
+        fmax = 4000
+
+    torch.manual_seed(66)
+    model = ht.HTSAT_Swin_Transformer(
+        spec_size=64, patch_size=4, patch_stride=(4, 4), in_chans=1,
+        num_classes=11, embed_dim=24, depths=[1, 1], num_heads=[2, 4],
+        window_size=4, config=Cfg(), enable_fusion=False,
+    )
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+    model.eval()
+
+    logmel = torch.randn(2, 1, 120, 16) * 2 - 3  # (B, 1, T, mel)
+    with torch.no_grad():
+        x = logmel.transpose(1, 3)
+        x = model.bn0(x)
+        x = x.transpose(1, 3)
+        x = model.reshape_wav2img(x)
+        out = model.forward_features(x)
+        proj = torch.nn.Sequential(
+            torch.nn.Linear(model.num_features, 8), torch.nn.ReLU(), torch.nn.Linear(8, 8)
+        )
+        emb = torch.nn.functional.normalize(proj(out["embedding"]), dim=-1)
+    sd = {f"audio_branch.{k}": v for k, v in model.state_dict().items()
+          if not k.startswith(("spectrogram_extractor", "logmel_extractor", "spec_augmenter", "head."))}
+    sd.update({f"audio_projection.{k}": v for k, v in proj.state_dict().items()})
+    np.savez(
+        OUT / "htsat_tiny.npz",
+        logmel=logmel.numpy(),
+        folded=x.numpy(),
+        embedding=out["embedding"].numpy(),
+        clipwise=out["clipwise_output"].numpy(),
+        proj_emb=emb.numpy(),
+        **state_to_numpy(sd),
+    )
+    print("htsat_tiny:", out["embedding"].shape, float(out["embedding"].abs().mean()))
+
+
 if __name__ == "__main__":
     import sys as _sys
     only = _sys.argv[1:] if len(_sys.argv) > 1 else None
     for fn in [make_scheduler_golden, make_unet_golden, make_vae_golden,
-               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden, make_clap_text_golden]:
+               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden, make_clap_text_golden, make_htsat_golden]:
         name = fn.__name__.replace("make_", "").replace("_golden", "")
         if only is None or name in only:
             fn()

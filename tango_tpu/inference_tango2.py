@@ -1,0 +1,106 @@
+"""Tango 2 inference + CLAP-score driver.
+
+Reference: tango2/inference.py — batch generation over a test manifest plus a
+CLAP score (mean cosine similarity between generated audio and prompts,
+tango2/inference.py:21-46) alongside the objective metric suite.
+
+    python -m tango_tpu.inference_tango2 --model <snapshot> \
+        --test_file data/test_audiocaps_subset.json \
+        --clap_ckpt <laion-clap .pt> [--reference_dir refs/]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="tango2 inference + CLAP score")
+    p.add_argument("--model", type=str, required=True)
+    p.add_argument("--test_file", type=str, required=True)
+    p.add_argument("--reference_dir", type=str, default=None)
+    p.add_argument("--clap_ckpt", type=str, default=None,
+                   help="LAION-CLAP checkpoint (HTSAT-tiny + roberta) for CLAP score")
+    p.add_argument("--num_steps", type=int, default=200)
+    p.add_argument("--guidance", type=float, default=3.0)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_test_instances", type=int, default=-1)
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def load_clap(clap_ckpt: str):
+    """LAION-CLAP .pt -> tango_tpu.models.clap.Clap (both towers native)."""
+    from transformers import RobertaTokenizer
+
+    from tango_tpu.models.clap import Clap, convert_clap_text
+    from tango_tpu.models.htsat import convert_clap_audio
+    from tango_tpu.utils.convert import load_torch_bin
+
+    sd = load_torch_bin(clap_ckpt)
+    # laion ckpts may prefix with "module."
+    sd = {k[len("module."):] if k.startswith("module.") else k: v for k, v in sd.items()}
+    text_params = convert_clap_text(sd)
+    audio_params = convert_clap_audio(sd)
+    tokenizer = RobertaTokenizer.from_pretrained("roberta-base")
+    return Clap(text_params, audio_params, tokenizer)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import numpy as np
+
+    from tango_tpu.audio.wav import write_wav
+    from tango_tpu.pipeline import Tango
+    from tango_tpu.train.data import load_manifest
+
+    out_dir = args.output_dir or os.path.join(
+        "outputs", f"tango2_{int(time.time())}_steps_{args.num_steps}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    examples = load_manifest(args.test_file)
+    prompts = [e.caption for e in examples]
+    if args.num_test_instances > 0:
+        prompts = prompts[: args.num_test_instances]
+
+    tango = Tango(args.model)
+    t0 = time.time()
+    waves = tango.generate_for_batch(
+        prompts, steps=args.num_steps, guidance=args.guidance,
+        batch_size=args.batch_size, seed=args.seed,
+    )
+    gen_time = time.time() - t0
+    for i, w in enumerate(waves):
+        write_wav(os.path.join(out_dir, f"output_{i}.wav"), w, 16000)
+
+    record = {
+        "model": args.model,
+        "num_prompts": len(prompts),
+        "num_steps": args.num_steps,
+        "gen_time_s": round(gen_time, 2),
+        "x_realtime": round(len(prompts) * 10.24 / gen_time, 3),
+        "output_dir": out_dir,
+    }
+
+    if args.clap_ckpt:
+        clap = load_clap(args.clap_ckpt)
+        wav_f = np.stack([w.astype(np.float32) / 32768.0 for w in waves])
+        record["clap_score"] = round(clap.clap_score(wav_f, prompts), 4)
+
+    if args.reference_dir:
+        from tango_tpu.eval.evaluator import EvaluationHelper
+
+        record["metrics"] = EvaluationHelper(16000).main(out_dir, args.reference_dir)
+
+    with open("summary.jsonl", "a") as f:
+        f.write(json.dumps(record) + "\n")
+    print(json.dumps(record, indent=2))
+
+
+if __name__ == "__main__":
+    main()

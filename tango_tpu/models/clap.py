@@ -219,3 +219,64 @@ class ClapTextConditioner:
         if self._uncond is None:
             self._uncond = self.text_embed([""])
         return np.repeat(self._uncond, batch, axis=0)
+
+
+class Clap:
+    """Full CLAP: audio + text towers -> similarity scoring.
+
+    Covers the reference's three CLAP uses:
+      * AudioLDM conditioning (text_embed / unconditional_embed)
+      * candidate re-ranking (inference.py:105-121)
+      * CLAP score (tango2/inference.py:21-46 — cosine(audio, text))
+    """
+
+    def __init__(self, text_params, audio_params, tokenizer,
+                 text_cfg: RobertaConfig = ROBERTA_BASE, audio_cfg=None,
+                 max_length: int = 77, dtype=jnp.float32):
+        from tango_tpu.models.htsat import HTSAT_TINY, ClapAudioEncoder, clap_logmel
+
+        self.text = ClapTextConditioner(text_params, tokenizer, text_cfg, max_length, dtype)
+        self.audio_cfg = audio_cfg or HTSAT_TINY
+        self.audio_model = ClapAudioEncoder(self.audio_cfg, dtype=dtype)
+        self.audio_params = audio_params
+        self._logmel = lambda w: clap_logmel(w, self.audio_cfg)
+        self._audio_apply = jax.jit(
+            lambda p, m: self.audio_model.apply({"params": p}, m)
+        )
+        self.dim = self.audio_cfg.joint_embed_dim
+
+    # ClapConditioner protocol --------------------------------------------
+    def text_embed(self, prompts):
+        return self.text.text_embed(prompts)
+
+    def unconditional_embed(self, batch):
+        return self.text.unconditional_embed(batch)
+
+    def audio_embed(self, waveforms_16k: np.ndarray) -> np.ndarray:
+        """(B, L) float waveforms @16 kHz -> (B, D) normalized embeddings.
+
+        Resamples to 48 kHz and pads/truncates to 10 s (clip_samples), the
+        reference's enable_fusion=False path (encoders.py:118-141)."""
+        from tango_tpu.audio.wav import resample_poly
+
+        clip = self.audio_cfg.clip_samples
+        out = np.zeros((len(waveforms_16k), clip), np.float32)
+        for i, w in enumerate(np.asarray(waveforms_16k, np.float32)):
+            w48 = resample_poly(w, 16000, self.audio_cfg.sample_rate)
+            n = min(len(w48), clip)
+            out[i, :n] = w48[:n]
+        mel = self._logmel(jnp.asarray(out))
+        return np.asarray(self._audio_apply(self.audio_params, mel))
+
+    def similarity(self, waveforms_16k, prompt) -> np.ndarray:
+        """Cosine similarity of each waveform against one prompt."""
+        a = self.audio_embed(waveforms_16k)
+        t = self.text_embed([prompt])[0]
+        return a @ t
+
+    def clap_score(self, waveforms_16k, prompts) -> float:
+        """Mean pairwise cosine over (waveform_i, prompt_i) pairs
+        (tango2/inference.py:21-46)."""
+        a = self.audio_embed(waveforms_16k)
+        t = self.text_embed(list(prompts))
+        return float(np.mean(np.sum(a * t, axis=-1)))

@@ -1,0 +1,412 @@
+"""HTSAT (hierarchical token-semantic audio transformer) — JAX CLAP audio tower.
+
+Reference: /root/reference/audioldm/clap/open_clip/htsat.py:77-1230 with the
+HTSAT-tiny config (model_configs/HTSAT-tiny.json): 48 kHz input, 1024/480
+STFT, 64 mels [50, 14000] Hz, spec_size 256 (freq_ratio 4), patch 4x4,
+embed 96, depths (2,2,6,2), heads (4,8,16,32), window 8.
+
+Faithful pieces worth calling out:
+  * reshape_wav2img (htsat.py:1075-1100): the (T=1001, F=64) log-mel is
+    bicubic-resized (align_corners=True!) to (1024, 64) then folded into a
+    256x256 "image" by stacking 4 time chunks along frequency. The
+    align_corners bicubic is reproduced EXACTLY as a precomputed interpolation
+    matrix (torch kernel, a=-0.75) applied as one matmul.
+  * Swin window attention with relative-position-bias tables and shifted
+    windows; shift masks are precomputed host-side per resolution.
+  * token-semantic head (tscam_conv) + the frequency regrouping that recovers
+    (freq, time) structure from the flattened transformer tokens
+    (htsat.py:1012-1085).
+  * CLAP audio embedding = audio_projection(trunk embedding), L2-normalized
+    (open_clip/model.py:565-569, 755-781).
+
+Inference-only (dropout/droppath are identity at eval).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu.configs import _FromDict
+from tango_tpu.eval.panns import BatchNormEval
+
+
+@dataclasses.dataclass(frozen=True)
+class HTSATConfig(_FromDict):
+    spec_size: int = 256
+    patch_size: int = 4
+    patch_stride: Tuple[int, int] = (4, 4)
+    in_chans: int = 1
+    num_classes: int = 527
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 8
+    mlp_ratio: float = 4.0
+    # audio cfg (HTSAT-tiny.json)
+    sample_rate: int = 48000
+    clip_samples: int = 480000
+    mel_bins: int = 64
+    stft_window_size: int = 1024
+    hop_size: int = 480
+    fmin: float = 50.0
+    fmax: float = 14000.0
+    # CLAP joint space
+    joint_embed_dim: int = 512
+
+    @property
+    def freq_ratio(self) -> int:
+        return self.spec_size // self.mel_bins
+
+
+HTSAT_TINY = HTSATConfig()
+
+
+# ------------------------------------------------------- static host helpers
+
+def bicubic_matrix_align_corners(n_in: int, n_out: int, a: float = -0.75) -> np.ndarray:
+    """(n_out, n_in) matrix implementing torch F.interpolate(mode='bicubic',
+    align_corners=True) along one axis (cubic convolution kernel)."""
+    if n_in == n_out:
+        return np.eye(n_in, dtype=np.float32)
+
+    def kernel(x):
+        x = abs(x)
+        if x <= 1:
+            return (a + 2) * x**3 - (a + 3) * x**2 + 1
+        if x < 2:
+            return a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a
+        return 0.0
+
+    m = np.zeros((n_out, n_in), np.float64)
+    scale = (n_in - 1) / (n_out - 1)
+    for j in range(n_out):
+        x = j * scale
+        x0 = int(np.floor(x))
+        for k in range(-1, 3):
+            idx = min(max(x0 + k, 0), n_in - 1)
+            m[j, idx] += kernel(x - (x0 + k))
+    return m.astype(np.float32)
+
+
+def relative_position_index(window: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    return rel.sum(-1)  # (w*w, w*w)
+
+
+def shift_attn_mask(h: int, w: int, window: int, shift: int) -> Optional[np.ndarray]:
+    """(nW, w*w, w*w) additive mask (0 / -100) for shifted windows."""
+    if shift == 0:
+        return None
+    img = np.zeros((h, w))
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    wins = img.reshape(h // window, window, w // window, window).transpose(0, 2, 1, 3)
+    wins = wins.reshape(-1, window * window)
+    mask = wins[:, None, :] - wins[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window, window, w // window, window, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window * window, c)
+
+
+def window_reverse(x: jnp.ndarray, window: int, h: int, w: int) -> jnp.ndarray:
+    b = x.shape[0] // (h * w // window // window)
+    x = x.reshape(b, h // window, w // window, window, window, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+# ----------------------------------------------------------------- modules
+
+class WindowAttention(nn.Module):
+    dim: int
+    window: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        """x: (B*nW, w*w, C); mask: (nW, w*w, w*w) or None."""
+        bnw, n, c = x.shape
+        h = self.heads
+        d = c // h
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.normal(0.02),
+            ((2 * self.window - 1) ** 2, h),
+        )
+        idx = relative_position_index(self.window)
+        bias = jnp.take(table, jnp.asarray(idx.reshape(-1)), axis=0)
+        bias = bias.reshape(n, n, h).transpose(2, 0, 1)[None].astype(jnp.float32)
+
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(bnw, n, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * (d**-0.5), qkv[1], qkv[2]
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        attn = attn + bias
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bnw // nw, nw, h, n, n) + jnp.asarray(mask)[None, :, None]
+            attn = attn.reshape(bnw, h, n, n)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v).transpose(0, 2, 1, 3).reshape(bnw, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    resolution: Tuple[int, int]
+    heads: int
+    window: int
+    shift: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = self.resolution
+        window, shift = self.window, self.shift
+        if min(h, w) <= window:
+            window, shift = min(h, w), 0
+        b, l, c = x.shape
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x.reshape(b, h, w, c)
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        xw = window_partition(x, window)
+        mask = shift_attn_mask(h, w, window, shift)
+        xw = WindowAttention(self.dim, window, self.heads, self.dtype, name="attn")(xw, mask)
+        x = window_reverse(xw, window, h, w)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = shortcut + x.reshape(b, l, c)
+        hdn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        hdn = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(hdn)
+        hdn = jax.nn.gelu(hdn, approximate=False)
+        hdn = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(hdn)
+        return x + hdn
+
+
+class PatchMerging(nn.Module):
+    resolution: Tuple[int, int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = self.resolution
+        b, l, c = x.shape
+        x = x.reshape(b, h, w, c)
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(b, -1, 4 * c)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * c, use_bias=False, dtype=self.dtype, name="reduction")(x)
+
+
+class HTSAT(nn.Module):
+    """log-mel image path: (B, 1, T_img=256, F_img=256)-folded input is built
+    by `reshape_wav2img`; __call__ takes the raw (B, T_frames, mel) log-mel."""
+
+    cfg: HTSATConfig = HTSAT_TINY
+    dtype: jnp.dtype = jnp.float32
+
+    def reshape_wav2img(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, F) log-mel -> (B, 256, 256, 1) folded image (htsat.py:1075-1100)."""
+        cfg = self.cfg
+        b, t, f = x.shape
+        target_t = cfg.spec_size * cfg.freq_ratio
+        target_f = cfg.spec_size // cfg.freq_ratio
+        assert t <= target_t and f <= target_f, (t, f)
+        if t < target_t:
+            m = jnp.asarray(bicubic_matrix_align_corners(t, target_t))
+            x = jnp.einsum("ot,btf->bof", m, x)
+        if f < target_f:
+            m = jnp.asarray(bicubic_matrix_align_corners(f, target_f))
+            x = jnp.einsum("of,btf->bto", m, x)
+        # (B, T, F) -> (B, F, T) -> fold T into freq_ratio chunks stacked on F
+        x = x.transpose(0, 2, 1)  # (B, F, T)
+        x = x.reshape(b, target_f, cfg.freq_ratio, target_t // cfg.freq_ratio)
+        x = x.transpose(0, 2, 1, 3)  # (B, ratio, F, T/ratio)
+        x = x.reshape(b, cfg.freq_ratio * target_f, target_t // cfg.freq_ratio)
+        return x[..., None]  # (B, 256, 256, 1) [H=stacked freq, W=time]
+
+    @nn.compact
+    def __call__(self, logmel: jnp.ndarray):
+        cfg = self.cfg
+        # bn0 over mel bins (htsat.py:1138-1141)
+        x = logmel[:, :, None, :]  # (B, T, 1, mel) — mel in channel slot
+        x = BatchNormEval(cfg.mel_bins, name="bn0")(x)
+        x = x[:, :, 0, :]
+        x = self.reshape_wav2img(x)
+
+        # patch embed: conv 4x4 stride 4 + LN (htsat.py PatchEmbed)
+        x = nn.Conv(
+            cfg.embed_dim, (cfg.patch_size,) * 2, strides=cfg.patch_stride,
+            padding=0, dtype=self.dtype, name="patch_proj",
+        )(x.astype(self.dtype))
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(x.shape[0], gh * gw, cfg.embed_dim)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
+
+        res = (gh, gw)
+        dim = cfg.embed_dim
+        for li, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
+            for bi in range(depth):
+                shift = 0 if bi % 2 == 0 else cfg.window_size // 2
+                x = SwinBlock(
+                    dim, res, heads, cfg.window_size, shift, cfg.mlp_ratio,
+                    self.dtype, name=f"layer_{li}_block_{bi}",
+                )(x)
+            if li < len(cfg.depths) - 1:
+                x = PatchMerging(res, self.dtype, name=f"layer_{li}_downsample")(x)
+                res = (res[0] // 2, res[1] // 2)
+                dim *= 2
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        b, n, c = x.shape
+        # token-semantic regrouping (htsat.py:1026-1046)
+        frames_num = cfg.spec_size * cfg.freq_ratio  # post-resize T
+        sf = frames_num // (2 ** (len(cfg.depths) - 1)) // cfg.patch_stride[0]
+        st = frames_num // (2 ** (len(cfg.depths) - 1)) // cfg.patch_stride[1]
+        # tokens are (H=freq-stacked, W=time) row-major: (SF, ST) = res
+        x = x.transpose(0, 2, 1).reshape(b, c, res[0], res[1])
+        c_freq_bin = res[0] // cfg.freq_ratio
+        x = x.reshape(b, c, res[0] // c_freq_bin, c_freq_bin, res[1])
+        x = x.transpose(0, 1, 3, 2, 4).reshape(b, c, c_freq_bin, -1)
+
+        latent = x.reshape(b, c, -1).mean(axis=-1)  # AdaptiveAvgPool1d(1)
+
+        # tscam conv: (c_freq_bin, 3) kernel over (freq, time)
+        xt = x.transpose(0, 2, 3, 1)  # NHWC (B, c_freq_bin, T', C)
+        logits_map = nn.Conv(
+            cfg.num_classes, (c_freq_bin, 3), padding=((0, 0), (1, 1)),
+            dtype=self.dtype, name="tscam_conv",
+        )(xt)
+        logits = logits_map.reshape(b, -1, cfg.num_classes).mean(axis=1)
+        return {
+            "embedding": latent,
+            "clipwise_output": jax.nn.sigmoid(logits),
+            "latent_map": x,
+        }
+
+
+class ClapAudioEncoder(nn.Module):
+    """waveform log-mel -> L2-normalized CLAP audio embedding."""
+
+    cfg: HTSATConfig = HTSAT_TINY
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, logmel: jnp.ndarray):
+        out = HTSAT(self.cfg, self.dtype, name="htsat")(logmel)
+        e = out["embedding"]
+        e = nn.Dense(self.cfg.joint_embed_dim, dtype=self.dtype, name="proj_0")(e)
+        e = nn.Dense(self.cfg.joint_embed_dim, dtype=self.dtype, name="proj_2")(jax.nn.relu(e))
+        norm = jnp.sqrt(jnp.sum(e.astype(jnp.float32) ** 2, axis=-1, keepdims=True))
+        return (e.astype(jnp.float32) / jnp.maximum(norm, 1e-12)).astype(self.dtype)
+
+
+def clap_logmel(wav48k: jnp.ndarray, cfg: HTSATConfig = HTSAT_TINY) -> jnp.ndarray:
+    """48 kHz waveform (B, L) -> (B, T, 64) log-mel (torchlibrosa semantics)."""
+    from tango_tpu.audio.stft import hann_window_periodic, mel_filter_bank, stft_magnitude
+
+    window = jnp.asarray(hann_window_periodic(cfg.stft_window_size))
+    mag = stft_magnitude(wav48k, cfg.stft_window_size, cfg.hop_size, window)
+    power = mag**2
+    mel_fb = jnp.asarray(
+        mel_filter_bank(cfg.sample_rate, cfg.stft_window_size, cfg.mel_bins, cfg.fmin, cfg.fmax).T
+    )
+    mel = jnp.matmul(power, mel_fb, preferred_element_type=jnp.float32)
+    return 10.0 * jnp.log10(jnp.clip(mel, 1e-10, None))
+
+
+# ---------------------------------------------------------------- converter
+
+def convert_htsat(sd, cfg: HTSATConfig = HTSAT_TINY, prefix: str = "") -> dict:
+    """torch HTSAT_Swin_Transformer state dict -> HTSAT params.
+
+    prefix e.g. "audio_branch." for a full CLAP checkpoint.
+    """
+
+    def g(k):
+        return np.asarray(sd[prefix + k])
+
+    def ln(k):
+        return {"scale": g(k + ".weight"), "bias": g(k + ".bias")}
+
+    def lin(k, bias=True):
+        out = {"kernel": g(k + ".weight").T}
+        if bias:
+            out["bias"] = g(k + ".bias")
+        return out
+
+    p: dict = {
+        "bn0": {
+            "scale": g("bn0.weight"), "bias": g("bn0.bias"),
+            "mean": g("bn0.running_mean"), "var": g("bn0.running_var"),
+        },
+        "patch_proj": {
+            "kernel": np.transpose(g("patch_embed.proj.weight"), (2, 3, 1, 0)),
+            "bias": g("patch_embed.proj.bias"),
+        },
+        "patch_norm": ln("patch_embed.norm"),
+        "norm": ln("norm"),
+        "tscam_conv": {
+            "kernel": np.transpose(g("tscam_conv.weight"), (2, 3, 1, 0)),
+            "bias": g("tscam_conv.bias"),
+        },
+    }
+    for li, depth in enumerate(cfg.depths):
+        for bi in range(depth):
+            base = f"layers.{li}.blocks.{bi}"
+            p[f"layer_{li}_block_{bi}"] = {
+                "norm1": ln(base + ".norm1"),
+                "norm2": ln(base + ".norm2"),
+                "attn": {
+                    "relative_position_bias_table": g(base + ".attn.relative_position_bias_table"),
+                    "qkv": lin(base + ".attn.qkv"),
+                    "proj": lin(base + ".attn.proj"),
+                },
+                "mlp_fc1": lin(base + ".mlp.fc1"),
+                "mlp_fc2": lin(base + ".mlp.fc2"),
+            }
+        if li < len(cfg.depths) - 1:
+            p[f"layer_{li}_downsample"] = {
+                "norm": ln(f"layers.{li}.downsample.norm"),
+                "reduction": lin(f"layers.{li}.downsample.reduction", bias=False),
+            }
+    return p
+
+
+def convert_clap_audio(sd, cfg: HTSATConfig = HTSAT_TINY, prefix: str = "") -> dict:
+    """Full CLAP audio side: {prefix}audio_branch.* + {prefix}audio_projection.*"""
+    p = {"htsat": convert_htsat(sd, cfg, prefix + "audio_branch.")}
+    p["proj_0"] = {
+        "kernel": np.asarray(sd[prefix + "audio_projection.0.weight"]).T,
+        "bias": np.asarray(sd[prefix + "audio_projection.0.bias"]),
+    }
+    p["proj_2"] = {
+        "kernel": np.asarray(sd[prefix + "audio_projection.2.weight"]).T,
+        "bias": np.asarray(sd[prefix + "audio_projection.2.bias"]),
+    }
+    return p

@@ -1,0 +1,68 @@
+"""HTSAT (CLAP audio tower) parity vs reference torch implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.conftest import load_golden
+from tango_tpu.models.htsat import (
+    HTSAT,
+    ClapAudioEncoder,
+    HTSATConfig,
+    bicubic_matrix_align_corners,
+    convert_clap_audio,
+    convert_htsat,
+)
+
+TINY_HTSAT = HTSATConfig(
+    spec_size=64, patch_size=4, patch_stride=(4, 4), num_classes=11,
+    embed_dim=24, depths=(1, 1), num_heads=(2, 4), window_size=4,
+    mel_bins=16, joint_embed_dim=8,
+    # tiny audio frontend so clip -> ~126 frames <= spec_size*freq_ratio=256
+    sample_rate=8000, clip_samples=16000, stft_window_size=256, hop_size=128,
+    fmin=50.0, fmax=4000.0,
+)
+
+
+def test_bicubic_matrix_matches_torch():
+    import torch
+
+    x = torch.arange(12, dtype=torch.float32).reshape(1, 1, 12, 1)
+    x[0, 0, 5] = -3.0
+    ref = torch.nn.functional.interpolate(x, (30, 1), mode="bicubic", align_corners=True)
+    m = bicubic_matrix_align_corners(12, 30)
+    out = m @ x[0, 0, :, 0].numpy()
+    np.testing.assert_allclose(out, ref[0, 0, :, 0].numpy(), atol=1e-5)
+
+
+def test_htsat_trunk_parity():
+    g = load_golden("htsat_tiny")
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_htsat(sd, TINY_HTSAT, prefix="audio_branch.")
+    model = HTSAT(TINY_HTSAT)
+    logmel = g["logmel"][:, 0]  # (B, T, mel)
+    out = model.apply({"params": params}, logmel)
+    np.testing.assert_allclose(
+        np.asarray(out["embedding"]), g["embedding"], atol=3e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["clipwise_output"]), g["clipwise"], atol=3e-4, rtol=1e-3
+    )
+
+
+def test_clap_audio_embedding_parity():
+    g = load_golden("htsat_tiny")
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_clap_audio(sd, TINY_HTSAT)
+    model = ClapAudioEncoder(TINY_HTSAT)
+    emb = model.apply({"params": params}, g["logmel"][:, 0])
+    np.testing.assert_allclose(np.asarray(emb), g["proj_emb"], atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=-1), 1.0, atol=1e-5)
+
+
+def test_clap_logmel_frontend_shape():
+    from tango_tpu.models.htsat import HTSAT_TINY, clap_logmel
+
+    wav = jnp.zeros((1, 480000))
+    mel = clap_logmel(wav, HTSAT_TINY)
+    assert mel.shape == (1, 1001, 64)

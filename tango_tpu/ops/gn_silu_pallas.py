@@ -38,8 +38,11 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int, eps: float
 
     col_sum = jnp.sum(x, axis=0, keepdims=True)          # (1, C)
     col_sumsq = jnp.sum(x * x, axis=0, keepdims=True)    # (1, C)
-    gsum = jnp.dot(col_sum, member, preferred_element_type=jnp.float32)    # (1, G)
-    gsumsq = jnp.dot(col_sumsq, member, preferred_element_type=jnp.float32)
+    # HIGHEST precision: these tiny dots carry the statistics — default MXU
+    # bf16 passes lose ~1e-2 of output accuracy on the variance path
+    hp = jax.lax.Precision.HIGHEST
+    gsum = jnp.dot(col_sum, member, preferred_element_type=jnp.float32, precision=hp)
+    gsumsq = jnp.dot(col_sumsq, member, preferred_element_type=jnp.float32, precision=hp)
 
     n = jnp.float32(s * cg)
     mean_g = gsum / n
@@ -47,8 +50,8 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int, eps: float
     inv_g = jax.lax.rsqrt(var_g + eps)
 
     # broadcast group stats back to channels: (1, G) @ (G, C)
-    mean_c = jnp.dot(mean_g, member.T, preferred_element_type=jnp.float32)  # (1, C)
-    inv_c = jnp.dot(inv_g, member.T, preferred_element_type=jnp.float32)
+    mean_c = jnp.dot(mean_g, member.T, preferred_element_type=jnp.float32, precision=hp)
+    inv_c = jnp.dot(inv_g, member.T, preferred_element_type=jnp.float32, precision=hp)
 
     gamma = scale_ref[0].astype(jnp.float32)[None, :]
     beta = bias_ref[0].astype(jnp.float32)[None, :]
@@ -92,6 +95,10 @@ def group_norm_pallas(
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=b * s * c if act == "silu" else 0,
         ),
+        # the f32 working copy of a (4096, 320) block plus double-buffered
+        # bf16 in/out exceeds the default 16 MB scoped-vmem budget; v5e has
+        # headroom — raise the cap instead of shrinking blocks.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x3, scale.reshape(1, c), bias.reshape(1, c))
     return out.reshape(orig_shape)

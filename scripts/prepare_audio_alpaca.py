@@ -1,0 +1,48 @@
+"""Materialize the audio-alpaca preference dataset to wavs + JSONL manifest.
+
+Reference equivalent: tango2/tango2-train.py:316-360, which downloads
+declare-lab/audio_alpaca and writes chosen/rejected audio to disk. Output
+manifest rows {"captions", "chosen", "rejected"} feed
+`python -m tango_tpu.train.dpo_cli`.
+
+    python scripts/prepare_audio_alpaca.py <out_dir> [--dataset declare-lab/audio_alpaca]
+"""
+
+import argparse
+import json
+import os
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("out_dir")
+    p.add_argument("--dataset", default="declare-lab/audio_alpaca")
+    p.add_argument("--split", default="train")
+    args = p.parse_args()
+
+    import numpy as np
+    from datasets import load_dataset
+
+    from tango_tpu.audio.wav import write_wav
+
+    os.makedirs(os.path.join(args.out_dir, "wavs"), exist_ok=True)
+    ds = load_dataset(args.dataset, split=args.split)
+    manifest_path = os.path.join(args.out_dir, "train.jsonl")
+    with open(manifest_path, "w") as mf:
+        for i, row in enumerate(ds):
+            paths = {}
+            for key in ("chosen", "rejected"):
+                audio = row[key]
+                wav = np.asarray(audio["array"], dtype=np.float32)
+                sr = int(audio["sampling_rate"])
+                path = os.path.join(args.out_dir, "wavs", f"{key}_{i}.wav")
+                write_wav(path, wav, sr)
+                paths[key] = path
+            mf.write(
+                json.dumps({"captions": row["prompt"], **paths}) + "\n"
+            )
+    print(f"wrote {manifest_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -45,10 +45,6 @@ def multi_head_attention(
     d = inner // heads
     scale = d**-0.5
 
-    qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
-    kh = k.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
-    vh = v.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
-
     if bias is not None:
         if bias.ndim == 2:  # (B, Skv)
             bias = bias[:, None, None, :]
@@ -59,12 +55,15 @@ def multi_head_attention(
     if use_flash is None:
         use_flash = _flash_available() and sq >= 256 and d % 8 == 0
     if use_flash:
-        from tango_tpu.ops.flash_attention import flash_attention
+        # transpose-free kernel: head split rides the BlockSpec DMA
+        from tango_tpu.ops.flash_attention import flash_attention_nshd
 
-        out = flash_attention(qh, kh, vh, bias=bias, scale=scale)
-    else:
-        out = _xla_attention(qh, kh, vh, bias=bias, scale=scale, upcast=upcast)
+        return flash_attention_nshd(q, k, v, bias=bias, heads=heads, scale=scale)
 
+    qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+    out = _xla_attention(qh, kh, vh, bias=bias, scale=scale, upcast=upcast)
     return out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
 
 

@@ -1,0 +1,119 @@
+"""Common model-behavior checks, mirroring the vendored diffusers test mixins
+(SURVEY.md §4: PipelineTesterMixin / test_modeling_common_flax.py idioms):
+batch consistency, determinism, and save/load round-trips for every model
+family in the framework."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tango_tpu import configs as C
+from tango_tpu.models.unet import UNet2DConditionModel
+from tango_tpu.models.vae import AutoencoderKL
+from tango_tpu.models.hifigan import HiFiGANGenerator
+from tango_tpu.models.t5 import T5Config, T5Encoder
+from tango_tpu.models.audioldm_unet import FilmUNet, FilmUNetConfig
+
+UNET = C.UNetConfig(
+    in_channels=4, out_channels=4,
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    block_out_channels=(16, 32), layers_per_block=1,
+    cross_attention_dim=16, attention_head_dim=(2, 4), norm_num_groups=8,
+)
+
+
+def _unet_apply(params, x, extra):
+    model = UNet2DConditionModel(UNET)
+    t = jnp.full((x.shape[0],), 10, jnp.int32)
+    return model.apply({"params": params}, x, t, extra)
+
+
+MODELS = {}
+
+
+def _register():
+    k = jax.random.PRNGKey(0)
+    unet = UNet2DConditionModel(UNET)
+    MODELS["unet"] = (
+        unet.init(k, jnp.zeros((1, 8, 4, 4)), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 3, 16)))["params"],
+        lambda p, b: _unet_apply(p, jax.random.normal(jax.random.PRNGKey(1), (b, 8, 4, 4)),
+                                 jax.random.normal(jax.random.PRNGKey(2), (b, 3, 16))),
+    )
+    vae_cfg = C.VAEConfig(embed_dim=4, z_channels=4, ch=32, ch_mult=(1, 2), num_res_blocks=1)
+    vae = AutoencoderKL(vae_cfg)
+    MODELS["vae_decode"] = (
+        vae.init(k, jnp.zeros((1, 16, 8, 1)), k)["params"],
+        lambda p, b: AutoencoderKL(vae_cfg).apply(
+            {"params": p},
+            jax.random.normal(jax.random.PRNGKey(1), (b, 8, 4, 4)),
+            method=AutoencoderKL(vae_cfg).decode,
+        ),
+    )
+    hifi_cfg = C.HiFiGANConfig(num_mels=8, upsample_initial_channel=32)
+    hifi = HiFiGANGenerator(hifi_cfg)
+    MODELS["hifigan"] = (
+        hifi.init(k, jnp.zeros((1, 8, 8)))["params"],
+        lambda p, b: HiFiGANGenerator(hifi_cfg).apply(
+            {"params": p}, jax.random.normal(jax.random.PRNGKey(1), (b, 8, 8))
+        ),
+    )
+    t5_cfg = T5Config(vocab_size=64, d_model=16, d_kv=4, d_ff=32, num_layers=2, num_heads=4)
+    t5 = T5Encoder(t5_cfg)
+    MODELS["t5"] = (
+        t5.init(k, jnp.zeros((1, 5), jnp.int32), jnp.ones((1, 5), jnp.int32))["params"],
+        lambda p, b: T5Encoder(t5_cfg).apply(
+            {"params": p},
+            jax.random.randint(jax.random.PRNGKey(1), (b, 5), 0, 64),
+            jnp.ones((b, 5), jnp.int32),
+        ),
+    )
+    film_cfg = FilmUNetConfig(
+        in_channels=4, out_channels=4, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=16,
+        extra_film_condition_dim=8,
+    )
+    film = FilmUNet(film_cfg)
+    MODELS["film_unet"] = (
+        film.init(k, jnp.zeros((1, 8, 4, 4)), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 8)))["params"],
+        lambda p, b: FilmUNet(film_cfg).apply(
+            {"params": p},
+            jax.random.normal(jax.random.PRNGKey(1), (b, 8, 4, 4)),
+            jnp.full((b,), 7, jnp.int32),
+            jax.random.normal(jax.random.PRNGKey(2), (b, 8)),
+        ),
+    )
+
+
+_register()
+
+
+@pytest.mark.parametrize("name", list(MODELS))
+def test_determinism(name):
+    params, fn = MODELS[name]
+    a = np.asarray(fn(params, 2))
+    b = np.asarray(fn(params, 2))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("name", list(MODELS))
+def test_batch_consistency(name):
+    """Row 0 of a batch-2 forward equals the batch-1 forward of row 0."""
+    params, fn = MODELS[name]
+    out2 = np.asarray(fn(params, 2))
+    out1 = np.asarray(fn(params, 1))
+    np.testing.assert_allclose(out2[:1], out1, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("name", list(MODELS))
+def test_save_load_roundtrip(name, tmp_path):
+    from tango_tpu.utils.checkpoint import load_native, save_native
+
+    params, fn = MODELS[name]
+    ref = np.asarray(fn(params, 1))
+    save_native(str(tmp_path / name), jax.device_get(params), manifest={"m": name})
+    restored, manifest = load_native(str(tmp_path / name))
+    assert manifest["m"] == name
+    out = np.asarray(fn(restored, 1))
+    np.testing.assert_array_equal(out, ref)

@@ -54,16 +54,21 @@ def multi_head_attention(
 
     if use_flash is None:
         use_flash = _flash_available() and sq >= 256 and d % 8 == 0
-    if use_flash:
-        # transpose-free kernel: head split rides the BlockSpec DMA
-        from tango_tpu.ops.flash_attention import flash_attention_nshd
 
-        return flash_attention_nshd(q, k, v, bias=bias, heads=heads, scale=scale)
-
+    # NOTE: a transpose-free variant (head slices carved straight from the
+    # (B,S,H,D) view by BlockSpec index maps) is NOT possible: Mosaic requires
+    # block last-two dims divisible by (8,128) or equal to the array dims, and
+    # a single head puts block=1 against H in the sublane slot. The head
+    # transpose below stays.
     qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
     kh = k.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
     vh = v.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
-    out = _xla_attention(qh, kh, vh, bias=bias, scale=scale, upcast=upcast)
+    if use_flash:
+        from tango_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(qh, kh, vh, bias=bias, scale=scale)
+    else:
+        out = _xla_attention(qh, kh, vh, bias=bias, scale=scale, upcast=upcast)
     return out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
 
 

@@ -128,98 +128,3 @@ def flash_attention(
         )(q3, k3, v3, bias)
 
     return out3.reshape(b, h, sq, d)
-
-
-# -------------------------------------------------------- transpose-free path
-
-def _attn_kernel_nshd(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0, :, 0, :]  # (BQ, D)
-    k = k_ref[0, :, 0, :]  # (S, D)
-    v = v_ref[0, :, 0, :]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-    o_ref[0, :, 0, :] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
-
-
-def _attn_kernel_nshd_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
-    bias = b_ref[0]  # (1|BQ, S)
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + bias
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-    o_ref[0, :, 0, :] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
-def flash_attention_nshd(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    bias: jnp.ndarray | None = None,
-    *,
-    heads: int,
-    scale: float,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Flash attention on flat (B, S, H*D) projections WITHOUT host-visible
-    head transposes: the per-(batch, head) blocks are carved directly out of
-    the (B, S, H, D) view by BlockSpec index maps, so the layout change rides
-    the kernel's DMA instead of separate XLA transpose ops (which cost ~1 ms
-    per UNet eval across the 32 attention sites)."""
-    b, sq, inner = q.shape
-    skv = k.shape[1]
-    d = inner // heads
-    bq = _block_q(sq)
-
-    q4 = q.reshape(b, sq, heads, d)
-    k4 = k.reshape(b, skv, heads, d)
-    v4 = v.reshape(b, skv, heads, d)
-
-    grid = (b, heads, sq // bq)
-    q_spec = pl.BlockSpec((1, bq, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0), memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, skv, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, bq, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0), memory_space=pltpu.VMEM)
-
-    cost = pl.CostEstimate(
-        flops=2 * 2 * b * heads * sq * skv * d,
-        bytes_accessed=(q4.size + k4.size + v4.size + q4.size) * q.dtype.itemsize,
-        transcendentals=b * heads * sq * skv,
-    )
-
-    if bias is None:
-        out = pl.pallas_call(
-            functools.partial(_attn_kernel_nshd, scale=scale),
-            out_shape=jax.ShapeDtypeStruct(q4.shape, q.dtype),
-            grid=grid,
-            in_specs=[q_spec, kv_spec, kv_spec],
-            out_specs=out_spec,
-            cost_estimate=cost,
-            interpret=interpret,
-        )(q4, k4, v4)
-    else:
-        bias = jnp.asarray(bias, jnp.float32)
-        if bias.ndim == 4:  # (B, 1, 1|Sq, Skv)
-            bias = bias[:, 0]
-        if bias.shape[1] == 1:
-            b_spec = pl.BlockSpec((1, 1, skv), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM)
-        else:
-            b_spec = pl.BlockSpec((1, bq, skv), lambda bi, hi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
-            functools.partial(_attn_kernel_nshd_bias, scale=scale),
-            out_shape=jax.ShapeDtypeStruct(q4.shape, q.dtype),
-            grid=grid,
-            in_specs=[q_spec, kv_spec, kv_spec, b_spec],
-            out_specs=out_spec,
-            cost_estimate=cost,
-            interpret=interpret,
-        )(q4, k4, v4, bias)
-    return out.reshape(b, sq, inner)

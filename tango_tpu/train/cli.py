@@ -50,6 +50,8 @@ def parse_args(argv=None):
     p.add_argument("--max_text_length", type=int, default=128)
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--with_tracking", action="store_true",
+                   help="log to wandb if available (reference train.py:174-184)")
     return p.parse_args(argv)
 
 
@@ -175,8 +177,19 @@ def main(argv=None):
     with open(os.path.join(out_dir, "summary.jsonl"), "a") as f:
         f.write(json.dumps({"args": vars(args)}) + "\n")
 
+    tracker = None
+    if args.with_tracking:
+        try:
+            import wandb
+
+            tracker = wandb.init(project="tango_tpu", config=vars(args))
+        except Exception as e:
+            print(f"# wandb unavailable ({e}); falling back to stdout", flush=True)
+
     def log_fn(rec):
         print(json.dumps(rec), flush=True)
+        if tracker is not None:
+            tracker.log(rec)
 
     with mesh:
         trainer.fit(

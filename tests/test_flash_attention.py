@@ -57,31 +57,3 @@ def test_flash_bf16():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2
     )
-
-
-@pytest.mark.parametrize("skv,bias_q", [(256, None), (64, 1), (64, 256)])
-def test_flash_nshd_matches_xla(skv, bias_q):
-    from tango_tpu.ops.flash_attention import flash_attention_nshd
-
-    b, h, sq, d = 2, 4, 256, 64
-    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
-    q = jax.random.normal(k1, (b, sq, h * d))
-    k = jax.random.normal(k2, (b, skv, h * d))
-    v = jax.random.normal(k3, (b, skv, h * d))
-    scale = d**-0.5
-    if bias_q is None:
-        bias4 = None
-    else:
-        mask = np.ones((b, bias_q, skv), np.float32)
-        mask[:, :, skv // 2:] = 0
-        bias4 = jnp.asarray((1.0 - mask) * -10000.0)[:, None]
-
-    def heads_split(x, s):
-        return x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
-
-    ref = _xla_attention(
-        heads_split(q, sq), heads_split(k, skv), heads_split(v, skv),
-        bias=bias4, scale=scale, upcast=True,
-    ).transpose(0, 2, 1, 3).reshape(b, sq, h * d)
-    out = flash_attention_nshd(q, k, v, bias=bias4, heads=h, scale=scale, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)

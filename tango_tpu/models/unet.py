@@ -112,21 +112,37 @@ class ResnetBlock2D(nn.Module):
 
 
 class Attention(nn.Module):
-    """Projections + attention core (attention_processor.py:34-131)."""
+    """Projections + attention core (attention_processor.py:34-131).
+
+    `fuse`: projection fusion mode — "qkv" computes q,k,v with ONE matmul
+    (valid for self-attention), "kv" fuses k,v (valid always). Fused kernels
+    are plain concatenations of the reference to_q/to_k/to_v weights
+    (utils/convert.fuse_attention_params); math is identical, but ~48 small
+    GEMM dispatches per UNet eval collapse into wider MXU-friendly ones.
+    """
 
     heads: int
     dim_head: int
     upcast: bool = True
     dtype: jnp.dtype = jnp.float32
+    fuse: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, context=None, bias=None):
         context = x if context is None else context
         inner = self.heads * self.dim_head
         query_dim = x.shape[-1]
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        if self.fuse == "qkv":
+            qkv = nn.Dense(3 * inner, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif self.fuse == "kv":
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            kv = nn.Dense(2 * inner, use_bias=False, dtype=self.dtype, name="to_kv")(context)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
         out = multi_head_attention(q, k, v, heads=self.heads, bias=bias, upcast=self.upcast)
         return nn.Dense(query_dim, dtype=self.dtype, name="to_out_0")(out)
 
@@ -151,14 +167,17 @@ class BasicTransformerBlock(nn.Module):
     upcast: bool = True
     dtype: jnp.dtype = jnp.float32
     has_cross: bool = True
+    fuse_projections: bool = True
 
     @nn.compact
     def __call__(self, x, context=None, context_bias=None):
+        f1 = "qkv" if self.fuse_projections else None
+        f2 = "kv" if self.fuse_projections else None
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.heads, self.dim_head, self.upcast, self.dtype, name="attn1")(h)
+        x = x + Attention(self.heads, self.dim_head, self.upcast, self.dtype, fuse=f1, name="attn1")(h)
         if self.has_cross:
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-            x = x + Attention(self.heads, self.dim_head, self.upcast, self.dtype, name="attn2")(
+            x = x + Attention(self.heads, self.dim_head, self.upcast, self.dtype, fuse=f2, name="attn2")(
                 h, context=context, bias=context_bias
             )
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)

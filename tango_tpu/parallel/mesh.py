@@ -50,7 +50,7 @@ def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
 # Megatron-style column/row rules, applied by param-path suffix.
 # (path_regex, PartitionSpec for a 2D kernel (in, out))
 _TP_RULES = [
-    (r"(to_q|to_k|to_v)/kernel$", P(None, "model")),          # column
+    (r"(to_q|to_k|to_v|to_qkv|to_kv)/kernel$", P(None, "model")),  # column
     (r"to_out_0/kernel$", P("model", None)),                   # row
     (r"net_0_proj/kernel$", P(None, "model")),                 # column (GEGLU)
     (r"net_2/kernel$", P("model", None)),                      # row

@@ -104,12 +104,13 @@ _IDX = re.compile(
 )
 
 
-def convert_unet(sd: Dict[str, np.ndarray]) -> dict:
+def convert_unet(sd: Dict[str, np.ndarray], fuse: bool = True) -> dict:
     """diffusers UNet2DConditionModel state dict -> tango_tpu.models.unet params.
 
     Mustango music UNets carry extra per-layer transformers named `attentions2`
     / `attentions3` in torch (unet_2d_blocks.py:1079); these map to the
-    `_extra{j}` stream suffix of the generalized block.
+    `_extra{j}` stream suffix of the generalized block. `fuse` concatenates
+    qkv/kv projection weights to match the fused-projection modules (default).
     """
     params: dict = {}
     for key, w in sd.items():
@@ -119,7 +120,7 @@ def convert_unet(sd: Dict[str, np.ndarray]) -> dict:
         if path is None:
             continue
         _set(params, path, value)
-    return params
+    return fuse_attention_params(params) if fuse else params
 
 
 def _convert_unet_key(key: str, w: np.ndarray):
@@ -240,3 +241,34 @@ def convert_hifigan(sd: Dict[str, np.ndarray]) -> dict:
         else:
             raise ValueError(f"unhandled HiFiGAN key {key}")
     return params
+
+
+def fuse_attention_params(params: dict) -> dict:
+    """Concatenate per-projection attention weights into fused kernels.
+
+    attn1 (self-attention): to_q|to_k|to_v -> to_qkv; attn2 (cross or second
+    self): to_k|to_v -> to_kv. Pure weight concatenation — the module splits
+    the fused output, so the math is bit-identical to the reference layout.
+    """
+
+    def walk(node, name=""):
+        if not isinstance(node, dict):
+            return node
+        out = {k: walk(v, k) for k, v in node.items()}
+        has_qkv = all(k in out for k in ("to_q", "to_k", "to_v"))
+        if has_qkv and name == "attn1":
+            out["to_qkv"] = {
+                "kernel": np.concatenate(
+                    [out.pop("to_q")["kernel"], out.pop("to_k")["kernel"], out.pop("to_v")["kernel"]],
+                    axis=1,
+                )
+            }
+        elif has_qkv and name == "attn2":
+            out["to_kv"] = {
+                "kernel": np.concatenate(
+                    [out.pop("to_k")["kernel"], out.pop("to_v")["kernel"]], axis=1
+                )
+            }
+        return out
+
+    return walk(params)

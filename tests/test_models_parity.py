@@ -68,12 +68,16 @@ def test_unet_parity_nomask():
 
 
 def test_unet_param_count_matches():
-    """Every torch tensor must land somewhere in the converted tree."""
+    """Every torch tensor must land somewhere in the converted tree.
+
+    Fusion merges attn1 q/k/v (3->1) and attn2 k/v (2->1) kernels."""
     g = load_golden("unet_tiny")
     sd = _sd(g)
     params = convert_unet(sd)
+    n_attn1 = sum(1 for k in sd if "attn1.to_q.weight" in k)
+    n_attn2 = sum(1 for k in sd if "attn2.to_q.weight" in k)
     n_leaves = sum(1 for _ in _iter_leaves(params))
-    assert n_leaves == len(sd)
+    assert n_leaves == len(sd) - 2 * n_attn1 - 1 * n_attn2
 
 
 def _iter_leaves(tree):

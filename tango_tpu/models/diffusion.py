@@ -134,6 +134,7 @@ class AudioDiffusion:
         extra_masks: Sequence[jnp.ndarray] = (),
         uncond_extra_contexts: Sequence[jnp.ndarray] = (),
         noise_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        latent_t_size: Optional[int] = None,
     ) -> jnp.ndarray:
         """CFG denoising loop -> latents (B, T, F, C). jit-able; `num_steps`,
         `scheduler`, `eta` and CFG-enablement are static.
@@ -149,7 +150,8 @@ class AudioDiffusion:
         )
         timesteps = jnp.asarray(sched.timesteps(num_steps))
         bsz = cond_embeds.shape[0]
-        shape = (bsz, self.latent_t_size, self.latent_f_size, self.unet_config.in_channels)
+        t_size = latent_t_size or self.latent_t_size
+        shape = (bsz, t_size, self.latent_f_size, self.unet_config.in_channels)
 
         k_init, k_loop = jax.random.split(rng)
         if noise_override is not None:

@@ -50,10 +50,19 @@ def group_norm(
       act: optional fused activation: None | "silu".
     """
     if _gn_pallas_enabled():
-        from tango_tpu.ops.gn_silu_pallas import gn_pallas_supported, group_norm_pallas
+        from tango_tpu.ops.gn_silu_pallas import (
+            gn_pallas2_supported,
+            gn_pallas_supported,
+            group_norm_pallas,
+            group_norm_pallas2,
+        )
 
         if gn_pallas_supported(x, num_groups):
             return group_norm_pallas(x, scale, bias, num_groups, eps, act)
+        if gn_pallas2_supported(x, num_groups):
+            # whole-sample blocks too big for VMEM (VAE/vocoder resolutions):
+            # chunked two-stage kernel
+            return group_norm_pallas2(x, scale, bias, num_groups, eps, act)
     orig_dtype = x.dtype
     b = x.shape[0]
     c = x.shape[-1]

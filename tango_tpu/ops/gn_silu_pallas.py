@@ -111,3 +111,115 @@ def gn_pallas_supported(x: jnp.ndarray, num_groups: int) -> bool:
     if c % num_groups != 0:
         return False
     return s * c * 4 <= 8 * 1024 * 1024
+
+
+# -------------------------------------------------------------- two-stage path
+
+def _gn_stats_kernel(x_ref, o_ref, *, num_groups: int):
+    """Partial per-chunk group sums: x (1, CS, C) -> (1, 1, 8, 128) f32 slab.
+
+    The (8, 128) output slab satisfies Mosaic's min-tile rule; the stats live
+    in row 0, cols [0, 2G)."""
+    x = x_ref[0].astype(jnp.float32)
+    s, c = x.shape
+    g = num_groups
+    cg = c // g
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
+    member = (ch // cg == gr).astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    col_sum = jnp.sum(x, axis=0, keepdims=True)
+    col_sumsq = jnp.sum(x * x, axis=0, keepdims=True)
+    gsum = jnp.dot(col_sum, member, preferred_element_type=jnp.float32, precision=hp)
+    gsumsq = jnp.dot(col_sumsq, member, preferred_element_type=jnp.float32, precision=hp)
+    row = jnp.concatenate([gsum, gsumsq], axis=-1)  # (1, 2G)
+    # pad to the (8, 128) slab (scatter is not lowerable in Mosaic; pad is)
+    slab = jnp.pad(row, ((0, 7), (0, 128 - 2 * g)))
+    o_ref[0, 0] = slab
+
+
+def _gn_apply_kernel(x_ref, a_ref, b_ref, o_ref, *, act):
+    y = x_ref[0].astype(jnp.float32) * a_ref[0, 0][None, :] + b_ref[0, 0][None, :]
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _chunks(s: int) -> int:
+    for cs in (512, 256, 128, 64):
+        if s % cs == 0 and s // cs >= 2:
+            return s // cs
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "act", "interpret"))
+def group_norm_pallas2(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int,
+    eps: float = 1e-6,
+    act: str | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Two-stage GroupNorm(+SiLU): chunked stats kernel -> XLA combine ->
+    chunked apply kernel. Trades one extra HBM read of x for a grid with
+    (B * n_chunks) programs, which pipelines DMA/compute far better than the
+    whole-sample single-pass kernel (GN is latency-bound, not bandwidth-bound:
+    its HBM traffic is ~13 us/site while the single-pass kernel spends ~150 us).
+    Also covers shapes whose whole-sample blocks exceed VMEM (VAE/vocoder)."""
+    orig_shape = x.shape
+    b = x.shape[0]
+    c = x.shape[-1]
+    x3 = x.reshape(b, -1, c)
+    s = x3.shape[1]
+    g = num_groups
+    nck = _chunks(s)
+    cs = s // nck
+
+    assert 2 * g <= 128, "two-stage GN supports up to 64 groups"
+    parts = pl.pallas_call(
+        functools.partial(_gn_stats_kernel, num_groups=g),
+        out_shape=jax.ShapeDtypeStruct((b, nck, 8, 128), jnp.float32),
+        grid=(b, nck),
+        in_specs=[pl.BlockSpec((1, cs, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x3)
+
+    tot = parts[:, :, 0, : 2 * g].sum(axis=1)  # (B, 2G)
+    gsum, gsumsq = tot[:, :g], tot[:, g:]
+    n = jnp.float32(s * (c // g))
+    mean_g = gsum / n
+    var_g = gsumsq / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    # per-channel affine: a = inv*gamma, b = beta - mean*a  (B, C)
+    inv_c = jnp.repeat(inv_g, c // g, axis=1)
+    mean_c = jnp.repeat(mean_g, c // g, axis=1)
+    a = inv_c * scale.astype(jnp.float32)[None, :]
+    bb = bias.astype(jnp.float32)[None, :] - mean_c * a
+
+    out = pl.pallas_call(
+        functools.partial(_gn_apply_kernel, act=act),
+        out_shape=jax.ShapeDtypeStruct(x3.shape, x.dtype),
+        grid=(b, nck),
+        in_specs=[
+            pl.BlockSpec((1, cs, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            # (B, 1, C) with block (1, 1, C): last-two dims equal array dims
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cs, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x3, a[:, None, :], bb[:, None, :])
+    return out.reshape(orig_shape)
+
+
+def gn_pallas2_supported(x: jnp.ndarray, num_groups: int) -> bool:
+    """Two-stage kernel: chunk blocks must fit VMEM and groups <= 64."""
+    c = x.shape[-1]
+    s = int(np.prod(x.shape[1:-1]))
+    if c % num_groups != 0 or 2 * num_groups > 128:
+        return False
+    nck = _chunks(s)
+    return (s // nck) * c * 4 <= 8 * 1024 * 1024

@@ -217,8 +217,8 @@ class Tango:
         return self.t5.apply({"params": params}, ids, mask)
 
     # -------------------------------------------------------------- sampling
-    def _sample_fn(self, num_steps: int, cfg: bool):
-        key = (num_steps, cfg)
+    def _sample_fn(self, num_steps: int, cfg: bool, latent_t_size: Optional[int] = None):
+        key = (num_steps, cfg, latent_t_size)
         if key not in self._sample_cache:
 
             @jax.jit
@@ -229,6 +229,7 @@ class Tango:
                     guidance_scale=guidance,
                     uncond_embeds=uncond if cfg else None,
                     uncond_mask=uncond_mask if cfg else None,
+                    latent_t_size=latent_t_size,
                 )
 
             self._sample_cache[key] = f
@@ -261,9 +262,18 @@ class Tango:
         samples: int = 1,
         disable_progress: bool = True,
         seed: Optional[int] = None,
+        duration: Optional[float] = None,
     ) -> np.ndarray:
-        """Single prompt -> int16 waveform(s). (reference tango.py:43-49)"""
-        wav = self._generate_batch([prompt], steps, guidance, samples, seed)
+        """Single prompt -> int16 waveform(s). (reference tango.py:43-49)
+
+        `duration` (seconds) overrides the fixed 10.24 s clip: latent frames =
+        duration * 25.6 (the AudioLDM mapping, pipeline.py:94-95), rounded to
+        a multiple of the UNet's downsampling factor."""
+        latent_t = None
+        if duration is not None:
+            factor = 2 ** (len(self.model.unet_config.block_out_channels) - 1)
+            latent_t = max(int(round(duration * 25.6 / factor)) * factor, factor)
+        wav = self._generate_batch([prompt], steps, guidance, samples, seed, latent_t)
         return wav[0] if samples == 1 else wav[:samples]
 
     def generate_for_batch(
@@ -285,7 +295,7 @@ class Tango:
             return outputs
         return [outputs[i : i + samples] for i in range(0, len(outputs), samples)]
 
-    def _generate_batch(self, prompts, steps, guidance, samples, seed=None):
+    def _generate_batch(self, prompts, steps, guidance, samples, seed=None, latent_t=None):
         cond, cond_mask = self.encode_text(prompts)
         # repeat_interleave for multi-sample (models.py:221-222, 278-279)
         if samples > 1:
@@ -307,7 +317,7 @@ class Tango:
             cond, cond_mask, uncond, uncond_mask = pmesh.shard_batch(
                 (cond, cond_mask, uncond, uncond_mask), self.mesh
             )
-        latents = self._sample_fn(steps, cfg)(
+        latents = self._sample_fn(steps, cfg, latent_t)(
             self.unet_params, cond, cond_mask, uncond, uncond_mask, rng,
             jnp.float32(guidance),
         )

@@ -43,3 +43,24 @@ def test_gn_supported_gate():
     assert gn_pallas_supported(jnp.zeros((1, 256, 16, 320)), 32)
     assert not gn_pallas_supported(jnp.zeros((1, 256, 16, 320)), 7)  # 320 % 7
     assert not gn_pallas_supported(jnp.zeros((1, 4096, 16, 640)), 32)  # too big for VMEM
+
+
+@pytest.mark.parametrize(
+    "shape,groups,act",
+    [
+        ((2, 256, 16, 320), 32, "silu"),
+        ((2, 64, 4, 1280), 32, None),
+        ((1, 1024, 64, 128), 32, "silu"),  # VAE-decode scale
+        ((3, 37, 8, 64), 8, "silu"),       # odd spatial -> single chunk
+    ],
+)
+def test_gn2_matches_xla(shape, groups, act):
+    from tango_tpu.ops.gn_silu_pallas import group_norm_pallas2
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(k1, shape) * 1.5 + 0.3
+    scale = jax.random.normal(k2, (shape[-1],)) * 0.2 + 1.0
+    bias = jax.random.normal(k3, (shape[-1],)) * 0.1
+    ref = group_norm(x, scale, bias, groups, 1e-5, act=act)
+    out = group_norm_pallas2(x, scale, bias, groups, 1e-5, act=act, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)

@@ -102,3 +102,10 @@ def test_guidance_traced_no_recompile(tiny_tango):
 def test_no_cfg_when_guidance_leq_1(tiny_tango):
     wav = tiny_tango.generate("x", steps=2, guidance=1.0)
     assert wav.shape == (16 * 160 + 32,)  # +32: transposed-conv edge (matches torch)
+
+
+def test_generate_duration_override(tiny_tango):
+    # tiny unet has 2 levels -> factor 2; 0.5s -> latent_t ~ 12
+    wav = tiny_tango.generate("short", steps=2, duration=0.5)
+    # latent 12 -> mel 24 -> x160 vocoder (+32 edge)
+    assert wav.shape == (24 * 160 + 32,)

@@ -1,0 +1,99 @@
+"""tango_tpu walk-through — the Colab demo equivalent
+(reference: Tango_Google_Colab_demo.ipynb).
+
+Run with a converted snapshot for real audio, or with --tiny for a smoke run
+on random weights (no downloads needed):
+
+    python examples/demo.py --tiny
+    python examples/demo.py --model /path/to/tango-snapshot --prompt "..."
+"""
+
+import argparse
+import time
+
+
+def tiny_demo():
+    """End-to-end generation with dwarf random models (wiring demo)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import sys
+
+    sys.path.insert(0, ".")
+    import jax.numpy as jnp
+
+    from tango_tpu import configs as C
+    from tango_tpu.models.hifigan import HiFiGANGenerator
+    from tango_tpu.models.t5 import T5Config, T5Encoder
+    from tango_tpu.models.unet import UNet2DConditionModel
+    from tango_tpu.models.vae import AutoencoderKL
+    from tango_tpu.pipeline import Tango
+
+    class WordTokenizer:
+        def __call__(self, texts, max_length=16, **kw):
+            import numpy as np
+
+            ids = np.zeros((len(texts), max_length), np.int32)
+            mask = np.zeros((len(texts), max_length), np.int32)
+            for i, t in enumerate(texts):
+                toks = [hash(w) % 126 + 2 for w in t.split()][: max_length - 1] + [1]
+                ids[i, : len(toks)] = toks
+                mask[i, : len(toks)] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    unet_cfg = C.UNetConfig(
+        in_channels=8, out_channels=8,
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        block_out_channels=(32, 64), layers_per_block=1,
+        cross_attention_dim=16, attention_head_dim=(2, 4), norm_num_groups=8,
+    )
+    vae_cfg = C.VAEConfig(embed_dim=8, z_channels=8, ch=32, ch_mult=(1, 2), num_res_blocks=1)
+    t5_cfg = T5Config(vocab_size=128, d_model=16, d_kv=4, d_ff=32, num_layers=2, num_heads=4)
+    hifi_cfg = C.HiFiGANConfig(num_mels=8, upsample_initial_channel=32)
+
+    k = jax.random.PRNGKey(0)
+    tango = Tango.from_components(
+        unet_config=unet_cfg, vae_config=vae_cfg,
+        unet_params=UNet2DConditionModel(unet_cfg).init(
+            k, jnp.zeros((1, 8, 4, 8)), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 2, 16))
+        )["params"],
+        vae_params=AutoencoderKL(vae_cfg).init(k, jnp.zeros((1, 16, 8, 1)), k)["params"],
+        t5_config=t5_cfg,
+        t5_params=T5Encoder(t5_cfg).init(
+            k, jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32)
+        )["params"],
+        hifigan_config=hifi_cfg,
+        hifigan_params=HiFiGANGenerator(hifi_cfg).init(k, jnp.zeros((1, 8, 8)))["params"],
+        tokenizer=WordTokenizer(), latent_t_size=8, latent_f_size=4,
+    )
+    t0 = time.time()
+    wav = tango.generate("an audience cheering and clapping", steps=5, guidance=3.0, seed=0)
+    from tango_tpu.audio.wav import write_wav
+
+    write_wav("demo_tiny.wav", wav, 16000)
+    print(f"tiny demo: wrote demo_tiny.wav ({wav.shape[0]/16000:.2f}s) in {time.time()-t0:.1f}s")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--model", type=str, default="declare-lab/tango")
+    p.add_argument("--prompt", type=str, default="an audience cheering and clapping")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--guidance", type=float, default=3.0)
+    args = p.parse_args()
+    if args.tiny:
+        tiny_demo()
+        return
+    from tango_tpu.audio.wav import write_wav
+    from tango_tpu.pipeline import Tango
+
+    tango = Tango(args.model)
+    wav = tango.generate(args.prompt, steps=args.steps, guidance=args.guidance)
+    write_wav("output.wav", wav, 16000)
+    print("wrote output.wav")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cnn14_ckpt", type=str, default=None)
     p.add_argument("--vggish_ckpt", type=str, default=None)
+    p.add_argument("--clap_ckpt", type=str, default=None,
+                   help="LAION-CLAP ckpt: re-rank multi-sample outputs by CLAP "
+                        "similarity (reference inference.py:105-121)")
     return p.parse_args(argv)
 
 
@@ -70,8 +73,22 @@ def main(argv=None):
     )
     gen_time = time.time() - t0
 
+    if args.num_samples > 1 and args.clap_ckpt:
+        # CLAP re-ranking of multi-sample outputs (inference.py:105-121)
+        import numpy as np
+
+        from tango_tpu.inference_tango2 import load_clap
+
+        clap = load_clap(args.clap_ckpt)
+        ranked = []
+        for prompt, group in zip(prompts, waves):
+            cand = np.stack([g.astype(np.float32) / 32768.0 for g in group])
+            sims = clap.similarity(cand, prompt)
+            ranked.append(group[int(np.argmax(sims))])
+        waves = ranked
+
     for i, w in enumerate(waves):
-        w0 = w if args.num_samples == 1 else w[0]
+        w0 = w if args.num_samples == 1 or not isinstance(w, list) else w[0]
         write_wav(os.path.join(out_dir, f"output_{i}.wav"), w0, 16000)
 
     audio_sec = len(prompts) * 10.24

@@ -3,6 +3,7 @@ from tango_tpu.audioldm.pipeline import (
     build_model,
     duration_to_latent_t_size,
     style_transfer,
+    super_resolution_and_inpainting,
     text_to_audio,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "build_model",
     "duration_to_latent_t_size",
     "style_transfer",
+    "super_resolution_and_inpainting",
     "text_to_audio",
 ]

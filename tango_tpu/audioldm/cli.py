@@ -17,7 +17,7 @@ import os
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="tango_tpu AudioLDM CLI")
     p.add_argument("--mode", type=str, default="generation",
-                   choices=["generation", "transfer"])
+                   choices=["generation", "transfer", "inpainting"])
     p.add_argument("-t", "--text", type=str, default="")
     p.add_argument("-tl", "--text_list", type=str, default="")
     p.add_argument("-f", "--file_path", type=str, default=None)
@@ -36,7 +36,12 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     from tango_tpu.audio.wav import write_wav
-    from tango_tpu.audioldm.pipeline import build_model, style_transfer, text_to_audio
+    from tango_tpu.audioldm.pipeline import (
+        build_model,
+        style_transfer,
+        super_resolution_and_inpainting,
+        text_to_audio,
+    )
 
     os.makedirs(args.save_path, exist_ok=True)
     pipeline = build_model(args.ckpt_path)
@@ -51,7 +56,14 @@ def main(argv=None):
         raise SystemExit("provide -t or -tl")
 
     for i, text in enumerate(prompts):
-        if args.mode == "generation":
+        if args.mode == "inpainting":
+            wavs = super_resolution_and_inpainting(
+                pipeline, text, args.file_path,
+                seed=args.seed, ddim_steps=args.ddim_steps,
+                duration=args.duration, batchsize=args.batchsize,
+                guidance_scale=args.guidance_scale,
+            )
+        elif args.mode == "generation":
             wavs = text_to_audio(
                 pipeline, text,
                 original_audio_file_path=args.file_path,

@@ -254,3 +254,78 @@ def style_transfer(
         guidance_scale=guidance_scale, init_latents=noisy, t_start=t0,
     )
     return pipeline.decode(latents)
+
+
+def super_resolution_and_inpainting(
+    pipeline: AudioLDMPipeline,
+    text: str,
+    original_audio_file_path: str,
+    seed: int = 42,
+    ddim_steps: int = 200,
+    duration: float = 10.0,
+    batchsize: int = 1,
+    guidance_scale: float = 2.5,
+    time_mask_ratio_start_and_end: Tuple[float, float] = (0.10, 0.15),
+    freq_mask_ratio_start_and_end: Tuple[float, float] = (1.0, 1.0),
+) -> np.ndarray:
+    """Masked regeneration (reference pipeline.py:249-300 + ldm.py
+    generate_sample_masked): the latent regions inside the time/freq mask
+    ratios are re-generated under text conditioning; everything else is
+    re-noised from the source latent at each step, so the kept content stays
+    pinned to the original audio (RePaint-style blending).
+
+    (0.10, 0.15) time mask = inpaint 10%..15% of the clip; freq (0.75, 1.0)
+    = regenerate the top quartile of mel bins (super-resolution)."""
+    from tango_tpu.audio.wav import read_wav_file
+
+    target_len = int(duration * 102.4)
+    wav = read_wav_file(original_audio_file_path, target_len * 160)
+    fbank, _ = wav_batch_to_fbank(pipeline.stft, wav, target_len)
+    mel = jnp.repeat(fbank[..., None], batchsize, axis=0)
+
+    rng = jax.random.PRNGKey(seed)
+    k_enc, k_init, k_step = jax.random.split(rng, 3)
+    z0 = pipeline.vae.apply(
+        {"params": pipeline.vae_params}, mel, k_enc, method=pipeline.vae.encode_first_stage
+    ).astype(jnp.float32)
+
+    b, lt, lf, lc = z0.shape
+    t_idx = np.arange(lt) / lt
+    f_idx = np.arange(lf) / lf
+    t0r, t1r = time_mask_ratio_start_and_end
+    f0r, f1r = freq_mask_ratio_start_and_end
+    regen_t = (t_idx >= t0r) & (t_idx < t1r)
+    regen_f = (f_idx >= f0r) & (f_idx < f1r)
+    mask = (regen_t[:, None] | regen_f[None, :]).astype(np.float32)  # 1 = regenerate
+    mask = jnp.asarray(mask)[None, :, :, None]
+
+    cond = pipeline.conditioner
+    film_cond = jnp.asarray(np.repeat(cond.text_embed([text]), batchsize, axis=0))
+    film_uncond = jnp.asarray(cond.unconditional_embed(batchsize))
+    film = jnp.concatenate([film_uncond, film_cond], axis=0)
+
+    sched = pipeline.scheduler
+    timesteps = jnp.asarray(sched.timesteps(ddim_steps))
+    latents = jax.random.normal(k_init, z0.shape, jnp.float32)
+
+    def body(carry, t):
+        lat, key = carry
+        key, k_n = jax.random.split(key)
+        lat_in = jnp.concatenate([lat, lat], axis=0)
+        t_b = jnp.full((2 * b,), t, jnp.int32)
+        pred = pipeline.unet.apply(
+            {"params": pipeline.unet_params}, lat_in.astype(pipeline.dtype), t_b, film
+        ).astype(jnp.float32)
+        pu, pc = jnp.split(pred, 2, axis=0)
+        pred = pu + guidance_scale * (pc - pu)
+        lat, _ = sched.step(pred, t, lat, jnp.zeros_like(lat), ddim_steps, eta=0.0)
+        # pin the kept region to the source, re-noised to the current level
+        prev_t = jnp.maximum(t - sched.config.num_train_timesteps // ddim_steps, 0)
+        known = sched.add_noise(z0, jax.random.normal(k_n, z0.shape), jnp.full((b,), prev_t))
+        lat = mask * lat + (1.0 - mask) * known
+        return (lat, key), None
+
+    (latents, _), _ = jax.lax.scan(body, (latents, k_step), timesteps)
+    # final hard blend with the clean source outside the mask
+    latents = mask * latents + (1.0 - mask) * z0
+    return pipeline.decode(latents)

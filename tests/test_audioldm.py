@@ -84,3 +84,18 @@ def test_candidate_ranking_uses_similarity(tiny_audioldm):
     )
     assert wavs.shape[0] == 1
     tiny_audioldm.conditioner = StubClapConditioner(dim=32)
+
+
+def test_inpainting(tiny_audioldm, tmp_path):
+    from tango_tpu.audio.wav import write_wav
+    from tango_tpu.audioldm.pipeline import super_resolution_and_inpainting
+
+    src = str(tmp_path / "src2.wav")
+    t = np.linspace(0, 1, 16000, endpoint=False)
+    write_wav(src, (0.5 * np.sin(2 * np.pi * 250 * t)).astype(np.float32))
+    wavs = super_resolution_and_inpainting(
+        tiny_audioldm, "birds chirping", src,
+        duration=16 / 102.4, ddim_steps=3, batchsize=1,
+        time_mask_ratio_start_and_end=(0.25, 0.75),
+    )
+    assert wavs.shape[0] == 1 and wavs.dtype == np.int16

@@ -9,7 +9,10 @@ tango_tpu.utils.checkpoint.load_native (no torch import needed at serve time).
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

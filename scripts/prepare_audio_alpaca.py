@@ -11,6 +11,9 @@ manifest rows {"captions", "chosen", "rejected"} feed
 import argparse
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -1,0 +1,88 @@
+"""Utility coverage: registry, profiling, checkpoint conversion script glue."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_registry_resolve_local_path(tmp_path):
+    from tango_tpu.registry import REGISTRY, get_metadata, resolve
+
+    assert "audioldm-s-full" in get_metadata()
+    # unknown names pass through as paths
+    p = str(tmp_path / "x")
+    assert resolve(p) == p
+
+
+def test_registry_missing_download_raises(monkeypatch):
+    import urllib.request
+
+    from tango_tpu import registry
+
+    monkeypatch.setattr(
+        urllib.request, "urlretrieve",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("no egress")),
+    )
+    with pytest.raises(FileNotFoundError) as e:
+        registry.resolve("cnn14-16k")
+    assert "zenodo" in str(e.value)
+
+
+def test_device_timer_and_sync():
+    from tango_tpu.utils.profiling import device_timer, realtime_factor, sync
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    x = jnp.ones((64, 64))
+    stats = device_timer(f, x, iters=3)
+    assert stats["p50_s"] > 0 and stats["iters"] == 3
+    sync(f(x))
+    assert realtime_factor(10.24, 2.0) == 5.12
+
+
+def test_convert_checkpoint_script_tango(tmp_path):
+    """Exercise scripts/convert_checkpoint.py end-to-end on a synthetic
+    reference-format tango snapshot."""
+    import subprocess
+    import sys
+
+    import torch
+
+    from tests.test_models_parity import TINY_UNET
+    from tests.conftest import REPO, load_golden
+
+    g = load_golden("unet_tiny")
+    unet_sd = {f"unet.{k[4:]}": torch.tensor(g[k]) for k in g.files if k.startswith("sd::")}
+    gv = load_golden("vae_tiny")
+    vae_sd = {k[4:]: torch.tensor(gv[k]) for k in gv.files if k.startswith("sd::")}
+    gt = load_golden("t5_tiny")
+    t5_sd = {f"text_encoder.{k[4:]}": torch.tensor(gt[k]) for k in gt.files if k.startswith("sd::")}
+
+    snap = tmp_path / "snap"
+    snap.mkdir()
+    torch.save(vae_sd, snap / "pytorch_model_vae.bin")
+    torch.save({**unet_sd, **t5_sd}, snap / "pytorch_model_main.bin")
+    with open(snap / "vae_config.json", "w") as f:
+        json.dump({"embed_dim": 4, "scale_factor": 0.9,
+                   "ddconfig": {"z_channels": 4, "resolution": 32, "ch": 32,
+                                "ch_mult": [1, 2], "num_res_blocks": 1}}, f)
+    with open(snap / "main_config.json", "w") as f:
+        json.dump({"text_encoder_name": "t5", "scheduler_name": "s"}, f)
+
+    out = tmp_path / "native"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "convert_checkpoint.py"),
+         "tango", str(snap), str(out)],
+        capture_output=True, text=True, env=env, cwd=str(REPO),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    from tango_tpu.utils.checkpoint import load_native
+
+    tree, manifest = load_native(str(out))
+    assert manifest["kind"] == "tango"
+    assert "unet" in tree and "vae" in tree and "t5" in tree
+    assert manifest["vae_config"]["scale_factor"] == 0.9

@@ -64,12 +64,37 @@ def multi_head_attention(
     kh = k.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
     vh = v.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
     if use_flash:
-        from tango_tpu.ops.flash_attention import flash_attention
-
-        out = flash_attention(qh, kh, vh, bias=bias, scale=scale)
+        out = _flash_with_vjp(qh, kh, vh, bias, scale)
     else:
         out = _xla_attention(qh, kh, vh, bias=bias, scale=scale, upcast=upcast)
     return out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_with_vjp(qh, kh, vh, bias, scale):
+    """Pallas flash forward + XLA-attention backward (Pallas has no auto-VJP;
+    the backward recomputes through the reference math — training correctness
+    over peak training speed; a dedicated backward kernel is future work)."""
+    from tango_tpu.ops.flash_attention import flash_attention
+
+    return flash_attention(qh, kh, vh, bias=bias, scale=scale)
+
+
+def _flash_fwd(qh, kh, vh, bias, scale):
+    return _flash_with_vjp(qh, kh, vh, bias, scale), (qh, kh, vh, bias)
+
+
+def _flash_bwd(scale, res, g):
+    qh, kh, vh, bias = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_attention(q, k, v, bias=bias, scale=scale, upcast=True),
+        qh, kh, vh,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_with_vjp.defvjp(_flash_fwd, _flash_bwd)
 
 
 def _xla_attention(qh, kh, vh, *, bias, scale, upcast):

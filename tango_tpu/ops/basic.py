@@ -53,16 +53,14 @@ def group_norm(
         from tango_tpu.ops.gn_silu_pallas import (
             gn_pallas2_supported,
             gn_pallas_supported,
-            group_norm_pallas,
-            group_norm_pallas2,
         )
 
         if gn_pallas_supported(x, num_groups):
-            return group_norm_pallas(x, scale, bias, num_groups, eps, act)
+            return _gn_pallas_vjp(x, scale, bias, num_groups, eps, act, False)
         if gn_pallas2_supported(x, num_groups):
             # whole-sample blocks too big for VMEM (VAE/vocoder resolutions):
             # chunked two-stage kernel
-            return group_norm_pallas2(x, scale, bias, num_groups, eps, act)
+            return _gn_pallas_vjp(x, scale, bias, num_groups, eps, act, True)
     orig_dtype = x.dtype
     b = x.shape[0]
     c = x.shape[-1]
@@ -81,6 +79,48 @@ def group_norm(
     elif act is not None:
         raise ValueError(f"unknown fused act {act}")
     return out.astype(orig_dtype)
+
+
+import functools as _ft
+
+
+@_ft.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_pallas_vjp(x, scale, bias, num_groups, eps, act, two_stage):
+    """Pallas GroupNorm forward with an XLA-derived backward.
+
+    Pallas kernels have no automatic VJP; training differentiates through the
+    mathematically-identical XLA implementation instead (one extra recompute
+    on the backward pass — inference, the hot path, is unaffected)."""
+    from tango_tpu.ops.gn_silu_pallas import group_norm_pallas, group_norm_pallas2
+
+    f = group_norm_pallas2 if two_stage else group_norm_pallas
+    return f(x, scale, bias, num_groups, eps, act)
+
+
+def _gn_xla_ref(x, scale, bias, num_groups, eps, act):
+    orig_dtype = x.dtype
+    b, c = x.shape[0], x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = xf.reshape(x.shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if act == "silu":
+        out = out * jax.nn.sigmoid(out)
+    return out.astype(orig_dtype)
+
+
+def _gn_pallas_vjp_fwd(x, scale, bias, num_groups, eps, act, two_stage):
+    return _gn_pallas_vjp(x, scale, bias, num_groups, eps, act, two_stage), (x, scale, bias)
+
+
+def _gn_pallas_vjp_bwd(num_groups, eps, act, two_stage, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(lambda xx, ss, bb: _gn_xla_ref(xx, ss, bb, num_groups, eps, act), x, scale, bias)
+    return vjp(g)
+
+
+_gn_pallas_vjp.defvjp(_gn_pallas_vjp_fwd, _gn_pallas_vjp_bwd)
 
 
 def geglu(x: jnp.ndarray) -> jnp.ndarray:

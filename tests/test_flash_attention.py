@@ -57,3 +57,28 @@ def test_flash_bf16():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2
     )
+
+
+def test_grad_through_flash_dispatch(monkeypatch):
+    """jax.grad through the flash path (custom VJP, XLA backward)."""
+    import functools
+
+    import tango_tpu.ops.attention as attn
+    import tango_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(attn, "_flash_available", lambda: True)
+    monkeypatch.setattr(
+        fa, "flash_attention", functools.partial(fa.flash_attention, interpret=True)
+    )
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 256, 128))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 128))
+
+    def loss(q, ctx):
+        out = attn.multi_head_attention(q, ctx, ctx, heads=2)
+        return (out**2).sum()
+
+    gq, gc = jax.grad(loss, argnums=(0, 1))(q, ctx)
+    monkeypatch.setattr(attn, "_flash_available", lambda: False)
+    rq, rc = jax.grad(loss, argnums=(0, 1))(q, ctx)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(rc), atol=1e-4, rtol=1e-3)

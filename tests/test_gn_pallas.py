@@ -64,3 +64,33 @@ def test_gn2_matches_xla(shape, groups, act):
     ref = group_norm(x, scale, bias, groups, 1e-5, act=act)
     out = group_norm_pallas2(x, scale, bias, groups, 1e-5, act=act, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
+def test_grad_through_pallas_gn(monkeypatch):
+    """Training must differentiate through the Pallas dispatch (custom VJP).
+
+    Regression: jax.grad through the kernel path used to fail with
+    'Linearization failed' because Pallas has no auto-VJP."""
+    import functools
+
+    import tango_tpu.ops.basic as basic
+    import tango_tpu.ops.gn_silu_pallas as gnp
+
+    monkeypatch.setattr(basic, "_gn_pallas_enabled", lambda: True)
+    monkeypatch.setattr(
+        gnp, "group_norm_pallas", functools.partial(gnp.group_norm_pallas, interpret=True)
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 8, 64))
+    scale = jnp.ones((64,))
+    bias = jnp.zeros((64,))
+
+    def loss(x, s, b):
+        return (basic.group_norm(x, s, b, 8, 1e-5, act="silu") ** 2).sum()
+
+    gx, gs, gb = jax.grad(loss, argnums=(0, 1, 2))(x, scale, bias)
+    # reference grads through the pure-XLA path
+    monkeypatch.setattr(basic, "_gn_pallas_enabled", lambda: False)
+    rx, rs, rb = jax.grad(loss, argnums=(0, 1, 2))(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(rs), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=1e-4, rtol=1e-3)

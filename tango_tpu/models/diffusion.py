@@ -45,9 +45,10 @@ class AudioDiffusion:
     latent_t_size: int = 256
     latent_f_size: int = 16
     dtype: Any = jnp.float32
+    remat: bool = False
 
     def __post_init__(self):
-        self.unet = UNet2DConditionModel(self.unet_config, dtype=self.dtype)
+        self.unet = UNet2DConditionModel(self.unet_config, dtype=self.dtype, remat=self.remat)
         self.noise_scheduler = DDPMScheduler.create(self.scheduler_config)
         self.inference_scheduler = DDPMScheduler.create(self.scheduler_config)
 

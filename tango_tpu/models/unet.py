@@ -349,8 +349,9 @@ class CrossAttnUpBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, res_states, temb, contexts, context_biases):
         dim_head = self.out_channels // self.heads
+        res_states = tuple(res_states)
         for i in range(self.cfg.layers_per_block + 1):
-            x = jnp.concatenate([x, res_states.pop()], axis=-1)
+            x = jnp.concatenate([x, res_states[len(res_states) - 1 - i]], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
                 name=f"resnets_{i}",
@@ -372,8 +373,9 @@ class UpBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, res_states, temb):
+        res_states = tuple(res_states)
         for i in range(self.cfg.layers_per_block + 1):
-            x = jnp.concatenate([x, res_states.pop()], axis=-1)
+            x = jnp.concatenate([x, res_states[len(res_states) - 1 - i]], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
                 name=f"resnets_{i}",
@@ -389,10 +391,18 @@ class UNet2DConditionModel(nn.Module):
     `encoder_hidden_states` may be a single (B, S, D) array (Tango) or a
     tuple/list of them, one per conditioning stream (Mustango: text, beats,
     chords). `encoder_attention_mask` likewise — boolean/0-1 key masks.
+
+    `remat=True` rematerializes each down/mid/up block on the backward pass
+    (jax.checkpoint) — required to fit full-size training in one chip's HBM
+    (866M params + Adam moments leave <3 GB for activations).
     """
 
     cfg: UNetConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def _maybe_remat(self, cls):
+        return nn.remat(cls) if self.remat else cls
 
     @nn.compact
     def __call__(
@@ -444,12 +454,12 @@ class UNet2DConditionModel(nn.Module):
             out_ch = cfg.block_out_channels[level]
             is_final = level == len(cfg.down_block_types) - 1
             if block_type == "CrossAttnDownBlock2D":
-                sample, outs = CrossAttnDownBlock2D(
+                sample, outs = self._maybe_remat(CrossAttnDownBlock2D)(
                     cfg, out_ch, cfg.heads_for_level(level), add_downsample=not is_final,
                     dtype=self.dtype, name=f"down_blocks_{level}",
                 )(sample, temb, contexts, biases)
             elif block_type == "DownBlock2D":
-                sample, outs = DownBlock2D(
+                sample, outs = self._maybe_remat(DownBlock2D)(
                     cfg, out_ch, add_downsample=not is_final, dtype=self.dtype,
                     name=f"down_blocks_{level}",
                 )(sample, temb)
@@ -459,7 +469,7 @@ class UNet2DConditionModel(nn.Module):
 
         # 4. mid
         if cfg.mid_block_type == "UNetMidBlock2DCrossAttn":
-            sample = UNetMidBlock2DCrossAttn(
+            sample = self._maybe_remat(UNetMidBlock2DCrossAttn)(
                 cfg, cfg.block_out_channels[-1], cfg.heads_for_level(len(cfg.block_out_channels) - 1),
                 dtype=self.dtype, name="mid_block",
             )(sample, temb, contexts, biases)
@@ -478,12 +488,12 @@ class UNet2DConditionModel(nn.Module):
             res_states = res_stack[-n_res:]
             del res_stack[-n_res:]
             if block_type == "CrossAttnUpBlock2D":
-                sample = CrossAttnUpBlock2D(
+                sample = self._maybe_remat(CrossAttnUpBlock2D)(
                     cfg, out_ch, rev_heads[i], add_upsample=not is_final, dtype=self.dtype,
                     name=f"up_blocks_{i}",
                 )(sample, res_states, temb, contexts, biases)
             elif block_type == "UpBlock2D":
-                sample = UpBlock2D(
+                sample = self._maybe_remat(UpBlock2D)(
                     cfg, out_ch, add_upsample=not is_final, dtype=self.dtype,
                     name=f"up_blocks_{i}",
                 )(sample, res_states, temb)

@@ -140,6 +140,7 @@ def main(argv=None):
         unet_config=unet_config,
         snr_gamma=args.snr_gamma,
         uncondition=args.uncondition,
+        remat=True,  # full-size training does not fit HBM without it
     )
     vae_params = jax.device_put(vae_params, pmesh.replicated(mesh))
     t5_params = jax.device_put(t5_params, pmesh.replicated(mesh))

@@ -84,7 +84,7 @@ def main(argv=None):
     bs = args.per_device_train_batch_size * data_size
 
     diffusion = DPOAudioDiffusion(
-        unet_config=loaded["unet_config"], beta_dpo=args.beta_dpo
+        unet_config=loaded["unet_config"], beta_dpo=args.beta_dpo, remat=True
     )
     vae_params = jax.device_put(loaded["vae_params"], pmesh.replicated(mesh))
     t5_params = jax.device_put(loaded["t5_params"], pmesh.replicated(mesh))
@@ -96,8 +96,14 @@ def main(argv=None):
         total_steps=steps_per_epoch * args.num_train_epochs, mesh=mesh,
     )
     state = trainer.init_state(loaded["unet_params"])
-    # frozen reference copy of the STARTING unet (tango2-train.py:429-431)
-    ref_params = jax.device_put(loaded["unet_params"], pmesh.replicated(mesh))
+    # frozen reference copy of the STARTING unet (tango2-train.py:429-431).
+    # Stored bf16: trainable params f32 + Adam moments + a second f32 UNet
+    # exceed one chip's HBM; the ref UNet only produces per-sample MSEs for
+    # the preference diff and the model computes in bf16 anyway.
+    ref_params = jax.device_put(
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16), loaded["unet_params"]),
+        pmesh.replicated(mesh),
+    )
 
     stft = MelSpectrogram(loaded["stft_config"])
     t5_apply = jax.jit(lambda p, i, m: t5.apply({"params": p}, i, m))

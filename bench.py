@@ -14,10 +14,20 @@ Random weights (zero-egress environment); FLOPs/timing are weight-agnostic.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# Persistent compilation cache: repeated driver benches skip the ~2 min
+# XLA compile (VERDICT r1 weak #6). Must be set before any compilation.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,22 +52,33 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     t0 = time.time()
-    unet_params = jax.tree_util.tree_map(
-        lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
-            dtype if s.dtype == jnp.float32 else s.dtype
-        ),
-        jax.eval_shape(lambda k: diffusion.init_params(k), rng),
+    unet_shapes = jax.eval_shape(lambda k: diffusion.init_params(k), rng)
+    vae_shapes = jax.eval_shape(
+        lambda k: vae.init(k, jnp.zeros((1, 1024, 64, 1), dtype), k)["params"], rng
     )
-    vae_params = jax.tree_util.tree_map(
-        lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(dtype),
-        jax.eval_shape(
-            lambda k: vae.init(k, jnp.zeros((1, 1024, 64, 1), dtype), k)["params"], rng
-        ),
+    voc_shapes = jax.eval_shape(
+        lambda k: vocoder.init(k, jnp.zeros((1, 1024, 64), dtype))["params"], rng
     )
-    voc_params = jax.tree_util.tree_map(
-        lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(dtype),
-        jax.eval_shape(lambda k: vocoder.init(k, jnp.zeros((1, 1024, 64), dtype))["params"], rng),
-    )
+
+    # materialize the whole tree in ONE dispatch (per-leaf creation pays ~1s
+    # relay latency each; ~700 leaves used to take 133s)
+    @jax.jit
+    def make_params():
+        u = jax.tree_util.tree_map(
+            lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
+                dtype if s.dtype == jnp.float32 else s.dtype
+            ),
+            unet_shapes,
+        )
+        v = jax.tree_util.tree_map(
+            lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(dtype), vae_shapes
+        )
+        w = jax.tree_util.tree_map(
+            lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(dtype), voc_shapes
+        )
+        return u, v, w
+
+    unet_params, vae_params, voc_params = make_params()
     print(f"# params materialized in {time.time()-t0:.1f}s", file=sys.stderr)
 
     seq = 64

@@ -28,6 +28,7 @@ if not hasattr(jax.random, "KeyArray"):
 
 REF = "/root/reference"
 sys.path.insert(0, f"{REF}/mustango/diffusers/src")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import torch  # noqa: E402
 
@@ -387,6 +388,93 @@ def make_t5_golden():
         **state_to_numpy(model.state_dict()),
     )
     print("t5_tiny:", out.shape, float(out.abs().mean()))
+
+
+def make_deberta_golden():
+    """Tiny DeBERTa-v3-style model + Mustango beat head (token cls + regression)."""
+    from transformers import DebertaV2Config
+
+    from tango_tpu.utils.deberta_head import DebertaV2ForTokenClassificationRegression
+
+    cfg = DebertaV2Config(
+        vocab_size=96,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=48,
+        max_position_embeddings=32,
+        position_buckets=8,
+        relative_attention=True,
+        norm_rel_ebd="layer_norm",
+        share_att_key=True,
+        pos_att_type=["p2c", "c2p"],
+        position_biased_input=False,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-7,
+        type_vocab_size=0,
+    )
+    torch.manual_seed(11)
+    model = DebertaV2ForTokenClassificationRegression(cfg)
+    model.eval()
+    ids = torch.randint(0, 96, (2, 12))
+    mask = torch.ones(2, 12, dtype=torch.long)
+    mask[0, 9:] = 0
+    with torch.no_grad():
+        out = model(input_ids=ids, attention_mask=mask)
+    np.savez(
+        OUT / "deberta_tiny.npz",
+        ids=ids.numpy(),
+        mask=mask.numpy(),
+        logits=out["logits"].numpy(),
+        values=out["values"].numpy(),
+        **state_to_numpy(model.state_dict()),
+    )
+    print("deberta_tiny:", out["logits"].shape, float(out["logits"].abs().mean()))
+
+
+def make_t5gen_golden():
+    """Tiny T5ForConditionalGeneration: decoder logits + beam-search generate."""
+    from transformers import T5Config as HFT5Config, T5ForConditionalGeneration
+
+    cfg = HFT5Config(
+        vocab_size=64,
+        d_model=32,
+        d_kv=8,
+        d_ff=48,
+        num_layers=2,
+        num_decoder_layers=2,
+        num_heads=4,
+        relative_attention_num_buckets=8,
+        relative_attention_max_distance=16,
+        feed_forward_proj="gated-gelu",
+        dropout_rate=0.0,
+        tie_word_embeddings=False,
+        decoder_start_token_id=0,
+    )
+    torch.manual_seed(13)
+    model = T5ForConditionalGeneration(cfg)
+    model.eval()
+    ids = torch.randint(4, 64, (1, 9))
+    mask = torch.ones(1, 9, dtype=torch.long)
+    dec_ids = torch.tensor([[0, 11, 22, 33]])
+    with torch.no_grad():
+        logits = model(input_ids=ids, attention_mask=mask, decoder_input_ids=dec_ids).logits
+        gen = model.generate(
+            input_ids=ids, attention_mask=mask,
+            min_length=3, max_length=12, num_beams=5,
+            early_stopping=True, num_return_sequences=1,
+        )
+    np.savez(
+        OUT / "t5gen_tiny.npz",
+        ids=ids.numpy(),
+        mask=mask.numpy(),
+        dec_ids=dec_ids.numpy(),
+        logits=logits.numpy(),
+        generated=gen[0].numpy(),
+        **state_to_numpy(model.state_dict()),
+    )
+    print("t5gen_tiny:", logits.shape, "gen:", gen[0].tolist())
 
 
 def make_sampling_golden():
@@ -857,7 +945,7 @@ if __name__ == "__main__":
     import sys as _sys
     only = _sys.argv[1:] if len(_sys.argv) > 1 else None
     for fn in [make_scheduler_golden, make_unet_golden, make_vae_golden,
-               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden, make_clap_text_golden, make_htsat_golden]:
+               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden, make_clap_text_golden, make_htsat_golden, make_deberta_golden, make_t5gen_golden]:
         name = fn.__name__.replace("make_", "").replace("_golden", "")
         if only is None or name in only:
             fn()

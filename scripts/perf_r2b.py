@@ -1,0 +1,137 @@
+"""Round-2 perf experiments, part B: overhead calibration + flash variants.
+
+python scripts/perf_r2b.py
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def out(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def chain_ms(fn, x0, iters, reps=3):
+    @jax.jit
+    def run(x):
+        y, _ = jax.lax.scan(lambda c, _: (fn(c), None), x, None, length=iters)
+        return y
+
+    def sync(y):
+        float(jnp.ravel(y)[0])
+
+    sync(run(x0))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(run(x0))
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts)) * 1e3
+
+
+def exp_overhead():
+    x0 = jnp.ones((8, 256, 16, 8), jnp.bfloat16)
+    f = lambda x: x * 1.0001
+    for iters in (16, 64, 256):
+        ms = chain_ms(f, x0, iters)
+        out(exp="overhead_trivial", iters=iters, ms_per_iter=round(ms, 4))
+
+
+def exp_flash64():
+    from tango_tpu.ops.attention import _xla_attention
+    from tango_tpu.ops.flash_attention import flash_attention, flash_attention_v2
+
+    for (b, h, s, d) in [(8, 5, 4096, 64), (8, 10, 1024, 64)]:
+        q0 = jnp.ones((b, h, s, d), jnp.bfloat16) * 0.1
+        k0 = q0 * 0.5
+        v0 = q0 * 0.25
+        scale = d**-0.5
+        flops = 2 * 2 * b * h * s * s * d
+        variants = [
+            ("v1", lambda q: flash_attention(q, k0, v0, scale=scale).astype(q.dtype)),
+            ("v2_bk512", lambda q: flash_attention_v2(q, k0, v0, scale=scale, block_kv=512).astype(q.dtype)),
+            ("v2_bk1024", lambda q: flash_attention_v2(q, k0, v0, scale=scale, block_kv=1024).astype(q.dtype)),
+            ("v2_bk2048", lambda q: flash_attention_v2(q, k0, v0, scale=scale, block_kv=2048).astype(q.dtype)),
+            ("v2_bq256_bk1024", lambda q: flash_attention_v2(q, k0, v0, scale=scale, block_q=256, block_kv=1024).astype(q.dtype)),
+        ]
+        for name, fn in variants:
+            try:
+                ms = chain_ms(fn, q0, iters=32)
+                out(exp="flash64", shape=[b, h, s, d], variant=name, ms=round(ms, 3),
+                    tflops=round(flops / ms / 1e9, 1))
+            except Exception as e:
+                out(exp="flash64", shape=[b, h, s, d], variant=name,
+                    error=f"{type(e).__name__}: {e}"[:160])
+
+        # splash attention (production TPU kernel)
+        try:
+            from jax.experimental.pallas.ops.tpu.splash_attention import (
+                splash_attention_kernel as sk,
+                splash_attention_mask as sm,
+            )
+
+            mask = sm.MultiHeadMask([sm.FullMask((s, s)) for _ in range(h)])
+            kernel = sk.make_splash_mha(mask, head_shards=1, q_seq_shards=1)
+
+            def splash(q):
+                return jax.vmap(kernel)(q * scale, k0, v0).astype(q.dtype)
+
+            ms = chain_ms(splash, q0, iters=32)
+            out(exp="flash64", shape=[b, h, s, d], variant="splash", ms=round(ms, 3),
+                tflops=round(flops / ms / 1e9, 1))
+        except Exception as e:
+            out(exp="flash64", shape=[b, h, s, d], variant="splash",
+                error=f"{type(e).__name__}: {e}"[:160])
+
+
+def exp_conv_layout():
+    co = 320
+    w = jnp.ones((3, 3, 320, co), jnp.bfloat16) * 0.01
+
+    def conv(x):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+
+    for shape in [(8, 256, 16, 320), (8, 16, 256, 320), (8, 4096, 1, 320)]:
+        x0 = jnp.ones(shape, jnp.bfloat16) * 0.1
+        wk = w if shape[2] != 1 else jnp.ones((3, 1, 320, co), jnp.bfloat16) * 0.01
+
+        def conv_s(x, wk=wk):
+            return jax.lax.conv_general_dilated(
+                x, wk, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+
+        flops = 2 * np.prod(shape[:3]) * wk.shape[0] * wk.shape[1] * 320 * co
+        try:
+            ms = chain_ms(conv_s, x0, iters=64)
+            out(exp="conv_layout", shape=list(shape), ms=round(ms, 3),
+                tflops=round(float(flops) / ms / 1e9, 1))
+        except Exception as e:
+            out(exp="conv_layout", shape=list(shape), error=f"{type(e).__name__}: {e}"[:160])
+
+
+if __name__ == "__main__":
+    out(exp="env", devices=[str(d) for d in jax.devices()])
+    for fn in (exp_overhead, exp_flash64, exp_conv_layout):
+        t0 = time.perf_counter()
+        try:
+            fn()
+        except Exception as e:
+            out(exp=fn.__name__, fatal=f"{type(e).__name__}: {e}"[:300])
+        out(exp=fn.__name__, total_wall_s=round(time.perf_counter() - t0, 1))

@@ -1,0 +1,106 @@
+"""Round-2 perf part C: v2 dispatch in the full UNet + block sweep + bench.
+
+python scripts/perf_r2c.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def out(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def chain_ms(fn, x0, iters, reps=3):
+    @jax.jit
+    def run(x):
+        y, _ = jax.lax.scan(lambda c, _: (fn(c), None), x, None, length=iters)
+        return y
+
+    def sync(y):
+        float(jnp.ravel(y)[0])
+
+    sync(run(x0))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(run(x0))
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts)) * 1e3
+
+
+def exp_v2_sweep():
+    from tango_tpu.ops.flash_attention import flash_attention_v2
+
+    b, h, s, d = 8, 5, 4096, 64
+    q0 = jnp.ones((b, h, s, d), jnp.bfloat16) * 0.1
+    k0, v0 = q0 * 0.5, q0 * 0.25
+    scale = d**-0.5
+    flops = 2 * 2 * b * h * s * s * d
+    for bq, bkv in [(1024, 1024), (512, 2048), (1024, 2048), (2048, 1024)]:
+        try:
+            fn = lambda q: flash_attention_v2(q, k0, v0, scale=scale, block_q=bq, block_kv=bkv).astype(q.dtype)
+            ms = chain_ms(fn, q0, iters=32)
+            out(exp="v2_sweep_L0", bq=bq, bkv=bkv, ms=round(ms, 3), tflops=round(flops / ms / 1e9, 1))
+        except Exception as e:
+            out(exp="v2_sweep_L0", bq=bq, bkv=bkv, error=f"{type(e).__name__}: {e}"[:160])
+
+
+def exp_unet():
+    from tango_tpu import configs as C
+    from tango_tpu.models.unet import UNet2DConditionModel
+
+    dtype = jnp.bfloat16
+    cfg = C.TANGO_UNET
+    unet = UNet2DConditionModel(cfg, dtype=dtype)
+    shapes = jax.eval_shape(
+        lambda k: unet.init(
+            k, jnp.zeros((1, 256, 16, 8), dtype), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 2, cfg.cross_attention_dim), dtype),
+        )["params"],
+        jax.random.PRNGKey(0),
+    )
+
+    @jax.jit
+    def make():
+        return jax.tree_util.tree_map(
+            lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
+                dtype if s.dtype == jnp.float32 else s.dtype
+            ),
+            shapes,
+        )
+
+    params = make()
+    b = 8
+    ctx = jnp.ones((b, 64, cfg.cross_attention_dim), dtype) * 0.1
+    mask = jnp.ones((b, 64), jnp.int32)
+    t = jnp.full((b,), 500, jnp.int32)
+
+    def eval_fn(lat):
+        o = unet.apply({"params": params}, lat, t, ctx, encoder_attention_mask=mask)
+        return o.astype(lat.dtype)
+
+    lat0 = jnp.ones((b, 256, 16, 8), dtype) * 0.1
+    ms = chain_ms(eval_fn, lat0, iters=16)
+    out(exp="unet_eval_b8_v2dispatch", ms=round(ms, 2))
+
+
+if __name__ == "__main__":
+    out(exp="env", devices=[str(d) for d in jax.devices()])
+    for fn in (exp_v2_sweep, exp_unet):
+        try:
+            fn()
+        except Exception as e:
+            out(exp=fn.__name__, fatal=f"{type(e).__name__}: {e}"[:300])

@@ -1,0 +1,263 @@
+"""DeBERTa-v2/v3 encoder — TPU-native Flax implementation (Mustango beat predictor).
+
+Native replacement for the reference's vendored torch DeBERTa
+(/root/reference/mustango/modelling_deberta_v2.py): the Mustango
+MusicFeaturePredictor runs a DeBERTa-v3-large with a custom token
+classification + regression head to predict max-beat class (from token 0's
+logits) and per-token beat intervals (mustango/mustango.py:15-90,
+modelling_deberta_v2.py:1474-1560). This module implements the full
+disentangled-attention encoder so Mustango inference needs no torch.
+
+Semantics reproduced (eval mode, dropout-free):
+  * embeddings: word embedding -> LayerNorm -> mask multiply; no absolute
+    positions for v3 (`position_biased_input: false`), no token types
+    (modelling_deberta_v2.py:845-912).
+  * log-bucketed relative positions (make_log_bucket_position, :546-569) —
+    host-side static table for a fixed sequence length.
+  * disentangled attention (:620-828): content-to-content scaled by
+    sqrt(d * scale_factor) with scale_factor = 1 + c2p + p2c; c2p/p2c biases
+    gathered from position-key/query scores; `share_att_key` reuses the
+    content projections for the (layer-normed) relative embedding table.
+  * XSoftmax: masked positions get -inf logits, output zeros (:252-296).
+  * layer = disentangled attn -> dense+LN residual -> GELU FF -> dense+LN
+    residual (standard post-LN BERT layout).
+
+The classification/regression head matches the reference exactly:
+logits = classifier(hidden1(h)), values = regressor(hidden2(h)) — two
+linear-linear stacks, no activation between (modelling_deberta_v2.py:1474-1560).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu.configs import _FromDict
+
+
+@dataclasses.dataclass(frozen=True)
+class DebertaConfig(_FromDict):
+    vocab_size: int = 128100
+    hidden_size: int = 1024
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    max_position_embeddings: int = 512
+    position_buckets: int = 256
+    layer_norm_eps: float = 1e-7
+    # v3 defaults: shared position projections, c2p+p2c, layer-normed rel table
+    share_att_key: bool = True
+    pos_att_type: tuple = ("p2c", "c2p")
+    norm_rel_ebd: str = "layer_norm"
+    position_biased_input: bool = False
+    num_labels: int = 4
+
+
+DEBERTA_V3_LARGE = DebertaConfig()
+
+
+def make_log_bucket_position(relative_pos: np.ndarray, bucket_size: int, max_position: int) -> np.ndarray:
+    """Log-bucketed relative positions (modelling_deberta_v2.py:546-569), host-side."""
+    sign = np.sign(relative_pos)
+    mid = bucket_size // 2
+    abs_pos = np.where(
+        (relative_pos < mid) & (relative_pos > -mid), mid - 1, np.abs(relative_pos)
+    ).astype(np.float64)
+    log_pos = (
+        np.ceil(np.log(abs_pos / mid) / np.log((max_position - 1) / mid) * (mid - 1)) + mid
+    )
+    bucket_pos = np.where(abs_pos <= mid, relative_pos.astype(np.float64), log_pos * sign)
+    return bucket_pos.astype(np.int64)
+
+
+def build_relative_position(query_size: int, key_size: int, bucket_size: int, max_position: int) -> np.ndarray:
+    """(Sq, Sk) relative positions q_i - k_j, log-bucketed (ref :571-598)."""
+    rel = np.arange(query_size)[:, None] - np.arange(key_size)[None, :]
+    if bucket_size > 0 and max_position > 0:
+        rel = make_log_bucket_position(rel, bucket_size, max_position)
+    return rel.astype(np.int64)
+
+
+class DisentangledSelfAttention(nn.Module):
+    cfg: DebertaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_2d, rel_embeddings, rel_pos):
+        """x (B,S,H*D); mask_2d (B,S,S) 0/1; rel_embeddings (2*span, hidden);
+        rel_pos (S,S) int32 buckets."""
+        c = self.cfg
+        h = c.num_attention_heads
+        d = c.hidden_size // h
+        b, s, _ = x.shape
+        span = c.position_buckets if c.position_buckets > 0 else c.max_position_embeddings
+
+        q_proj = nn.Dense(c.hidden_size, dtype=self.dtype, name="query_proj")
+        k_proj = nn.Dense(c.hidden_size, dtype=self.dtype, name="key_proj")
+        v_proj = nn.Dense(c.hidden_size, dtype=self.dtype, name="value_proj")
+
+        def heads(t):
+            return t.reshape(*t.shape[:-1], h, d)
+
+        q = heads(q_proj(x))  # (B,S,H,D)
+        k = heads(k_proj(x))
+        v = heads(v_proj(x))
+
+        scale_factor = 1 + len(c.pos_att_type)
+        scale = 1.0 / np.sqrt(d * scale_factor)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits * scale
+
+        # --- disentangled position bias (ref :754-828)
+        rel = rel_embeddings.astype(self.dtype)  # (2*span, hidden)
+        if c.share_att_key:
+            pos_key = heads(k_proj(rel))     # (2*span, H, D)
+            pos_query = heads(q_proj(rel))
+        else:
+            pos_key = heads(nn.Dense(c.hidden_size, dtype=self.dtype, name="pos_key_proj")(rel))
+            pos_query = heads(nn.Dense(c.hidden_size, dtype=self.dtype, name="pos_query_proj")(rel))
+
+        if "c2p" in c.pos_att_type:
+            # (B,H,S,2*span) scores, gathered at bucket(rel(i,j))
+            c2p = jnp.einsum("bqhd,khd->bhqk", q, pos_key, preferred_element_type=jnp.float32)
+            c2p_pos = jnp.clip(rel_pos + span, 0, 2 * span - 1)  # (S,S)
+            c2p = jnp.take_along_axis(
+                c2p, jnp.broadcast_to(c2p_pos[None, None], (b, h, s, s)), axis=-1
+            )
+            logits = logits + c2p * scale
+        if "p2c" in c.pos_att_type:
+            p2c = jnp.einsum("bkhd,qhd->bhkq", k, pos_query, preferred_element_type=jnp.float32)
+            p2c_pos = jnp.clip(-rel_pos + span, 0, 2 * span - 1)
+            p2c = jnp.take_along_axis(
+                p2c, jnp.broadcast_to(p2c_pos[None, None], (b, h, s, s)), axis=-1
+            )
+            logits = logits + jnp.swapaxes(p2c, -1, -2) * scale
+
+        # XSoftmax: -inf at masked, zero output at masked query rows
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+        m = mask_2d[:, None].astype(bool)  # (B,1,S,S)
+        logits = jnp.where(m, logits, neg)
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = jnp.where(m, probs, 0.0).astype(self.dtype)
+
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, c.hidden_size)
+        return out
+
+
+class DebertaLayer(nn.Module):
+    cfg: DebertaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_2d, rel_embeddings, rel_pos):
+        c = self.cfg
+        a = DisentangledSelfAttention(c, self.dtype, name="self")(x, mask_2d, rel_embeddings, rel_pos)
+        a = nn.Dense(c.hidden_size, dtype=self.dtype, name="attn_out_dense")(a)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="attn_out_ln")(x + a)
+        f = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
+        f = jax.nn.gelu(f, approximate=False)
+        f = nn.Dense(c.hidden_size, dtype=self.dtype, name="output_dense")(f)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="output_ln")(x + f)
+
+
+class DebertaV2ForBeats(nn.Module):
+    """DeBERTa encoder + Mustango's token classification/regression head.
+
+    Returns (logits (B,S,num_labels), values (B,S,1)) — the caller takes
+    logits[0,0] for the max-beat class and values[0,:,0] for intervals
+    (reference mustango.py:60-90).
+    """
+
+    cfg: DebertaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray, attention_mask: Optional[jnp.ndarray] = None):
+        c = self.cfg
+        b, s = input_ids.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, s), jnp.int32)
+
+        emb = self.param("word_embeddings", nn.initializers.normal(0.02), (c.vocab_size, c.hidden_size))
+        x = jnp.take(emb, input_ids, axis=0).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="emb_ln")(x)
+        x = x * attention_mask[..., None].astype(x.dtype)
+
+        # 2D mask (B,S,S): query-side AND key-side (ref get_attention_mask :452-459)
+        am = attention_mask.astype(jnp.int32)
+        mask_2d = am[:, :, None] * am[:, None, :]
+
+        span = c.position_buckets if c.position_buckets > 0 else c.max_position_embeddings
+        rel_table = self.param(
+            "rel_embeddings", nn.initializers.normal(0.02), (2 * span, c.hidden_size)
+        )
+        rel_embeddings = rel_table
+        if "layer_norm" in c.norm_rel_ebd:
+            rel_embeddings = nn.LayerNorm(
+                epsilon=c.layer_norm_eps, dtype=jnp.float32, name="rel_ln"
+            )(rel_table)
+        rel_pos = jnp.asarray(
+            build_relative_position(s, s, c.position_buckets, c.max_position_embeddings),
+            jnp.int32,
+        )
+
+        for i in range(c.num_hidden_layers):
+            x = DebertaLayer(c, self.dtype, name=f"layer_{i}")(x, mask_2d, rel_embeddings, rel_pos)
+
+        h1 = nn.Dense(c.hidden_size, dtype=self.dtype, name="hidden1")(x)
+        logits = nn.Dense(c.num_labels, dtype=self.dtype, name="classifier")(h1)
+        h2 = nn.Dense(c.hidden_size, dtype=self.dtype, name="hidden2")(x)
+        values = nn.Dense(1, dtype=self.dtype, name="regressor")(h2)
+        return logits, values
+
+
+def _lin(sd, key):
+    return {"kernel": np.asarray(sd[f"{key}.weight"]).T, "bias": np.asarray(sd[f"{key}.bias"])}
+
+
+def _ln(sd, key):
+    return {"scale": np.asarray(sd[f"{key}.weight"]), "bias": np.asarray(sd[f"{key}.bias"])}
+
+
+def convert_deberta_beats(sd) -> dict:
+    """Torch state dict of the reference DebertaV2ForTokenClassificationRegression
+    (microsoft-deberta-v3-large.pt layout) -> DebertaV2ForBeats params."""
+    sd = {k: v for k, v in sd.items()}
+    p: dict = {
+        "word_embeddings": np.asarray(sd["deberta.embeddings.word_embeddings.weight"]),
+        "emb_ln": _ln(sd, "deberta.embeddings.LayerNorm"),
+        "rel_embeddings": np.asarray(sd["deberta.encoder.rel_embeddings.weight"]),
+        "hidden1": _lin(sd, "hidden1"),
+        "classifier": _lin(sd, "classifier"),
+        "hidden2": _lin(sd, "hidden2"),
+        "regressor": _lin(sd, "regressor"),
+    }
+    if "deberta.encoder.LayerNorm.weight" in sd:
+        p["rel_ln"] = _ln(sd, "deberta.encoder.LayerNorm")
+    i = 0
+    while f"deberta.encoder.layer.{i}.attention.self.query_proj.weight" in sd:
+        pre = f"deberta.encoder.layer.{i}."
+        layer = {
+            "self": {
+                "query_proj": _lin(sd, pre + "attention.self.query_proj"),
+                "key_proj": _lin(sd, pre + "attention.self.key_proj"),
+                "value_proj": _lin(sd, pre + "attention.self.value_proj"),
+            },
+            "attn_out_dense": _lin(sd, pre + "attention.output.dense"),
+            "attn_out_ln": _ln(sd, pre + "attention.output.LayerNorm"),
+            "intermediate_dense": _lin(sd, pre + "intermediate.dense"),
+            "output_dense": _lin(sd, pre + "output.dense"),
+            "output_ln": _ln(sd, pre + "output.LayerNorm"),
+        }
+        if pre + "attention.self.pos_key_proj.weight" in sd:
+            layer["self"]["pos_key_proj"] = _lin(sd, pre + "attention.self.pos_key_proj")
+        if pre + "attention.self.pos_query_proj.weight" in sd:
+            layer["self"]["pos_query_proj"] = _lin(sd, pre + "attention.self.pos_query_proj")
+        p[f"layer_{i}"] = layer
+        i += 1
+    return p

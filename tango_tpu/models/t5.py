@@ -13,6 +13,7 @@ Runs in configurable compute dtype (bf16 on TPU) with f32 softmax.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import flax.linen as nn
@@ -35,6 +36,7 @@ class T5Config(_FromDict):
     relative_attention_max_distance: int = 128
     layer_norm_epsilon: float = 1e-6
     feed_forward_proj: str = "gated-gelu"
+    tie_word_embeddings: bool = False  # flan-t5 checkpoints ship a separate lm_head
 
     @property
     def is_gated(self) -> bool:
@@ -50,13 +52,24 @@ FLAN_T5_LARGE = T5Config()
 
 
 def relative_position_bucket(
-    relative_position: np.ndarray, num_buckets: int = 32, max_distance: int = 128
+    relative_position: np.ndarray,
+    num_buckets: int = 32,
+    max_distance: int = 128,
+    bidirectional: bool = True,
 ) -> np.ndarray:
-    """Bidirectional T5 relative position bucketing (host-side, static)."""
+    """T5 relative position bucketing (host-side, static).
+
+    `relative_position` is memory_pos - query_pos. Bidirectional for the
+    encoder; unidirectional (causal) for the decoder self-attention.
+    """
     ret = np.zeros_like(relative_position)
-    n = num_buckets // 2
-    ret += (relative_position > 0).astype(np.int64) * n
-    rp = np.abs(relative_position)
+    if bidirectional:
+        n = num_buckets // 2
+        ret += (relative_position > 0).astype(np.int64) * n
+        rp = np.abs(relative_position)
+    else:
+        n = num_buckets
+        rp = -np.minimum(relative_position, 0)
     max_exact = n // 2
     is_small = rp < max_exact
     val_large = max_exact + (
@@ -88,19 +101,23 @@ class T5Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, position_bias, mask_bias):
+    def __call__(self, x, position_bias, mask_bias, kv=None):
+        """Self-attention when kv is None; cross-attention otherwise."""
         c = self.cfg
         inner = c.num_heads * c.d_kv
         b, s, _ = x.shape
+        src = x if kv is None else kv
+        skv = src.shape[1]
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="k")(x)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="v")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="k")(src)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="v")(src)
         q = q.reshape(b, s, c.num_heads, c.d_kv).transpose(0, 2, 1, 3)
-        k = k.reshape(b, s, c.num_heads, c.d_kv).transpose(0, 2, 1, 3)
-        v = v.reshape(b, s, c.num_heads, c.d_kv).transpose(0, 2, 1, 3)
+        k = k.reshape(b, skv, c.num_heads, c.d_kv).transpose(0, 2, 1, 3)
+        v = v.reshape(b, skv, c.num_heads, c.d_kv).transpose(0, 2, 1, 3)
         # NOTE: T5 attention is intentionally UNscaled (scale folded into init)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        logits = logits + position_bias
+        if position_bias is not None:
+            logits = logits + position_bias
         if mask_bias is not None:
             logits = logits + mask_bias
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
@@ -181,6 +198,250 @@ class T5Encoder(nn.Module):
             x = T5Block(c, self.dtype, name=f"block_{i}")(x, position_bias, mask_bias)
         x = T5LayerNorm(c.layer_norm_epsilon, self.dtype, name="final_layer_norm")(x)
         return x
+
+
+class T5DecoderBlock(nn.Module):
+    cfg: T5Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, self_bias, enc_hidden, enc_mask_bias):
+        c = self.cfg
+        h = T5LayerNorm(c.layer_norm_epsilon, self.dtype, name="ln_self")(x)
+        x = x + T5Attention(c, self.dtype, name="self_attn")(h, self_bias, None)
+        h = T5LayerNorm(c.layer_norm_epsilon, self.dtype, name="ln_cross")(x)
+        x = x + T5Attention(c, self.dtype, name="cross_attn")(
+            h, None, enc_mask_bias, kv=enc_hidden
+        )
+        h = T5LayerNorm(c.layer_norm_epsilon, self.dtype, name="ln_ff")(x)
+        x = x + T5FeedForward(c, self.dtype, name="ff")(h)
+        return x
+
+
+class T5Decoder(nn.Module):
+    """Causal T5 decoder with cross-attention + LM head.
+
+    decoder_ids (B, S_d), encoder hidden (B, S_e, d), encoder_mask (B, S_e)
+    -> LM logits (B, S_d, vocab). The causal mask + unidirectional relative
+    bias are static for a fixed decode buffer length, so one compile serves a
+    whole host-driven generation loop.
+    """
+
+    cfg: T5Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, decoder_ids, enc_hidden, encoder_mask=None):
+        c = self.cfg
+        emb = self.param("token_embedding", nn.initializers.normal(1.0), (c.vocab_size, c.d_model))
+        x = jnp.take(emb, decoder_ids, axis=0).astype(self.dtype)
+        s = x.shape[1]
+
+        rel_table = self.param(
+            "relative_attention_bias",
+            nn.initializers.normal(1.0),
+            (c.relative_attention_num_buckets, c.num_heads),
+        )
+        pos = np.arange(s)
+        buckets = relative_position_bucket(
+            pos[None, :] - pos[:, None],
+            c.relative_attention_num_buckets,
+            c.relative_attention_max_distance,
+            bidirectional=False,
+        )
+        self_bias = jnp.take(rel_table, jnp.asarray(buckets), axis=0)
+        self_bias = self_bias.transpose(2, 0, 1)[None].astype(jnp.float32)
+        causal = np.tril(np.ones((s, s), np.float32))
+        self_bias = self_bias + jnp.asarray((1.0 - causal) * -1e9)[None, None]
+
+        enc_bias = None
+        if encoder_mask is not None:
+            enc_bias = (1.0 - encoder_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+
+        for i in range(c.num_layers):
+            x = T5DecoderBlock(c, self.dtype, name=f"block_{i}")(x, self_bias, enc_hidden, enc_bias)
+        x = T5LayerNorm(c.layer_norm_epsilon, self.dtype, name="final_layer_norm")(x)
+        if self.cfg_tie_word_embeddings():
+            x = x * (c.d_model**-0.5)
+            logits = jnp.einsum("bsd,vd->bsv", x.astype(jnp.float32), emb.astype(jnp.float32))
+        else:
+            head = self.param("lm_head", nn.initializers.normal(1.0), (c.vocab_size, c.d_model))
+            logits = jnp.einsum(
+                "bsd,vd->bsv", x.astype(jnp.float32), head.astype(jnp.float32)
+            )
+        return logits
+
+    def cfg_tie_word_embeddings(self) -> bool:
+        return getattr(self.cfg, "tie_word_embeddings", False)
+
+
+class T5Seq2Seq:
+    """Encoder+decoder bundle with an HF-`generate`-compatible beam search.
+
+    The Mustango chord predictor is `T5ForConditionalGeneration.generate`
+    with num_beams=5, min_length=8, max_length=128, early_stopping=True
+    (reference mustango/mustango.py:110-124). The decode loop runs on host,
+    each step one fixed-shape jitted decoder call over the beam batch —
+    autoregressive conditioning inference, not a throughput path.
+    """
+
+    def __init__(self, cfg: T5Config, dtype=jnp.float32):
+        self.cfg = cfg
+        self.encoder = T5Encoder(cfg, dtype=dtype)
+        self.decoder = T5Decoder(cfg, dtype=dtype)
+        self._step = None
+
+    def encode(self, params, input_ids, attention_mask):
+        return self.encoder.apply({"params": params["encoder"]}, input_ids, attention_mask)
+
+    def _decode_logits(self, params, dec_buf, enc_hidden, enc_mask, idx):
+        """Log-probs of the token at position idx (0-based in dec_buf)."""
+        if self._step is None:
+            dec = self.decoder
+
+            @functools.partial(jax.jit)
+            def step(dparams, buf, hid, msk, i):
+                logits = dec.apply({"params": dparams}, buf, hid, msk)
+                row = jnp.take(logits, i, axis=1)  # (B, vocab)
+                return jax.nn.log_softmax(row.astype(jnp.float32), axis=-1)
+
+            self._step = step
+        return self._step(params["decoder"], dec_buf, enc_hidden, enc_mask, idx)
+
+    def generate(
+        self,
+        params,
+        input_ids,
+        attention_mask,
+        *,
+        num_beams: int = 5,
+        min_length: int = 8,
+        max_length: int = 128,
+        early_stopping: bool = True,
+        length_penalty: float = 1.0,
+        eos_token_id: int = 1,
+        pad_token_id: int = 0,
+        decoder_start_token_id: int = 0,
+    ) -> np.ndarray:
+        """Beam search over ONE prompt; returns the best token sequence
+        (decoder_start included, like HF generate output row). Semantics match
+        transformers BeamSearchScorer (score = sum logp / len**penalty; with
+        early_stopping, stop once num_beams hypotheses finished)."""
+        assert input_ids.shape[0] == 1, "beam generate handles one prompt at a time"
+        enc_hidden = self.encode(params, jnp.asarray(input_ids), jnp.asarray(attention_mask))
+        enc_hidden = jnp.broadcast_to(
+            enc_hidden, (num_beams, *enc_hidden.shape[1:])
+        )
+        enc_mask = jnp.broadcast_to(jnp.asarray(attention_mask), (num_beams, attention_mask.shape[1]))
+
+        buf = np.full((num_beams, max_length), pad_token_id, np.int32)
+        buf[:, 0] = decoder_start_token_id
+        beam_scores = np.full((num_beams,), -1e9, np.float64)
+        beam_scores[0] = 0.0  # all beams start identical; keep one live
+        hyps: list = []  # (norm_score, tokens)
+
+        def hyp_done_enough(cur_len):
+            if len(hyps) < num_beams:
+                return False
+            if early_stopping:
+                return True
+            best_possible = max(beam_scores) / (max_length**length_penalty)
+            return min(h[0] for h in hyps) >= best_possible  # worst kept >= best reachable
+
+        cur_len = 1
+        while cur_len < max_length:
+            lp = np.asarray(
+                self._decode_logits(
+                    params, jnp.asarray(buf), enc_hidden, enc_mask, cur_len - 1
+                ),
+                np.float64,
+            )  # (num_beams, vocab)
+            if cur_len < min_length:  # HF: min_length counts decoder tokens incl. start
+                lp[:, eos_token_id] = -np.inf
+            next_scores = beam_scores[:, None] + lp  # (beams, vocab)
+            flat = next_scores.reshape(-1)
+            top = np.argsort(flat)[::-1][: 2 * num_beams]
+
+            new_beams = []
+            for rank, fidx in enumerate(top):
+                beam, tok = divmod(int(fidx), lp.shape[1])
+                score = flat[fidx]
+                if tok == eos_token_id:
+                    if rank >= num_beams:
+                        continue  # HF: eos beyond top-num_beams is dropped
+                    hyps.append((score / (cur_len**length_penalty), buf[beam, :cur_len].copy()))
+                else:
+                    new_beams.append((score, beam, tok))
+                if len(new_beams) == num_beams:
+                    break
+            if not new_beams:
+                break
+            new_buf = np.full_like(buf, pad_token_id)
+            for j, (score, beam, tok) in enumerate(new_beams):
+                new_buf[j, : cur_len + 1] = np.concatenate([buf[beam, :cur_len], [tok]])
+                beam_scores[j] = score
+            buf = new_buf
+            cur_len += 1
+            if hyp_done_enough(cur_len):
+                break
+
+        # finalize open beams (HF adds all live beams when max_length reached)
+        if len(hyps) < num_beams:
+            for j in range(num_beams):
+                if beam_scores[j] > -1e8:
+                    hyps.append((beam_scores[j] / (cur_len**length_penalty), buf[j, :cur_len].copy()))
+        best = max(hyps, key=lambda h: h[0])[1]
+        out = list(best)
+        if len(out) < max_length:
+            out.append(eos_token_id)
+        return np.asarray(out, np.int32)
+
+
+def convert_t5_decoder(sd, prefix: str = "decoder.") -> dict:
+    """HF torch T5 decoder weights -> T5Decoder params (lm_head separate)."""
+    params: dict = {"token_embedding": np.asarray(sd["shared.weight"])}
+    params["relative_attention_bias"] = np.asarray(
+        sd[f"{prefix}block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
+    )
+    params["final_layer_norm"] = {"weight": np.asarray(sd[f"{prefix}final_layer_norm.weight"])}
+    if "lm_head.weight" in sd:
+        params["lm_head"] = np.asarray(sd["lm_head.weight"])
+    i = 0
+    while f"{prefix}block.{i}.layer.0.SelfAttention.q.weight" in sd:
+        pre = f"{prefix}block.{i}.layer."
+        blk = {
+            "ln_self": {"weight": np.asarray(sd[pre + "0.layer_norm.weight"])},
+            "ln_cross": {"weight": np.asarray(sd[pre + "1.layer_norm.weight"])},
+            "ln_ff": {"weight": np.asarray(sd[pre + "2.layer_norm.weight"])},
+            "self_attn": {
+                name: {"kernel": np.asarray(sd[pre + f"0.SelfAttention.{name}.weight"]).T}
+                for name in ("q", "k", "v", "o")
+            },
+            "cross_attn": {
+                name: {"kernel": np.asarray(sd[pre + f"1.EncDecAttention.{name}.weight"]).T}
+                for name in ("q", "k", "v", "o")
+            },
+        }
+        ff_pre = pre + "2.DenseReluDense."
+        if ff_pre + "wi_0.weight" in sd:
+            blk["ff"] = {
+                "wi_0": {"kernel": np.asarray(sd[ff_pre + "wi_0.weight"]).T},
+                "wi_1": {"kernel": np.asarray(sd[ff_pre + "wi_1.weight"]).T},
+                "wo": {"kernel": np.asarray(sd[ff_pre + "wo.weight"]).T},
+            }
+        else:
+            blk["ff"] = {
+                "wi": {"kernel": np.asarray(sd[ff_pre + "wi.weight"]).T},
+                "wo": {"kernel": np.asarray(sd[ff_pre + "wo.weight"]).T},
+            }
+        params[f"block_{i}"] = blk
+        i += 1
+    return params
+
+
+def convert_t5_seq2seq(sd) -> dict:
+    """HF T5ForConditionalGeneration state dict -> {'encoder':..., 'decoder':...}."""
+    return {"encoder": convert_t5_encoder(sd), "decoder": convert_t5_decoder(sd)}
 
 
 def convert_t5_encoder(sd) -> dict:

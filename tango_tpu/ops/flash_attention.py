@@ -55,6 +55,106 @@ def _attn_kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
     o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _attn_kernel_v2(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                    scale: float, kv_steps: int):
+    """Flash-2 style blocked-KV online-softmax step.
+
+    Grid (b*h, Sq/BQ, Skv/BK); the kv axis is the innermost ("arbitrary")
+    loop so K/V block DMAs pipeline with compute, and the f32 intermediate is
+    only (BQ, BK) instead of (BQ, Skv). m/l scratches are (BQ, 128) f32 with
+    the statistic replicated across lanes (Mosaic min-tile rule)."""
+    ikv = pl.program_id(2)
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_ref[...] = jnp.full(m_ref.shape, -1e30, jnp.float32)
+        l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, BK) f32
+
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
+    m_cur = jnp.broadcast_to(jnp.max(s, axis=-1, keepdims=True), m_prev.shape)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)  # (BQ, 128) replicated
+    p = jnp.exp(s - m_next[:, :1])
+    l_next = alpha * l_prev + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+    )
+    acc_ref[...] = acc_ref[...] * alpha[:, :1] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[...] = m_next
+    l_ref[...] = l_next
+
+    @pl.when(ikv == kv_steps - 1)
+    def _done():
+        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv", "interpret"))
+def flash_attention_v2(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int = 512,
+    block_kv: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Blocked-KV flash attention (no bias — UNet self-attention path).
+
+    q (B,H,Sq,D), k/v (B,H,Skv,D) -> (B,H,Sq,D) in q.dtype.
+    """
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bq = min(block_q, sq)
+    bkv = min(block_kv, skv)
+    assert sq % bq == 0 and skv % bkv == 0, (sq, bq, skv, bkv)
+    kv_steps = skv // bkv
+
+    def reshape3(x):
+        return x.reshape(b * h, x.shape[2], d)
+
+    q3, k3, v3 = reshape3(q), reshape3(k), reshape3(v)
+    grid = (b * h, sq // bq, kv_steps)
+
+    out3 = pl.pallas_call(
+        functools.partial(_attn_kernel_v2, scale=scale, kv_steps=kv_steps),
+        out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, d), lambda i, qi, ki: (i, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, d), lambda i, qi, ki: (i, ki, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * sq * skv * d,
+            bytes_accessed=(q3.size + k3.size + v3.size + q3.size) * q.dtype.itemsize,
+            transcendentals=b * h * sq * skv,
+        ),
+        interpret=interpret,
+    )(q3, k3, v3)
+    return out3.reshape(b, h, sq, d)
+
+
 def _block_q(sq: int) -> int:
     for bq in (512, 256, 128):
         if sq % bq == 0:
@@ -78,6 +178,15 @@ def flash_attention(
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
+
+    # No-bias self-attention at UNet sizes: blocked-KV online-softmax kernel
+    # (measured: ties the single-pass kernel at Skv=4096, ~2x faster at 1024 —
+    # docs/PERF.md round-2 table).
+    if bias is None and skv >= 512 and skv % 512 == 0 and sq % 128 == 0:
+        return flash_attention_v2(
+            q, k, v, scale=scale, block_q=min(512, sq), block_kv=min(1024, skv),
+            interpret=interpret,
+        )
     bq = _block_q(sq)
 
     # fold (B, H) into one grid axis; K/V blocks cover the full Skv per (b,h)

@@ -5,12 +5,14 @@ API parity with the reference Mustango class
 guidance=3)` predicts beats (DeBERTa head) and chords (FLAN-T5 seq2seq) from
 the caption, then runs the triple-stream music diffusion and decodes.
 
-The two feature predictors are host-side autoregressive LLM inferences (two
-extra model calls per prompt, reference mustango.py:51-132); they are wrapped
-behind `MusicFeaturePredictor`, which uses HF torch models when their
-checkpoints are available and otherwise lets callers supply beats/chords
-explicitly (generate(..., beats=..., chords=..., chords_times=...)). The
-TPU compute path (diffusion + VAE + vocoder) is pure tango_tpu.
+The two feature predictors are autoregressive conditioning inferences (two
+extra model calls per prompt, reference mustango.py:51-132). They run on
+NATIVE JAX models — a DeBERTa-v3 encoder with the token-cls+regression head
+(models/deberta.py) and a T5 seq2seq with host-driven beam search
+(models/t5.py T5Seq2Seq) — so Mustango inference needs no torch at runtime
+(torch is used only to READ the released .pt/.bin checkpoints). Callers may
+also supply beats/chords explicitly
+(generate(..., beats=..., chords=..., chords_times=...)).
 """
 
 from __future__ import annotations
@@ -45,31 +47,58 @@ class MusicFeaturePredictor:
                  beats_fn=None, chords_fn=None):
         self._beats_fn = beats_fn
         self._chords_fn = chords_fn
-        self._torch_ready = False
         if path is not None and beats_fn is None:
-            self._init_torch(path, device)
+            self._init_jax(path)
 
-    def _init_torch(self, path: str, device: str):
-        import torch
-        from transformers import AutoTokenizer, T5ForConditionalGeneration
+    def _init_jax(self, path: str):
+        """Build the native predictors from the snapshot's torch checkpoints
+        (reference layouts: beats/microsoft-deberta-v3-large.pt,
+        chords/flan-t5-large.bin — mustango/mustango.py:15-50)."""
+        from transformers import AutoTokenizer
 
-        from tango_tpu.utils.deberta_head import DebertaV2ForTokenClassificationRegression
+        from tango_tpu.models.deberta import (
+            DEBERTA_V3_LARGE,
+            DebertaV2ForBeats,
+            convert_deberta_beats,
+        )
+        from tango_tpu.models.t5 import T5Config, T5Seq2Seq, convert_t5_seq2seq
 
+        beats_sd = conv.load_torch_bin(f"{path}/beats/microsoft-deberta-v3-large.pt")
+        chords_sd = conv.load_torch_bin(f"{path}/chords/flan-t5-large.bin")
         self.beats_tokenizer = AutoTokenizer.from_pretrained("microsoft/deberta-v3-large")
-        self.beats_model = DebertaV2ForTokenClassificationRegression.from_pretrained(
-            "microsoft/deberta-v3-large"
-        )
-        self.beats_model.eval().to(device)
-        self.beats_model.load_state_dict(
-            __import__("torch").load(f"{path}/beats/microsoft-deberta-v3-large.pt", map_location="cpu")
-        )
         self.chords_tokenizer = AutoTokenizer.from_pretrained("google/flan-t5-large")
-        self.chords_model = T5ForConditionalGeneration.from_pretrained("google/flan-t5-large")
-        self.chords_model.eval().to(device)
-        self.chords_model.load_state_dict(
-            __import__("torch").load(f"{path}/chords/flan-t5-large.bin", map_location="cpu")
-        )
-        self._torch_ready = True
+
+        beats_model = DebertaV2ForBeats(DEBERTA_V3_LARGE)
+        beats_params = convert_deberta_beats(beats_sd)
+        beats_apply = jax.jit(lambda ids, mask: beats_model.apply({"params": beats_params}, ids, mask))
+
+        chords_model = T5Seq2Seq(T5Config(tie_word_embeddings=False))
+        chords_params = convert_t5_seq2seq(chords_sd)
+
+        def beats_fn(prompt: str):
+            tok = self.beats_tokenizer(
+                prompt, max_length=512, padding=True, truncation=True, return_tensors="np"
+            )
+            logits, values = beats_apply(
+                jnp.asarray(tok["input_ids"]), jnp.asarray(tok["attention_mask"])
+            )
+            n = int(tok["attention_mask"][0].sum())
+            return np.asarray(logits)[0, 0], np.asarray(values)[0, :n, 0]
+
+        def chords_fn(cprompt: str):
+            tok = self.chords_tokenizer(
+                cprompt, max_length=512, padding=True, truncation=True, return_tensors="np"
+            )
+            out = chords_model.generate(
+                chords_params, tok["input_ids"], tok["attention_mask"],
+                num_beams=5, min_length=8, max_length=128, early_stopping=True,
+            )
+            return self.chords_tokenizer.decode(
+                out, skip_special_tokens=True, clean_up_tokenization_spaces=True
+            )
+
+        self._beats_fn = beats_fn
+        self._chords_fn = chords_fn
 
     # ---------------------------------------------------------- beat decode
     @staticmethod
@@ -104,40 +133,12 @@ class MusicFeaturePredictor:
         return chords, times
 
     def generate(self, prompt: str):
-        if self._beats_fn is not None:
-            logits, intervals = self._beats_fn(prompt)
-        elif self._torch_ready:
-            import torch
-
-            tok = self.beats_tokenizer(
-                prompt, max_length=512, padding=True, truncation=True, return_tensors="pt"
-            )
-            with torch.no_grad():
-                out = self.beats_model(**tok)
-            logits = out["logits"][0, 0].numpy()
-            intervals = out["values"][0, :, 0].numpy()
-        else:
-            raise RuntimeError("No beat predictor available; pass beats explicitly")
-
+        if self._beats_fn is None or self._chords_fn is None:
+            raise RuntimeError("No music predictors available; pass beats explicitly")
+        logits, intervals = self._beats_fn(prompt)
         max_beat, beat_times, beats = self.postprocess_beats(np.asarray(logits), np.asarray(intervals))
         cprompt = self.chords_prompt(prompt, beat_times, max_beat)
-
-        if self._chords_fn is not None:
-            decoded = self._chords_fn(cprompt)
-        else:
-            import torch
-
-            tok = self.chords_tokenizer(
-                cprompt, max_length=512, padding=True, truncation=True, return_tensors="pt"
-            )
-            gen = self.chords_model.generate(
-                input_ids=tok["input_ids"], attention_mask=tok["attention_mask"],
-                min_length=8, max_length=128, num_beams=5,
-                early_stopping=True, num_return_sequences=1,
-            )
-            decoded = self.chords_tokenizer.decode(
-                gen[0], skip_special_tokens=True, clean_up_tokenization_spaces=True
-            )
+        decoded = self._chords_fn(cprompt)
         chords, chord_times = self.parse_chords(decoded)
         return beats, chords, chord_times
 

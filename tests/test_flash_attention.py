@@ -82,3 +82,16 @@ def test_grad_through_flash_dispatch(monkeypatch):
     rq, rc = jax.grad(loss, argnums=(0, 1))(q, ctx)
     np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gc), np.asarray(rc), atol=1e-4, rtol=1e-3)
+
+
+def test_flash_v2_multiblock_matches_xla():
+    """Blocked-KV online softmax (kv_steps > 1) against the XLA oracle."""
+    from tango_tpu.ops.flash_attention import flash_attention_v2
+
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(1, 2, 512, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 2, 512, 64), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 2, 512, 64), jnp.float32)
+    out = flash_attention_v2(q, k, v, scale=0.125, block_q=128, block_kv=128, interpret=True)
+    ref = _xla_attention(q, k, v, bias=None, scale=0.125, upcast=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)

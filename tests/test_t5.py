@@ -38,3 +38,40 @@ def test_t5_mask_changes_output():
     out_masked = np.asarray(model.apply({"params": params}, g["ids"], g["mask"]))
     out_full = np.asarray(model.apply({"params": params}, g["ids"], np.ones_like(g["mask"])))
     assert np.abs(out_masked[0, :7] - out_full[0, :7]).max() > 1e-4
+
+
+TINY_T5GEN = T5Config(
+    vocab_size=64,
+    d_model=32,
+    d_kv=8,
+    d_ff=48,
+    num_layers=2,
+    num_heads=4,
+    relative_attention_num_buckets=8,
+    relative_attention_max_distance=16,
+    tie_word_embeddings=False,
+)
+
+
+def _t5gen():
+    from tango_tpu.models.t5 import T5Seq2Seq, convert_t5_seq2seq
+
+    g = load_golden("t5gen_tiny")
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    return g, T5Seq2Seq(TINY_T5GEN), convert_t5_seq2seq(sd)
+
+
+def test_t5_decoder_logits_parity():
+    g, model, params = _t5gen()
+    enc = model.encode(params, g["ids"], g["mask"])
+    logits = model.decoder.apply({"params": params["decoder"]}, g["dec_ids"], enc, g["mask"])
+    np.testing.assert_allclose(np.asarray(logits), g["logits"], atol=3e-4, rtol=1e-3)
+
+
+def test_t5_beam_generate_matches_hf():
+    g, model, params = _t5gen()
+    out = model.generate(
+        params, g["ids"], g["mask"], num_beams=5, min_length=3, max_length=12,
+        early_stopping=True,
+    )
+    np.testing.assert_array_equal(out, g["generated"])

@@ -1,0 +1,99 @@
+"""Capture a jax.profiler trace of one UNet CFG eval and print top ops.
+
+python scripts/perf_trace.py [batch]
+"""
+
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from tango_tpu import configs as C
+    from tango_tpu.models.unet import UNet2DConditionModel
+
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    dtype = jnp.bfloat16
+    cfg = C.TANGO_UNET
+    unet = UNet2DConditionModel(cfg, dtype=dtype)
+    shapes = jax.eval_shape(
+        lambda k: unet.init(
+            k, jnp.zeros((1, 256, 16, 8), dtype), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 2, cfg.cross_attention_dim), dtype),
+        )["params"],
+        jax.random.PRNGKey(0),
+    )
+
+    @jax.jit
+    def make():
+        return jax.tree_util.tree_map(
+            lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
+                dtype if s.dtype == jnp.float32 else s.dtype
+            ),
+            shapes,
+        )
+
+    params = make()
+    ctx = jnp.ones((b, 64, cfg.cross_attention_dim), dtype) * 0.1
+    mask = jnp.ones((b, 64), jnp.int32)
+    t = jnp.full((b,), 500, jnp.int32)
+
+    @jax.jit
+    def step(lat):
+        def body(c, _):
+            o = unet.apply({"params": params}, c, t, ctx, encoder_attention_mask=mask)
+            return o.astype(c.dtype), None
+        y, _ = jax.lax.scan(body, lat, None, length=4)
+        return y
+
+    lat0 = jnp.ones((b, 256, 16, 8), dtype) * 0.1
+    float(step(lat0).ravel()[0])  # compile + warm
+
+    logdir = "/tmp/unet_trace"
+    os.system(f"rm -rf {logdir}")
+    with jax.profiler.trace(logdir):
+        float(step(lat0).ravel()[0])
+
+    time.sleep(2)
+    files = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
+    print("xplane files:", files, flush=True)
+    if not files:
+        return
+
+    from tensorflow.core.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(files[0], "rb").read())
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name and "axon" not in plane.name.lower():
+            continue
+        print("PLANE:", plane.name)
+        ev_names = {i: m.name for i, m in plane.event_metadata.items()}
+        totals = collections.Counter()
+        counts = collections.Counter()
+        for line in plane.lines:
+            for ev in line.events:
+                nm = ev_names.get(ev.metadata_id, "?")
+                totals[nm] += ev.duration_ps / 1e9  # ms
+                counts[nm] += 1
+        grand = sum(totals.values())
+        print(f"  line-sum total: {grand:.2f} ms (4 unet evals in trace)")
+        for nm, ms in totals.most_common(40):
+            print(f"  {ms:8.3f} ms  x{counts[nm]:<4d} {nm[:110]}")
+
+
+if __name__ == "__main__":
+    main()

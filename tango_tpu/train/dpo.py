@@ -59,6 +59,7 @@ class DPOTrainer:
         self.tx = tx
         self._dpo_step = None
         self._sft_step = None
+        self._eval_step = None
 
     def init_state(self, unet_params) -> TrainState:
         """Start from SFT'd params (ref copy is taken by the caller)."""
@@ -119,6 +120,23 @@ class DPOTrainer:
             self._sft_step = jax.jit(impl, donate_argnums=(0,))
         return self._sft_step(state, batch, rng)
 
+    def eval_step(self, state: TrainState, batch, rng):
+        """Fixed-t diffusion validation loss on single (non-paired) audio —
+        the reference DPO trainer validates with plain diffusion_forward in
+        validation mode (tango2-train.py:600-618)."""
+        if self._eval_step is None:
+
+            def impl(state, batch, rng):
+                k_vae, k_loss = jax.random.split(rng)
+                lat = self._encode(batch["fbank"], k_vae)
+                return self.diffusion.sft_loss(
+                    state.params, lat, batch["text_embeds"], batch["text_mask"],
+                    k_loss, validation_mode=True,
+                )
+
+            self._eval_step = jax.jit(impl)
+        return self._eval_step(state, batch, rng)
+
     def fit(
         self,
         state: TrainState,
@@ -127,13 +145,18 @@ class DPOTrainer:
         rng,
         output_dir: str,
         num_epochs: Optional[int] = None,
+        val_batches: Optional[Callable[[], Iterable[dict]]] = None,
         log_fn: Callable[[dict], None] = lambda d: None,
     ) -> TrainState:
+        """Epoch loop with fixed-t validation + best-val checkpoint gating and
+        epoch checkpoints only after the SFT-first phase (tango2-train.py:
+        600-664). Losses stay on device; one fetch per epoch."""
         os.makedirs(output_dir, exist_ok=True)
         num_epochs = num_epochs or self.cfg.num_train_epochs
+        best_val = float("inf")
         for epoch in range(num_epochs):
-            t0, total, count = time.time(), 0.0, 0
-            accs = []
+            t0 = time.time()
+            losses, accs = [], []
             sft_phase = epoch < self.cfg.sft_first_epochs
             for batch in train_batches():
                 rng, sub = jax.random.split(rng)
@@ -141,22 +164,40 @@ class DPOTrainer:
                     state, loss = self.sft_step(state, batch, sub)
                 else:
                     state, loss, metrics = self.dpo_step(state, ref_params, batch, sub)
-                    accs.append(float(metrics["implicit_acc"]))
-                total += float(loss)
-                count += 1
+                    accs.append(metrics["implicit_acc"])
+                losses.append(loss)
+
+            val_loss = None
+            if val_batches is not None:
+                vlosses = []
+                for batch in val_batches():
+                    rng, sub = jax.random.split(rng)
+                    vlosses.append(self.eval_step(state, batch, sub))
+                if vlosses:
+                    val_loss = float(jnp.stack(vlosses).mean())
+
             rec = {
                 "epoch": epoch,
                 "phase": "sft" if sft_phase else "dpo",
-                "loss": total / max(count, 1),
-                "implicit_acc": float(np.mean(accs)) if accs else None,
+                "loss": float(jnp.stack(losses).mean()) if losses else 0.0,
+                "val_loss": val_loss,
+                "implicit_acc": float(jnp.stack(accs).mean()) if accs else None,
                 "time_s": round(time.time() - t0, 2),
             }
             log_fn(rec)
             with open(os.path.join(output_dir, "summary.jsonl"), "a") as f:
                 f.write(json.dumps(rec) + "\n")
-            ckpt_io.save_native(
-                os.path.join(output_dir, f"epoch_{epoch}"),
-                jax.device_get(state.params),
-                manifest=rec,
-            )
+            if val_loss is not None and val_loss < best_val:
+                best_val = val_loss
+                ckpt_io.save_native(
+                    os.path.join(output_dir, "best"),
+                    jax.device_get(state.params),
+                    manifest=rec,
+                )
+            if not sft_phase:  # reference saves epoch states only post-SFT
+                ckpt_io.save_native(
+                    os.path.join(output_dir, f"epoch_{epoch}"),
+                    jax.device_get(state.params),
+                    manifest=rec,
+                )
         return state

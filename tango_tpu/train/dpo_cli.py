@@ -20,6 +20,10 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="tango_tpu DPO training")
     p.add_argument("--train_file", type=str, required=True,
                    help="JSONL: {captions, chosen, rejected} per line")
+    p.add_argument("--validation_file", type=str, default=None,
+                   help="JSONL eval split (captions + chosen audio); enables "
+                        "fixed-t val loss + best-checkpoint gating "
+                        "(tango2-train.py:600-664)")
     p.add_argument("--tango_snapshot", type=str, required=True,
                    help="starting SFT checkpoint (reference-format snapshot)")
     p.add_argument("--learning_rate", type=float, default=9.6e-7)
@@ -138,9 +142,35 @@ def main(argv=None):
                 mesh,
             )
 
+    val_batches = None
+    if args.validation_file:
+        vrows = load_preference_manifest(args.validation_file)
+
+        def val_batches():
+            for k in range(0, len(vrows) - bs + 1, bs):
+                chunk = vrows[k : k + bs]
+                w = np.concatenate(
+                    [read_wav_file(r["chosen"], args.target_length * 160) for r in chunk], 0
+                )
+                fb, _ = wav_batch_to_fbank(stft, w, args.target_length)
+                tok = tokenizer(
+                    [r["captions"] for r in chunk], max_length=args.max_text_length,
+                    padding="max_length", truncation=True, return_tensors="np",
+                )
+                embeds = t5_apply(t5_params, tok["input_ids"], tok["attention_mask"])
+                yield pmesh.shard_batch(
+                    {
+                        "fbank": jnp.asarray(fb),
+                        "text_embeds": embeds,
+                        "text_mask": jnp.asarray(tok["attention_mask"]),
+                    },
+                    mesh,
+                )
+
     with mesh:
         trainer.fit(
             state, ref_params, batches, jax.random.PRNGKey(args.seed), out_dir,
+            val_batches=val_batches,
             log_fn=lambda r: print(json.dumps(r), flush=True),
         )
 

@@ -165,20 +165,21 @@ class SFTTrainer:
 
         for epoch in range(num_epochs):
             t0 = time.time()
-            total, count = 0.0, 0
+            # keep per-step losses ON DEVICE; one fetch per epoch (a float()
+            # per step forces a device->host roundtrip — ms-scale each on the
+            # relay, and it serializes the dispatch pipeline)
+            losses = []
             for batch in train_batches():
                 rng, sub = jax.random.split(rng)
                 state, loss = self.train_step(state, batch, sub)
-                total += float(loss)
-                count += 1
-            train_loss = total / max(count, 1)
+                losses.append(loss)
+            train_loss = float(jnp.stack(losses).mean()) if losses else 0.0
 
-            vtotal, vcount = 0.0, 0
+            vlosses = []
             for batch in val_batches():
                 rng, sub = jax.random.split(rng)
-                vtotal += float(self.eval_step(state, batch, sub))
-                vcount += 1
-            val_loss = vtotal / max(vcount, 1)
+                vlosses.append(self.eval_step(state, batch, sub))
+            val_loss = float(jnp.stack(vlosses).mean()) if vlosses else 0.0
 
             record = {
                 "epoch": epoch,

@@ -70,3 +70,47 @@ def test_dpo_trainer_steps():
     state, dpo_loss, metrics = trainer.dpo_step(state, ref_params, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(dpo_loss))
     assert np.isfinite(float(metrics["raw_model_loss"]))
+
+
+def test_dpo_fit_validation_and_best_checkpoint(tmp_path):
+    """fit(): SFT-first phase, per-epoch fixed-t validation, best-ckpt gating,
+    and epoch checkpoints only after the SFT phase (tango2-train.py:600-664)."""
+    diff = make_dpo()
+    vae = AutoencoderKL(TINY_VAE)
+    rng = jax.random.PRNGKey(0)
+    vae_params = vae.init(rng, jnp.zeros((1, 16, 8, 1)), rng)["params"]
+    trainer = DPOTrainer(
+        diff, vae, vae_params,
+        DPOConfig(gradient_accumulation_steps=1, learning_rate=1e-4,
+                  sft_first_epochs=1, num_train_epochs=2),
+        total_steps=4,
+    )
+    params0 = diff.init_params(jax.random.PRNGKey(1))
+    state = trainer.init_state(params0)
+    ref_params = jax.tree_util.tree_map(lambda x: x.copy(), params0)
+
+    def train_batches():
+        yield {
+            "fbank_w": jax.random.normal(rng, (2, 16, 8)) * 0.5,
+            "fbank_l": jax.random.normal(jax.random.PRNGKey(5), (2, 16, 8)) * 0.5,
+            "text_embeds": jax.random.normal(rng, (2, 4, 16)) * 0.1,
+            "text_mask": jnp.ones((2, 4), jnp.int32),
+        }
+
+    def val_batches():
+        yield {
+            "fbank": jax.random.normal(jax.random.PRNGKey(9), (2, 16, 8)) * 0.5,
+            "text_embeds": jax.random.normal(rng, (2, 4, 16)) * 0.1,
+            "text_mask": jnp.ones((2, 4), jnp.int32),
+        }
+
+    recs = []
+    trainer.fit(
+        state, ref_params, train_batches, jax.random.PRNGKey(2), str(tmp_path),
+        val_batches=val_batches, log_fn=recs.append,
+    )
+    assert [r["phase"] for r in recs] == ["sft", "dpo"]
+    assert all(np.isfinite(r["val_loss"]) for r in recs)
+    assert (tmp_path / "best").exists()           # val gating saved a best ckpt
+    assert not (tmp_path / "epoch_0").exists()    # no epoch ckpt during SFT phase
+    assert (tmp_path / "epoch_1").exists()

@@ -1,0 +1,105 @@
+"""Round-2 perf part D: int8 W8A8 UNet eval vs bf16.
+
+python scripts/perf_r2d.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def out(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def chain_ms(fn, x0, iters, reps=3):
+    @jax.jit
+    def run(x):
+        y, _ = jax.lax.scan(lambda c, _: (fn(c), None), x, None, length=iters)
+        return y
+
+    def sync(y):
+        float(jnp.ravel(y)[0])
+
+    t0 = time.perf_counter()
+    sync(run(x0))
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(run(x0))
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts)) * 1e3, compile_s
+
+
+def main():
+    import dataclasses
+
+    from tango_tpu import configs as C
+    from tango_tpu.models.unet import UNet2DConditionModel
+    from tango_tpu.ops.quant import quantize_tree
+
+    dtype = jnp.bfloat16
+    cfg = C.TANGO_UNET
+    cfg_q = dataclasses.replace(cfg, quant_int8=True)
+    b = 8
+
+    for name, c in [("bf16", cfg), ("int8", cfg_q)]:
+        unet = UNet2DConditionModel(c, dtype=dtype)
+        shapes = jax.eval_shape(
+            lambda k: unet.init(
+                k, jnp.zeros((1, 256, 16, 8), dtype), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 2, c.cross_attention_dim), dtype),
+            )["params"],
+            jax.random.PRNGKey(0),
+        )
+
+        @jax.jit
+        def make():
+            def f(s):
+                if s.dtype == jnp.int8:
+                    return jnp.ones(s.shape, jnp.int8)
+                v = jnp.zeros(s.shape, s.dtype) + 0.02
+                return v.astype(dtype if s.dtype == jnp.float32 and "scale" not in str(s.dtype) else s.dtype)
+            return jax.tree_util.tree_map(
+                lambda s: (
+                    jnp.ones(s.shape, jnp.int8)
+                    if s.dtype == jnp.int8
+                    else (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
+                        dtype if s.dtype == jnp.float32 else s.dtype
+                    )
+                ),
+                shapes,
+            )
+
+        params = make()
+        ctx = jnp.ones((b, 64, c.cross_attention_dim), dtype) * 0.1
+        mask = jnp.ones((b, 64), jnp.int32)
+        t = jnp.full((b,), 500, jnp.int32)
+
+        def eval_fn(lat):
+            o = unet.apply({"params": params}, lat, t, ctx, encoder_attention_mask=mask)
+            return o.astype(lat.dtype)
+
+        lat0 = jnp.ones((b, 256, 16, 8), dtype) * 0.1
+        try:
+            ms, cs = chain_ms(eval_fn, lat0, iters=16)
+            out(exp="unet_eval_b8", variant=name, ms=round(ms, 2), compile_s=round(cs, 1))
+        except Exception as e:
+            out(exp="unet_eval_b8", variant=name, error=f"{type(e).__name__}: {e}"[:300])
+
+
+if __name__ == "__main__":
+    out(exp="env", devices=[str(d) for d in jax.devices()])
+    main()

@@ -170,6 +170,60 @@ class AudioLDMPipeline:
         latents, _ = jax.lax.scan(body, latents, timesteps)
         return latents
 
+    def p_sample_loop(self, film_cond, film_uncond, rng, *, latent_t_size: int,
+                      guidance_scale: float = 1.0,
+                      clip_denoised: bool = False) -> jnp.ndarray:
+        """Full-T DDPM ancestral sampling — the reference's non-DDIM fallback
+        (latent_diffusion/ddpm.py:350-441: p_mean_variance/p_sample/
+        p_sample_loop), compiled as ONE lax.scan over all train timesteps.
+
+        eps-parameterization posterior: x0 = (x - sqrt(1-ac)*eps)/sqrt(ac)
+        (optionally clamped to [-1,1]), mean = c1*x0 + c2*x with the standard
+        posterior coefficients, noise scaled by exp(0.5*log posterior variance
+        clipped at 1e-20), zeroed at t == 0."""
+        from tango_tpu.schedulers import DDPMScheduler
+
+        sched = DDPMScheduler.create(self.scheduler_config)
+        n = sched.config.num_train_timesteps
+        betas = sched.betas
+        ac = sched.alphas_cumprod
+        ac_prev = jnp.concatenate([jnp.ones((1,), ac.dtype), ac[:-1]])
+        post_var = betas * (1.0 - ac_prev) / (1.0 - ac)
+        post_logvar = jnp.log(jnp.maximum(post_var, 1e-20))
+        coef1 = betas * jnp.sqrt(ac_prev) / (1.0 - ac)
+        coef2 = (1.0 - ac_prev) * jnp.sqrt(1.0 - betas) / (1.0 - ac)
+
+        b = film_cond.shape[0]
+        shape = (b, latent_t_size, self.latent_f_size, self.unet_config.in_channels)
+        k_init, k_loop = jax.random.split(rng)
+        latents = jax.random.normal(k_init, shape, jnp.float32)
+        cfg = film_uncond is not None and guidance_scale != 1.0
+        film = jnp.concatenate([film_uncond, film_cond], axis=0) if cfg else film_cond
+
+        def body(carry, t):
+            lat, key = carry
+            key, k_noise = jax.random.split(key)
+            lat_in = jnp.concatenate([lat, lat], axis=0) if cfg else lat
+            t_b = jnp.full((lat_in.shape[0],), t, jnp.int32)
+            eps = self.unet.apply(
+                {"params": self.unet_params}, lat_in.astype(self.dtype), t_b, film
+            ).astype(jnp.float32)
+            if cfg:
+                eu, ec = jnp.split(eps, 2, axis=0)
+                eps = eu + guidance_scale * (ec - eu)
+            x0 = (lat - jnp.sqrt(1.0 - ac[t]) * eps) / jnp.sqrt(ac[t])
+            if clip_denoised:
+                x0 = jnp.clip(x0, -1.0, 1.0)
+            mean = coef1[t] * x0 + coef2[t] * lat
+            noise = jax.random.normal(k_noise, lat.shape, jnp.float32)
+            nonzero = (t > 0).astype(jnp.float32)
+            lat = mean + nonzero * jnp.exp(0.5 * post_logvar[t]) * noise
+            return (lat, key), None
+
+        ts = jnp.arange(n - 1, -1, -1)
+        (latents, _), _ = jax.lax.scan(body, (latents, k_loop), ts)
+        return latents
+
     def decode(self, latents) -> np.ndarray:
         mel = self.vae.apply({"params": self.vae_params}, latents, method=self.vae.decode_first_stage)
         wav = self.vocoder.apply({"params": self.hifigan_params}, mel[..., 0])

@@ -92,6 +92,11 @@ class UNetConfig(_FromDict):
     # beat+chord conditioning — reference unet_2d_condition_music.py:54).
     extra_cond_streams: int = 0
     extra_cond_dims: Tuple[int, ...] = ()
+    # int8 W8A8 serving mode (ops/quant.py): GEMM/conv contractions run on
+    # the MXU's 2x-rate int8 path; params carry int8 kernels + f32 scales
+    # produced by quant.quantize_tree. Norms/softmax/conv_in/conv_out/time
+    # embeddings stay high-precision.
+    quant_int8: bool = False
 
     def __post_init__(self):
         down = _tup(self.down_block_types)

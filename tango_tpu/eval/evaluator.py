@@ -94,33 +94,69 @@ class EvaluationHelper:
         return fs[:limit_num] if limit_num else fs
 
     # ---------------------------------------------------------------- features
+    #
+    # Extraction is BATCHED (the reference's DataLoaders run batch_size=1 —
+    # audioldm_eval/eval.py:327-367; on a 900-clip test set that is hundreds of
+    # dispatches). Files are bucketed by mel length (eval sets are typically
+    # uniform-duration, so one bucket), stacked into fixed-size batches, and
+    # the last batch is padded by repetition so each bucket compiles once.
+    # Both extractor nets are per-sample independent (CNNs, eval-mode BN), so
+    # padding rows are simply discarded.
+    batch_size: int = 16
+
     def cnn14_features(self, files: List[str]) -> Dict[str, np.ndarray]:
         assert self.cnn14_params is not None, "Cnn14 weights not loaded"
-        feats_2048, logits, paths = [], [], []
         apply = jax.jit(lambda p, m: self.cnn14.apply({"params": p}, m))
+
+        mels = []
         for f in files:
             wav = _read_mono_16k(f, self.sampling_rate)
-            mel = logmel_frontend(wav[None, :])
-            out = apply(self.cnn14_params, mel)
-            feats_2048.append(np.asarray(out["2048"])[0])
-            logits.append(np.asarray(out["logits"])[0])
-            paths.append(f)
+            mels.append(np.asarray(logmel_frontend(wav[None, :]))[0])
+
+        feats_2048 = [None] * len(files)
+        logits = [None] * len(files)
+        buckets: Dict[int, List[int]] = {}
+        for i, m in enumerate(mels):
+            buckets.setdefault(m.shape[0], []).append(i)
+        bs = self.batch_size
+        for _, idxs in sorted(buckets.items()):
+            for k in range(0, len(idxs), bs):
+                chunk = idxs[k : k + bs]
+                batch = np.stack([mels[i] for i in chunk] + [mels[chunk[0]]] * (bs - len(chunk)))
+                out = apply(self.cnn14_params, jnp.asarray(batch))
+                f2048 = np.asarray(out["2048"])
+                lg = np.asarray(out["logits"])
+                for j, i in enumerate(chunk):
+                    feats_2048[i] = f2048[j]
+                    logits[i] = lg[j]
         return {
             "2048": np.stack(feats_2048),
             "logits": np.stack(logits),
-            "file_path_": paths,
+            "file_path_": list(files),
         }
 
     def vggish_embeddings(self, files: List[str]) -> np.ndarray:
         assert self.vggish_params is not None, "VGGish weights not loaded"
         apply = jax.jit(lambda p, x: self.vggish.apply({"params": p}, x))
-        outs = []
+        examples = []
         for f in files:
             wav = _read_mono_16k(f, self.sampling_rate)
             ex = waveform_to_examples(wav, self.sampling_rate)
-            if len(ex) == 0:
-                continue
-            outs.append(np.asarray(apply(self.vggish_params, jnp.asarray(ex))))
+            if len(ex):
+                examples.append(ex)
+        if not examples:
+            return np.zeros((0, 128), np.float32)
+        # concat-all-examples semantics (metrics/fad.py); fixed-size batches
+        allex = np.concatenate(examples, 0)
+        bs = max(self.batch_size * 4, 1)
+        outs = []
+        for k in range(0, len(allex), bs):
+            chunk = allex[k : k + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)], 0)
+            o = np.asarray(apply(self.vggish_params, jnp.asarray(chunk)))
+            outs.append(o if not pad else o[:-pad])
         return np.concatenate(outs, 0)
 
     # ------------------------------------------------------------------- main

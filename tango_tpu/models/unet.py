@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from tango_tpu.configs import UNetConfig
 from tango_tpu.ops.attention import multi_head_attention
 from tango_tpu.ops.basic import geglu, group_norm, silu
+from tango_tpu.ops.quant import QConv, QDense
 
 
 def get_timestep_embedding(
@@ -86,6 +87,7 @@ class ResnetBlock2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, temb):
@@ -95,7 +97,7 @@ class ResnetBlock2D(nn.Module):
         scale1 = self.param("norm1_scale", nn.initializers.ones, (in_channels,))
         bias1 = self.param("norm1_bias", nn.initializers.zeros, (in_channels,))
         h = group_norm(h, scale1, bias1, self.groups, self.eps, act="silu")
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, quant=self.quant, name="conv1")(h)
 
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(silu(temb))
@@ -104,10 +106,10 @@ class ResnetBlock2D(nn.Module):
         scale2 = self.param("norm2_scale", nn.initializers.ones, (self.out_channels,))
         bias2 = self.param("norm2_bias", nn.initializers.zeros, (self.out_channels,))
         h = group_norm(h, scale2, bias2, self.groups, self.eps, act="silu")
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, quant=self.quant, name="conv2")(h)
 
         if in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+            x = QConv(self.out_channels, (1, 1), dtype=self.dtype, quant=self.quant, name="conv_shortcut")(x)
         return x + h
 
 
@@ -126,39 +128,51 @@ class Attention(nn.Module):
     upcast: bool = True
     dtype: jnp.dtype = jnp.float32
     fuse: Optional[str] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context=None, bias=None):
+        """x may be (B, S, C) or 4D (B, H, W, C) — projections run in the
+        input's layout (keeps XLA's conv-friendly NHWC layout stable through
+        the transformer; round-2 trace showed ~10 ms/eval of layout-conversion
+        fusions when the whole transformer ran on (B, S, C)); only the
+        attention core sees flattened (B, S, inner)."""
         context = x if context is None else context
         inner = self.heads * self.dim_head
         query_dim = x.shape[-1]
+        lead = x.shape[:-1]
         if self.fuse == "qkv":
-            qkv = nn.Dense(3 * inner, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+            qkv = QDense(3 * inner, use_bias=False, dtype=self.dtype, quant=self.quant, name="to_qkv")(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         elif self.fuse == "kv":
-            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-            kv = nn.Dense(2 * inner, use_bias=False, dtype=self.dtype, name="to_kv")(context)
+            q = QDense(inner, use_bias=False, dtype=self.dtype, quant=self.quant, name="to_q")(x)
+            kv = QDense(2 * inner, use_bias=False, dtype=self.dtype, quant=self.quant, name="to_kv")(context)
             k, v = jnp.split(kv, 2, axis=-1)
         else:
-            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+            q = QDense(inner, use_bias=False, dtype=self.dtype, quant=self.quant, name="to_q")(x)
+            k = QDense(inner, use_bias=False, dtype=self.dtype, quant=self.quant, name="to_k")(context)
+            v = QDense(inner, use_bias=False, dtype=self.dtype, quant=self.quant, name="to_v")(context)
+        q = q.reshape(q.shape[0], -1, inner)
+        k = k.reshape(k.shape[0], -1, inner)
+        v = v.reshape(v.shape[0], -1, inner)
         out = multi_head_attention(q, k, v, heads=self.heads, bias=bias, upcast=self.upcast)
-        return nn.Dense(query_dim, dtype=self.dtype, name="to_out_0")(out)
+        out = out.reshape(*lead, inner)
+        return QDense(query_dim, dtype=self.dtype, quant=self.quant, name="to_out_0")(out)
 
 
 class FeedForward(nn.Module):
     """GEGLU feed-forward, mult=4 (attention.py:338-434)."""
 
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         inner = dim * 4
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        h = QDense(inner * 2, dtype=self.dtype, quant=self.quant, name="net_0_proj")(x)
         h = geglu(h)
-        return nn.Dense(dim, dtype=self.dtype, name="net_2")(h)
+        return QDense(dim, dtype=self.dtype, quant=self.quant, name="net_2")(h)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -168,20 +182,21 @@ class BasicTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     has_cross: bool = True
     fuse_projections: bool = True
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context=None, context_bias=None):
         f1 = "qkv" if self.fuse_projections else None
         f2 = "kv" if self.fuse_projections else None
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.heads, self.dim_head, self.upcast, self.dtype, fuse=f1, name="attn1")(h)
+        x = x + Attention(self.heads, self.dim_head, self.upcast, self.dtype, fuse=f1, quant=self.quant, name="attn1")(h)
         if self.has_cross:
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-            x = x + Attention(self.heads, self.dim_head, self.upcast, self.dtype, fuse=f2, name="attn2")(
+            x = x + Attention(self.heads, self.dim_head, self.upcast, self.dtype, fuse=f2, quant=self.quant, name="attn2")(
                 h, context=context, bias=context_bias
             )
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-        return x + FeedForward(self.dtype, name="ff")(h)
+        return x + FeedForward(self.dtype, quant=self.quant, name="ff")(h)
 
 
 class Transformer2DModel(nn.Module):
@@ -193,9 +208,14 @@ class Transformer2DModel(nn.Module):
     upcast: bool = True
     dtype: jnp.dtype = jnp.float32
     groups: int = 32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, context, context_bias=None):
+        # NOTE (round-2 negative result, measured): keeping the transformer
+        # 4D NHWC to avoid resnet<->transformer layout conversions made the
+        # full eval SLOWER (70.7 vs 62.2 ms at CFG batch 8) — XLA's layout
+        # for the big (B*S, C) GEMMs beats the copy savings. Flatten here.
         b, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
@@ -205,17 +225,18 @@ class Transformer2DModel(nn.Module):
         h = group_norm(x, scale, bias, self.groups, eps=1e-6)
         h = h.reshape(b, hh * ww, c)
         if self.use_linear_projection:
-            h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+            h = QDense(inner, dtype=self.dtype, quant=self.quant, name="proj_in")(h)
         else:
             # 1x1 conv == dense over channels; keep a distinct name for conversion
-            h = nn.Dense(inner, dtype=self.dtype, name="proj_in_conv")(h)
+            h = QDense(inner, dtype=self.dtype, quant=self.quant, name="proj_in_conv")(h)
         h = BasicTransformerBlock(
-            self.heads, self.dim_head, self.upcast, self.dtype, name="transformer_blocks_0"
+            self.heads, self.dim_head, self.upcast, self.dtype, quant=self.quant,
+            name="transformer_blocks_0",
         )(h, context=context, context_bias=context_bias)
         if self.use_linear_projection:
-            h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
+            h = QDense(c, dtype=self.dtype, quant=self.quant, name="proj_out")(h)
         else:
-            h = nn.Dense(c, dtype=self.dtype, name="proj_out_conv")(h)
+            h = QDense(c, dtype=self.dtype, quant=self.quant, name="proj_out_conv")(h)
         return h.reshape(b, hh, ww, c) + residual
 
 
@@ -223,6 +244,7 @@ class Downsample2D(nn.Module):
     out_channels: int
     padding: int = 1
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -232,18 +254,19 @@ class Downsample2D(nn.Module):
             pad = "VALID"
         else:
             pad = self.padding
-        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=pad, dtype=self.dtype, name="conv")(x)
+        return QConv(self.out_channels, (3, 3), strides=(2, 2), padding=pad, dtype=self.dtype, quant=self.quant, name="conv")(x)
 
 
 class Upsample2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, quant=self.quant, name="conv")(x)
 
 
 def _apply_attn_streams(
@@ -264,6 +287,7 @@ def _apply_attn_streams(
             upcast=cfg.upcast_attention,
             dtype=self_mod.dtype,
             groups=cfg.norm_num_groups,
+            quant=cfg.quant_int8,
             name=names[j],
         )(h, contexts[j], context_biases[j])
     return h
@@ -283,7 +307,7 @@ class CrossAttnDownBlock2D(nn.Module):
         for i in range(self.cfg.layers_per_block):
             x = ResnetBlock2D(
                 self.out_channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
-                name=f"resnets_{i}",
+                quant=self.cfg.quant_int8, name=f"resnets_{i}",
             )(x, temb)
             x = _apply_attn_streams(
                 self, x, contexts, context_biases,
@@ -291,7 +315,7 @@ class CrossAttnDownBlock2D(nn.Module):
             )
             outputs.append(x)
         if self.add_downsample:
-            x = Downsample2D(self.out_channels, self.cfg.downsample_padding, self.dtype, name="downsamplers_0")(x)
+            x = Downsample2D(self.out_channels, self.cfg.downsample_padding, self.dtype, quant=self.cfg.quant_int8, name="downsamplers_0")(x)
             outputs.append(x)
         return x, outputs
 
@@ -308,11 +332,11 @@ class DownBlock2D(nn.Module):
         for i in range(self.cfg.layers_per_block):
             x = ResnetBlock2D(
                 self.out_channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
-                name=f"resnets_{i}",
+                quant=self.cfg.quant_int8, name=f"resnets_{i}",
             )(x, temb)
             outputs.append(x)
         if self.add_downsample:
-            x = Downsample2D(self.out_channels, self.cfg.downsample_padding, self.dtype, name="downsamplers_0")(x)
+            x = Downsample2D(self.out_channels, self.cfg.downsample_padding, self.dtype, quant=self.cfg.quant_int8, name="downsamplers_0")(x)
             outputs.append(x)
         return x, outputs
 
@@ -327,14 +351,16 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     def __call__(self, x, temb, contexts, context_biases):
         dim_head = self.channels // self.heads
         x = ResnetBlock2D(
-            self.channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype, name="resnets_0"
+            self.channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
+            quant=self.cfg.quant_int8, name="resnets_0",
         )(x, temb)
         x = _apply_attn_streams(
             self, x, contexts, context_biases,
             prefix="attentions_0", heads=self.heads, dim_head=dim_head, cfg=self.cfg,
         )
         x = ResnetBlock2D(
-            self.channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype, name="resnets_1"
+            self.channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
+            quant=self.cfg.quant_int8, name="resnets_1",
         )(x, temb)
         return x
 
@@ -354,14 +380,14 @@ class CrossAttnUpBlock2D(nn.Module):
             x = jnp.concatenate([x, res_states[len(res_states) - 1 - i]], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
-                name=f"resnets_{i}",
+                quant=self.cfg.quant_int8, name=f"resnets_{i}",
             )(x, temb)
             x = _apply_attn_streams(
                 self, x, contexts, context_biases,
                 prefix=f"attentions_{i}", heads=self.heads, dim_head=dim_head, cfg=self.cfg,
             )
         if self.add_upsample:
-            x = Upsample2D(self.out_channels, self.dtype, name="upsamplers_0")(x)
+            x = Upsample2D(self.out_channels, self.dtype, quant=self.cfg.quant_int8, name="upsamplers_0")(x)
         return x
 
 
@@ -378,10 +404,10 @@ class UpBlock2D(nn.Module):
             x = jnp.concatenate([x, res_states[len(res_states) - 1 - i]], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
-                name=f"resnets_{i}",
+                quant=self.cfg.quant_int8, name=f"resnets_{i}",
             )(x, temb)
         if self.add_upsample:
-            x = Upsample2D(self.out_channels, self.dtype, name="upsamplers_0")(x)
+            x = Upsample2D(self.out_channels, self.dtype, quant=self.cfg.quant_int8, name="upsamplers_0")(x)
         return x
 
 

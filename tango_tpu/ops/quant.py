@@ -1,0 +1,182 @@
+"""int8 W8A8 quantized matmul/conv path — TPU MXU serving optimization.
+
+The v5e MXU runs int8 x int8 -> int32 at 2x the bf16 rate (394 vs 197
+TOP/s). For 100-step CFG diffusion sampling the UNet's GEMM/conv FLOPs
+dominate; post-training W8A8 quantization of those contractions is the
+standard production-serving lever (cf. Q-Diffusion/SmoothQuant-style PTQ —
+diffusion samplers average quantization noise over many steps).
+
+Scheme (symmetric, zero-point-free):
+  * weights: per-output-channel scales, quantized ONCE at load time
+    (`quantize_tree`) — int8 kernels + f32 `kernel_scale` leaves.
+  * activations: dynamic per-token (Dense) / per-sample (conv) max-abs
+    scales computed in-graph; cheap reductions that XLA fuses into the
+    producing op's epilogue.
+  * accumulation in int32, dequantized into f32, cast back to compute dtype.
+
+Numerics guardrails: the final conv_out, time embeddings, all norms, and
+softmax stay high-precision; quality deltas are asserted against the f32
+reference in tests/test_quant.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_weight(w: np.ndarray, out_axis: int = -1):
+    """Per-output-channel symmetric int8 quantization of a kernel.
+
+    Returns (int8 kernel, f32 scale vector over the output-channel axis).
+    """
+    w = np.asarray(w, np.float32)
+    axes = tuple(i for i in range(w.ndim) if i != (out_axis % w.ndim))
+    amax = np.max(np.abs(w), axis=axes, keepdims=False)
+    scale = np.maximum(amax, 1e-8) / 127.0
+    shape = [1] * w.ndim
+    shape[out_axis % w.ndim] = -1
+    q = np.clip(np.round(w / scale.reshape(shape)), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+def _quantize_act(x: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic symmetric int8 activation quantization over `axes`."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_dot(x: jnp.ndarray, kernel_q: jnp.ndarray, kernel_scale: jnp.ndarray) -> jnp.ndarray:
+    """x (..., K) @ int8 kernel (K, N) with per-token activation scales.
+
+    Returns f32 (..., N).
+    """
+    xq, xs = _quantize_act(x, axes=(-1,))  # per-token
+    y = jax.lax.dot_general(
+        xq, kernel_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * xs * kernel_scale.astype(jnp.float32)
+
+
+def int8_conv(x: jnp.ndarray, kernel_q: jnp.ndarray, kernel_scale: jnp.ndarray,
+              strides=(1, 1), padding="SAME") -> jnp.ndarray:
+    """NHWC conv with int8 inputs (per-sample activation scale), f32 output."""
+    xq, xs = _quantize_act(x, axes=(1, 2, 3))  # per-sample
+    y = jax.lax.conv_general_dilated(
+        xq, kernel_q, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * xs * kernel_scale.astype(jnp.float32)
+
+
+class QDense(nn.Module):
+    """nn.Dense drop-in with an int8 W8A8 mode.
+
+    Non-quant mode matches nn.Dense numerics and param names exactly
+    (kernel/bias); quant mode declares (kernel_q int8, kernel_scale f32)
+    filled by `quantize_tree` from a converted f32 checkpoint.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        if self.quant:
+            kq = self.param("kernel_q", nn.initializers.zeros, (in_f, self.features), jnp.int8)
+            ks = self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
+            y = int8_dot(x, kq, ks).astype(self.dtype)
+        else:
+            k = self.param("kernel", nn.initializers.lecun_normal(), (in_f, self.features))
+            y = jax.lax.dot_general(
+                x.astype(self.dtype), k.astype(self.dtype),
+                (((x.ndim - 1,), (0,)), ((), ())),
+            )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class QConv(nn.Module):
+    """nn.Conv (2D, NHWC) drop-in with an int8 W8A8 mode."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[int, str] = "SAME"
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        in_f = x.shape[-1]
+        if self.quant:
+            kq = self.param(
+                "kernel_q", nn.initializers.zeros, (kh, kw, in_f, self.features), jnp.int8
+            )
+            ks = self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
+            y = int8_conv(x, kq, ks, self.strides, pad).astype(self.dtype)
+        else:
+            k = self.param(
+                "kernel", nn.initializers.lecun_normal(), (kh, kw, in_f, self.features)
+            )
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k.astype(self.dtype), self.strides, pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
+
+
+# names of Dense/Conv modules that get quantized inside the UNet; everything
+# else (conv_in/conv_out, time embeddings, norms) stays high-precision
+QUANT_DENSE = {
+    "to_q", "to_k", "to_v", "to_qkv", "to_kv", "to_out_0",
+    "net_0_proj", "net_2", "proj_in", "proj_out",
+    "proj_in_conv", "proj_out_conv",
+}
+QUANT_CONV = {"conv1", "conv2", "conv_shortcut", "conv"}  # "conv" = up/downsamplers
+_SKIP_PARENTS = {"time_embedding"}
+
+
+def quantize_tree(params, path=()):
+    """f32/bf16 UNet param tree -> int8 serving tree.
+
+    Every {kernel[, bias]} node whose module name is in QUANT_DENSE/QUANT_CONV
+    becomes {kernel_q, kernel_scale[, bias]}; other leaves pass through.
+    """
+    if not isinstance(params, dict):
+        return params
+    name = path[-1] if path else ""
+    if (
+        "kernel" in params
+        and not any(p in _SKIP_PARENTS for p in path)
+        and (name in QUANT_DENSE or name in QUANT_CONV)
+    ):
+        w = np.asarray(jax.device_get(params["kernel"]))
+        q, s = quantize_weight(w, out_axis=-1)
+        out = {"kernel_q": q, "kernel_scale": s}
+        if "bias" in params:
+            out["bias"] = params["bias"]
+        return out
+    return {k: quantize_tree(v, path + (k,)) for k, v in params.items()}

@@ -1,0 +1,60 @@
+"""Exponential moving average of parameters (AudioLDM LitEma semantics).
+
+Reference: /root/reference/audioldm/latent_diffusion/ema.py:1-82 — shadow
+params updated as `shadow -= (1 - d) * (shadow - param)` with the warmup
+decay `d = min(decay, (1 + updates) / (10 + updates))`, plus store/restore
+swapping for evaluation. Implemented as pure jit-able functions over a
+pytree (no module registry needed on the JAX side).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class EmaState:
+    shadow: Any
+    num_updates: jnp.ndarray  # int32 scalar; < 0 disables the warmup schedule
+
+    def tree_flatten(self):
+        return (self.shadow, self.num_updates), None
+
+    @classmethod
+    def tree_unflatten(cls, _, leaves):
+        return cls(*leaves)
+
+
+jax.tree_util.register_pytree_node_class(EmaState)
+
+
+def ema_init(params, use_num_updates: bool = True) -> EmaState:
+    """Shadow = copy of params (ema.py:15-27)."""
+    shadow = jax.tree_util.tree_map(lambda x: jnp.asarray(x), params)
+    return EmaState(shadow, jnp.asarray(0 if use_num_updates else -1, jnp.int32))
+
+
+def ema_update(state: EmaState, params, decay: float = 0.9999) -> EmaState:
+    """One EMA step with the reference's warmup schedule (ema.py:33-50)."""
+    updates = jnp.where(state.num_updates >= 0, state.num_updates + 1, state.num_updates)
+    d = jnp.where(
+        updates >= 0,
+        jnp.minimum(jnp.asarray(decay, jnp.float32), (1.0 + updates) / (10.0 + updates)),
+        jnp.asarray(decay, jnp.float32),
+    )
+    one_minus = 1.0 - d
+    shadow = jax.tree_util.tree_map(
+        lambda s, p: (s.astype(jnp.float32) - one_minus * (s.astype(jnp.float32) - p.astype(jnp.float32))).astype(s.dtype),
+        state.shadow,
+        params,
+    )
+    return EmaState(shadow, updates)
+
+
+def ema_params(state: EmaState):
+    """The averaged parameters (ema.py copy_to equivalent)."""
+    return state.shadow

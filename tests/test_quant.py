@@ -1,0 +1,106 @@
+"""int8 W8A8 serving path: numerics vs the f32 reference.
+
+The quality bar: quantization error through the FULL CFG sampling loop must
+be of the same order as bf16-vs-f32 error (the established serving precision)
+— that is the "within noise" standard the int8 mode is held to.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tango_tpu import configs as C
+from tango_tpu.models.diffusion import AudioDiffusion
+from tango_tpu.models.unet import UNet2DConditionModel
+from tango_tpu.ops.quant import QDense, int8_dot, quantize_tree, quantize_weight
+
+TINY = C.UNetConfig(
+    in_channels=8,
+    out_channels=8,
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    block_out_channels=(32, 64),
+    layers_per_block=2,
+    cross_attention_dim=16,
+    attention_head_dim=(2, 4),
+    norm_num_groups=8,
+)
+TINY_Q = C.UNetConfig(**{**TINY.__dict__, "quant_int8": True})
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.RandomState(0)
+    w = rng.randn(24, 16).astype(np.float32)
+    q, s = quantize_weight(w)
+    assert q.dtype == np.int8 and s.shape == (16,)
+    back = q.astype(np.float32) * s
+    assert np.abs(back - w).max() <= np.abs(w).max() / 127 + 1e-6
+
+
+def test_int8_dot_close_to_f32():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(64, 32), jnp.float32)
+    w = rng.randn(32, 48).astype(np.float32)
+    q, s = quantize_weight(w)
+    y_q = int8_dot(x, jnp.asarray(q), jnp.asarray(s))
+    y_f = x @ w
+    rel = float(jnp.linalg.norm(y_q - y_f) / jnp.linalg.norm(y_f))
+    assert rel < 0.02, rel
+
+
+def _tiny_unet_params():
+    unet = UNet2DConditionModel(TINY)
+    rng = jax.random.PRNGKey(0)
+    return unet, unet.init(
+        rng, jnp.zeros((1, 16, 4, 8)), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 3, 16))
+    )["params"]
+
+
+def test_unet_int8_matches_f32_within_noise():
+    unet, params = _tiny_unet_params()
+    qparams = quantize_tree(params)
+    unet_q = UNet2DConditionModel(TINY_Q)
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 16, 4, 8), jnp.float32)
+    t = jnp.asarray([100, 700], jnp.int32)
+    ctx = jnp.asarray(rng.randn(2, 5, 16), jnp.float32)
+
+    y_f = np.asarray(unet.apply({"params": params}, x, t, ctx))
+    y_q = np.asarray(unet_q.apply({"params": qparams}, x, t, ctx))
+    rel = np.linalg.norm(y_q - y_f) / np.linalg.norm(y_f)
+    assert rel < 0.05, rel
+
+    # structural check: the quantized tree actually carries int8 kernels
+    flat = jax.tree_util.tree_leaves_with_path(qparams)
+    n_int8 = sum(1 for _, v in flat if hasattr(v, "dtype") and v.dtype == np.int8)
+    assert n_int8 >= 20, n_int8
+
+
+def test_cfg_loop_int8_error_comparable_to_bf16():
+    """Full 8-step CFG sampling: |int8 - f32| must be within 8x of
+    |bf16 - f32| on the final latents (same-order noise)."""
+    _, params = _tiny_unet_params()
+    qparams = quantize_tree(params)
+
+    def run(cfg, p, dtype):
+        diff = AudioDiffusion(unet_config=cfg, latent_t_size=16, latent_f_size=4, dtype=dtype)
+        rng = np.random.RandomState(3)
+        cond = jnp.asarray(rng.randn(1, 4, 16), jnp.float32)
+        mask = jnp.ones((1, 4), jnp.int32)
+        return np.asarray(
+            diff.sample(
+                p, cond, mask, jax.random.PRNGKey(0), num_steps=8, guidance_scale=3.0,
+                uncond_embeds=jnp.zeros_like(cond), uncond_mask=mask,
+            )
+        )
+
+    lat_f32 = run(TINY, params, jnp.float32)
+    lat_bf16 = run(TINY, jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params), jnp.bfloat16)
+    lat_int8 = run(TINY_Q, qparams, jnp.float32)
+
+    err_bf16 = np.linalg.norm(lat_bf16.astype(np.float32) - lat_f32) / np.linalg.norm(lat_f32)
+    err_int8 = np.linalg.norm(lat_int8 - lat_f32) / np.linalg.norm(lat_f32)
+    assert np.isfinite(err_int8)
+    assert err_int8 < max(8 * err_bf16, 0.05), (err_int8, err_bf16)

@@ -1,0 +1,171 @@
+"""Round-3 perf: can int8 W8A8 reach ~2x bf16 on the UNet's GEMM/conv path?
+
+Amortized measurement: 16 chained ops per scan iteration with distinct
+weights (the standalone single-op microbenches carry ~3.5 ms/iteration of
+scan overhead — see perf_r2 flash@256 = 3.6 ms for a near-zero-FLOP op).
+
+python scripts/perf_r3.py [w8a8 conv attn]
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHAIN = 16
+
+
+def out(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def chain_ms(fn, x0, iters=4, reps=3):
+    @jax.jit
+    def run(x):
+        y, _ = jax.lax.scan(lambda c, _: (fn(c), None), x, None, length=iters)
+        return y
+
+    def sync(y):
+        float(jnp.ravel(y)[0])
+
+    sync(run(x0))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(run(x0))
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts)) * 1e3
+
+
+def exp_w8a8():
+    from tango_tpu.ops.int8_gemm import w8a8_matmul
+    from tango_tpu.ops.quant import int8_dot
+
+    rng = np.random.RandomState(0)
+    for m, k in [(32768, 320), (8192, 640), (2048, 1280)]:
+        ws = [jnp.asarray(rng.randn(k, k) * 0.02, jnp.bfloat16) for _ in range(CHAIN)]
+        wqs = [jnp.asarray(rng.randint(-127, 128, (k, k)), jnp.int8) for _ in range(CHAIN)]
+        wsc = [jnp.full((k,), 2e-4, jnp.float32) for _ in range(CHAIN)]
+        x0 = jnp.asarray(rng.randn(m, k) * 0.1, jnp.bfloat16)
+        flops = 2 * m * k * k * CHAIN
+
+        def bf16(x):
+            for w in ws:
+                x = jax.lax.dot(x, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            return x
+
+        def xla_int8(x):
+            for wq, sc in zip(wqs, wsc):
+                x = int8_dot(x, wq, sc).astype(jnp.bfloat16)
+            return x
+
+        def pallas_w8a8(x, bn):
+            for wq, sc in zip(wqs, wsc):
+                x = w8a8_matmul(x, wq, sc, block_n=bn, out_dtype=jnp.bfloat16)
+            return x
+
+        variants = [
+            ("bf16", bf16),
+            ("xla_int8", xla_int8),
+            ("pallas_256", lambda x: pallas_w8a8(x, 256)),
+            ("pallas_512", lambda x: pallas_w8a8(x, min(512, k))),
+        ]
+        for name, fn in variants:
+            try:
+                ms = chain_ms(fn, x0)
+                out(exp="w8a8_gemm", m=m, k=k, variant=name, ms=round(ms, 3),
+                    tflops=round(flops / ms / 1e9, 1))
+            except Exception as e:
+                out(exp="w8a8_gemm", m=m, k=k, variant=name,
+                    error=f"{type(e).__name__}: {e}"[:200])
+
+
+def exp_conv():
+    from tango_tpu.ops.quant import int8_conv
+
+    rng = np.random.RandomState(1)
+    for b, hh, ww, c in [(8, 256, 16, 320), (8, 64, 4, 1280)]:
+        ws = [jnp.asarray(rng.randn(3, 3, c, c) * 0.02, jnp.bfloat16) for _ in range(CHAIN)]
+        wqs = [jnp.asarray(rng.randint(-127, 128, (3, 3, c, c)), jnp.int8) for _ in range(CHAIN)]
+        wsc = [jnp.full((c,), 2e-4, jnp.float32) for _ in range(CHAIN)]
+        x0 = jnp.asarray(rng.randn(b, hh, ww, c) * 0.1, jnp.bfloat16)
+        flops = 2 * b * hh * ww * 9 * c * c * CHAIN
+
+        def bf16(x):
+            for w in ws:
+                x = jax.lax.conv_general_dilated(
+                    x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+            return x
+
+        def xla_int8(x):
+            for wq, sc in zip(wqs, wsc):
+                x = int8_conv(x, wq, sc).astype(jnp.bfloat16)
+            return x
+
+        for name, fn in [("bf16", bf16), ("xla_int8", xla_int8)]:
+            try:
+                ms = chain_ms(fn, x0)
+                out(exp="w8a8_conv", shape=[b, hh, ww, c], variant=name, ms=round(ms, 3),
+                    tflops=round(flops / ms / 1e9, 1))
+            except Exception as e:
+                out(exp="w8a8_conv", shape=[b, hh, ww, c], variant=name,
+                    error=f"{type(e).__name__}: {e}"[:200])
+
+
+def exp_attn():
+    """Amortized flash kernel at L0: 8 chained attention calls."""
+    from tango_tpu.ops.flash_attention import flash_attention, flash_attention_v2
+
+    b, h, s, d = 8, 5, 4096, 64
+    q0 = jnp.ones((b, h, s, d), jnp.bfloat16) * 0.1
+    k0, v0 = q0 * 0.5, q0 * 0.25
+    scale = d**-0.5
+    n = 8
+    flops = 2 * 2 * b * h * s * s * d * n
+
+    def mk(fn):
+        def f(q):
+            for _ in range(n):
+                q = fn(q).astype(q.dtype)
+            return q
+        return f
+
+    variants = [
+        ("v1_single_pass", mk(lambda q: flash_attention(q, k0, v0, scale=scale))),
+        ("v2_bq512_bk1024", mk(lambda q: flash_attention_v2(q, k0, v0, scale=scale))),
+        ("v2_bq1024_bk2048", mk(lambda q: flash_attention_v2(q, k0, v0, scale=scale, block_q=1024, block_kv=2048))),
+        ("v2_bq2048_bk4096", mk(lambda q: flash_attention_v2(q, k0, v0, scale=scale, block_q=2048, block_kv=4096))),
+    ]
+    for name, fn in variants:
+        try:
+            ms = chain_ms(fn, q0)
+            out(exp="attn_L0_chain8", variant=name, ms=round(ms, 3),
+                tflops=round(flops / ms / 1e9, 1), ms_per_attn=round(ms / n, 3))
+        except Exception as e:
+            out(exp="attn_L0_chain8", variant=name, error=f"{type(e).__name__}: {e}"[:200])
+
+
+ALL = {"w8a8": exp_w8a8, "conv": exp_conv, "attn": exp_attn}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(ALL)
+    out(exp="env", devices=[str(d) for d in jax.devices()])
+    for nm in names:
+        t0 = time.perf_counter()
+        try:
+            ALL[nm]()
+        except Exception as e:
+            out(exp=nm, fatal=f"{type(e).__name__}: {e}"[:300])
+        out(exp=nm, total_wall_s=round(time.perf_counter() - t0, 1))

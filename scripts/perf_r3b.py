@@ -1,0 +1,105 @@
+"""Round-3 perf, part B: IN-GRAPH int8 variants of the full UNet CFG eval.
+
+The chained-op microbenches are latency-bound and do not reproduce in-graph
+throughput (perf_r3 results); decisions are made on the full eval instead.
+Baseline (bf16): 63.8 ms @ CFG batch 8 (perf_r2 unet ablation).
+
+python scripts/perf_r3b.py [bf16 dense conv all]
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def out(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def chain_ms(fn, x0, iters, reps=3):
+    @jax.jit
+    def run(x):
+        y, _ = jax.lax.scan(lambda c, _: (fn(c), None), x, None, length=iters)
+        return y
+
+    def sync(y):
+        float(jnp.ravel(y)[0])
+
+    t0 = time.perf_counter()
+    sync(run(x0))
+    cs = time.perf_counter() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(run(x0))
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts)) * 1e3, cs
+
+
+def run_variant(name, scope):
+    from tango_tpu import configs as C
+    from tango_tpu.models.unet import UNet2DConditionModel
+
+    dtype = jnp.bfloat16
+    cfg = C.TANGO_UNET
+    if scope is not None:
+        cfg = dataclasses.replace(cfg, quant_int8=True, quant_scope=scope)
+    unet = UNet2DConditionModel(cfg, dtype=dtype)
+    b = 8
+    shapes = jax.eval_shape(
+        lambda k: unet.init(
+            k, jnp.zeros((1, 256, 16, 8), dtype), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 2, cfg.cross_attention_dim), dtype),
+        )["params"],
+        jax.random.PRNGKey(0),
+    )
+
+    @jax.jit
+    def make():
+        return jax.tree_util.tree_map(
+            lambda s: (
+                jnp.ones(s.shape, jnp.int8)
+                if s.dtype == jnp.int8
+                else (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
+                    dtype if s.dtype == jnp.float32 else s.dtype
+                )
+            ),
+            shapes,
+        )
+
+    params = make()
+    ctx = jnp.ones((b, 64, cfg.cross_attention_dim), dtype) * 0.1
+    mask = jnp.ones((b, 64), jnp.int32)
+    t = jnp.full((b,), 500, jnp.int32)
+
+    def eval_fn(lat):
+        o = unet.apply({"params": params}, lat, t, ctx, encoder_attention_mask=mask)
+        return o.astype(lat.dtype)
+
+    lat0 = jnp.ones((b, 256, 16, 8), dtype) * 0.1
+    try:
+        ms, cs = chain_ms(eval_fn, lat0, iters=8)
+        out(exp="unet_eval_b8_int8", variant=name, ms=round(ms, 2), compile_s=round(cs, 1))
+    except Exception as e:
+        out(exp="unet_eval_b8_int8", variant=name, error=f"{type(e).__name__}: {e}"[:300])
+
+
+VARIANTS = {"bf16": None, "dense": "dense", "conv": "conv", "all": "all"}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["dense", "all", "conv"]
+    out(exp="env", devices=[str(d) for d in jax.devices()])
+    for nm in names:
+        run_variant(nm, VARIANTS[nm])

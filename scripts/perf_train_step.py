@@ -1,0 +1,97 @@
+"""Full-size SFT train-step timing (v5e-1) — measures the Pallas backward
+kernels' effect vs the round-1 baseline (218 ms @ batch 2, XLA-recompute
+VJPs; docs/PERF.md).
+
+python scripts/perf_train_step.py [batch]
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import dataclasses
+
+    from tango_tpu import configs as C
+    from tango_tpu.configs import TrainConfig
+    from tango_tpu.models.diffusion import AudioDiffusion
+    from tango_tpu.models.vae import AutoencoderKL
+    from tango_tpu.train.sft import SFTTrainer
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    diffusion = AudioDiffusion(
+        unet_config=dataclasses.replace(C.TANGO_UNET), dtype=jnp.bfloat16, remat=True
+    )
+    vae = AutoencoderKL(C.TANGO_VAE, dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    vae_shapes = jax.eval_shape(
+        lambda k: vae.init(k, jnp.zeros((1, 1024, 64, 1), jnp.bfloat16), k)["params"], rng
+    )
+    unet_shapes = jax.eval_shape(lambda k: diffusion.init_params(k), rng)
+
+    @jax.jit
+    def make():
+        f = lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(s.dtype)
+        fb = lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(jnp.bfloat16)
+        return (
+            jax.tree_util.tree_map(f, unet_shapes),
+            jax.tree_util.tree_map(fb, vae_shapes),
+        )
+
+    unet_params, vae_params = make()
+
+    trainer = SFTTrainer(
+        diffusion, vae, vae_params, TrainConfig(gradient_accumulation_steps=1),
+        total_steps=100,
+    )
+    import optax
+
+    state_cls = type(trainer).__mro__  # noqa: silence lint
+    from tango_tpu.train.sft import TrainState
+
+    opt_state = trainer.tx.init(unet_params)
+    state = TrainState(params=unet_params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+    b = {
+        "fbank": jnp.ones((batch, 1024, 64), jnp.float32) * 0.1,
+        "text_embeds": jnp.ones((batch, 64, C.TANGO_UNET.cross_attention_dim), jnp.float32) * 0.02,
+        "text_mask": jnp.ones((batch, 64), jnp.int32),
+    }
+
+    t0 = time.perf_counter()
+    state, loss = trainer.train_step(state, b, jax.random.PRNGKey(1))
+    l0 = float(loss)
+    compile_s = time.perf_counter() - t0
+    print(json.dumps({"exp": "sft_step", "stage": "compile", "s": round(compile_s, 1),
+                      "loss": round(l0, 4)}), flush=True)
+
+    ts = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        state, loss = trainer.train_step(state, b, jax.random.PRNGKey(2 + i))
+        _ = float(loss)  # device sync via scalar fetch
+        ts.append(time.perf_counter() - t0)
+    ms = float(np.median(ts)) * 1e3
+    print(json.dumps({
+        "exp": "sft_step", "batch": batch, "ms": round(ms, 1),
+        "samples_per_s": round(batch / (ms / 1e3), 2),
+        "baseline_ms_r1": 218.0,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    print(json.dumps({"exp": "env", "devices": [str(d) for d in jax.devices()]}), flush=True)
+    main()

@@ -97,6 +97,18 @@ class UNetConfig(_FromDict):
     # produced by quant.quantize_tree. Norms/softmax/conv_in/conv_out/time
     # embeddings stay high-precision.
     quant_int8: bool = False
+    # which contractions quantize: "all" | "dense" (attention/FF/proj GEMMs)
+    # | "conv" (resnet/up/downsample convs) — lets serving pick the subset
+    # that actually wins on the target chip generation
+    quant_scope: str = "all"
+
+    @property
+    def quant_dense(self) -> bool:
+        return self.quant_int8 and self.quant_scope in ("all", "dense")
+
+    @property
+    def quant_conv(self) -> bool:
+        return self.quant_int8 and self.quant_scope in ("all", "conv")
 
     def __post_init__(self):
         down = _tup(self.down_block_types)

@@ -287,7 +287,7 @@ def _apply_attn_streams(
             upcast=cfg.upcast_attention,
             dtype=self_mod.dtype,
             groups=cfg.norm_num_groups,
-            quant=cfg.quant_int8,
+            quant=cfg.quant_dense,
             name=names[j],
         )(h, contexts[j], context_biases[j])
     return h
@@ -307,7 +307,7 @@ class CrossAttnDownBlock2D(nn.Module):
         for i in range(self.cfg.layers_per_block):
             x = ResnetBlock2D(
                 self.out_channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
-                quant=self.cfg.quant_int8, name=f"resnets_{i}",
+                quant=self.cfg.quant_conv, name=f"resnets_{i}",
             )(x, temb)
             x = _apply_attn_streams(
                 self, x, contexts, context_biases,
@@ -315,7 +315,7 @@ class CrossAttnDownBlock2D(nn.Module):
             )
             outputs.append(x)
         if self.add_downsample:
-            x = Downsample2D(self.out_channels, self.cfg.downsample_padding, self.dtype, quant=self.cfg.quant_int8, name="downsamplers_0")(x)
+            x = Downsample2D(self.out_channels, self.cfg.downsample_padding, self.dtype, quant=self.cfg.quant_conv, name="downsamplers_0")(x)
             outputs.append(x)
         return x, outputs
 
@@ -332,11 +332,11 @@ class DownBlock2D(nn.Module):
         for i in range(self.cfg.layers_per_block):
             x = ResnetBlock2D(
                 self.out_channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
-                quant=self.cfg.quant_int8, name=f"resnets_{i}",
+                quant=self.cfg.quant_conv, name=f"resnets_{i}",
             )(x, temb)
             outputs.append(x)
         if self.add_downsample:
-            x = Downsample2D(self.out_channels, self.cfg.downsample_padding, self.dtype, quant=self.cfg.quant_int8, name="downsamplers_0")(x)
+            x = Downsample2D(self.out_channels, self.cfg.downsample_padding, self.dtype, quant=self.cfg.quant_conv, name="downsamplers_0")(x)
             outputs.append(x)
         return x, outputs
 
@@ -352,7 +352,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
         dim_head = self.channels // self.heads
         x = ResnetBlock2D(
             self.channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
-            quant=self.cfg.quant_int8, name="resnets_0",
+            quant=self.cfg.quant_conv, name="resnets_0",
         )(x, temb)
         x = _apply_attn_streams(
             self, x, contexts, context_biases,
@@ -360,7 +360,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
         )
         x = ResnetBlock2D(
             self.channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
-            quant=self.cfg.quant_int8, name="resnets_1",
+            quant=self.cfg.quant_conv, name="resnets_1",
         )(x, temb)
         return x
 
@@ -380,14 +380,14 @@ class CrossAttnUpBlock2D(nn.Module):
             x = jnp.concatenate([x, res_states[len(res_states) - 1 - i]], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
-                quant=self.cfg.quant_int8, name=f"resnets_{i}",
+                quant=self.cfg.quant_conv, name=f"resnets_{i}",
             )(x, temb)
             x = _apply_attn_streams(
                 self, x, contexts, context_biases,
                 prefix=f"attentions_{i}", heads=self.heads, dim_head=dim_head, cfg=self.cfg,
             )
         if self.add_upsample:
-            x = Upsample2D(self.out_channels, self.dtype, quant=self.cfg.quant_int8, name="upsamplers_0")(x)
+            x = Upsample2D(self.out_channels, self.dtype, quant=self.cfg.quant_conv, name="upsamplers_0")(x)
         return x
 
 
@@ -404,10 +404,10 @@ class UpBlock2D(nn.Module):
             x = jnp.concatenate([x, res_states[len(res_states) - 1 - i]], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, self.cfg.norm_num_groups, self.cfg.norm_eps, self.dtype,
-                quant=self.cfg.quant_int8, name=f"resnets_{i}",
+                quant=self.cfg.quant_conv, name=f"resnets_{i}",
             )(x, temb)
         if self.add_upsample:
-            x = Upsample2D(self.out_channels, self.dtype, quant=self.cfg.quant_int8, name="upsamplers_0")(x)
+            x = Upsample2D(self.out_channels, self.dtype, quant=self.cfg.quant_conv, name="upsamplers_0")(x)
         return x
 
 

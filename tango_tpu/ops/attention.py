@@ -85,7 +85,15 @@ def _flash_fwd(qh, kh, vh, bias, scale):
 
 
 def _flash_bwd(scale, res, g):
+    from tango_tpu.ops.flash_attention import flash_attention_bwd, flash_bwd_supported
+
     qh, kh, vh, bias = res
+    sq, skv, d = qh.shape[2], kh.shape[2], qh.shape[3]
+    if bias is None and flash_bwd_supported(sq, skv, d):
+        # dedicated Pallas backward — never materializes the (Sq, Skv) f32
+        # probability tensor in HBM (the XLA fallback does, twice)
+        dq, dk, dv = flash_attention_bwd(qh, kh, vh, g.astype(qh.dtype), scale=scale)
+        return dq, dk, dv, None
     _, vjp = jax.vjp(
         lambda q, k, v: _xla_attention(q, k, v, bias=bias, scale=scale, upcast=True),
         qh, kh, vh,

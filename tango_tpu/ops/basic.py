@@ -116,6 +116,13 @@ def _gn_pallas_vjp_fwd(x, scale, bias, num_groups, eps, act, two_stage):
 
 def _gn_pallas_vjp_bwd(num_groups, eps, act, two_stage, res, g):
     x, scale, bias = res
+    from tango_tpu.ops.gn_silu_pallas import gn_bwd_supported, group_norm_pallas_bwd
+
+    if gn_bwd_supported(x, num_groups):
+        # dedicated single-pass backward kernel (VERDICT r1 #5): one read of
+        # x and g, stats recomputed in VMEM — the XLA fallback re-reads x
+        # across several reduction fusions
+        return group_norm_pallas_bwd(x, scale, bias, g, num_groups, eps, act)
     _, vjp = jax.vjp(lambda xx, ss, bb: _gn_xla_ref(xx, ss, bb, num_groups, eps, act), x, scale, bias)
     return vjp(g)
 

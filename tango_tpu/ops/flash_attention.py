@@ -155,6 +155,188 @@ def flash_attention_v2(
     return out3.reshape(b, h, sq, d)
 
 
+# ------------------------------------------------------------------ backward
+#
+# Dedicated training kernels (VERDICT r1 #5): the XLA-recompute VJP
+# materializes the (B, H, Sq, Skv) f32 probability tensor twice on the
+# backward pass (671 MB at L0, training batch 2); these kernels keep it
+# blocked in VMEM. Standard flash backward split:
+#
+#   dq kernel  (grid bh x Sq/BQ, full K/V resident): recomputes the row
+#     softmax exactly (full KV per Q block -> no saved forward state needed),
+#     emits dQ and the per-row lse/delta statistics.
+#   dkv kernel (grid bh x Skv/BK, full Q/dO resident): consumes lse/delta,
+#     computes p/ds in (Sq, BK) orientation so no transposes are needed —
+#     dV = p^T dO and dK = ds^T Q contract over the sublane axis directly.
+#
+# lse/delta travel as (bh, Sq, 128) f32 lane-replicated slabs (Mosaic
+# min-tile rule: no sub-128 lane blocks).
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, lse_ref, delta_ref, *, scale):
+    q = q_ref[0]    # (BQ, D)
+    k = k_ref[0]    # (S, D)
+    v = v_ref[0]    # (S, D)
+    do = do_ref[0]  # (BQ, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, S)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / denom
+    lse = m + jnp.log(denom)  # (BQ, 1)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, S)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # (BQ, 1)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+    delta_ref[0] = jnp.broadcast_to(delta, delta_ref.shape[1:])
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale):
+    q = q_ref[0]    # (S, D)
+    do = do_ref[0]  # (S, D)
+    k = k_ref[0]    # (BK, D)
+    v = v_ref[0]    # (BK, D)
+    lse = lse_ref[0][:, :1]      # (S, 1)
+    delta = delta_ref[0][:, :1]  # (S, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (S, BK)
+    p = jnp.exp(s - lse)
+    pb = p.astype(do.dtype)
+    dv = jax.lax.dot_general(  # p^T dO: contract the Sq (sublane) axis
+        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BK, D)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (S, BK)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BK, D)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def flash_bwd_supported(sq: int, skv: int, d: int) -> bool:
+    """Both sequence axes must tile by 128 and K/V for one (b, h) must fit
+    VMEM alongside the (block, S) f32 intermediates (~16 MB at Skv=4096)."""
+    return (
+        sq % 128 == 0 and skv % 128 == 0 and d % 8 == 0
+        and skv * d * 2 <= 2 * 1024 * 1024
+        and sq * d * 2 <= 2 * 1024 * 1024
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv", "interpret"))
+def flash_attention_bwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    do: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int = 256,
+    block_kv: int = 256,
+    interpret: bool = False,
+):
+    """dq, dk, dv for softmax(q k^T * scale) v (no bias).
+
+    q/do (B,H,Sq,D), k/v (B,H,Skv,D) -> grads in the input dtypes.
+    """
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+
+    def pick_block(limit, n):
+        for cand in (limit, 256, 128):
+            if cand <= n and n % cand == 0:
+                return cand
+        return n
+
+    bq = pick_block(block_q, sq)
+    bk = pick_block(block_kv, skv)
+    assert sq % bq == 0 and skv % bk == 0, (sq, bq, skv, bk)
+
+    def reshape3(x):
+        return x.reshape(b * h, x.shape[2], d)
+
+    q3, k3, v3, do3 = reshape3(q), reshape3(k), reshape3(v), reshape3(do)
+    bh = b * h
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel"),
+        vmem_limit_bytes=64 * 1024 * 1024,
+    )
+
+    dq3, lse, delta = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct(q3.shape, q.dtype),
+            jax.ShapeDtypeStruct((bh, sq, 128), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sq, 128), jnp.float32),
+        ),
+        grid=(bh, sq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv, d), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv, d), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=params,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * bh * sq * skv * d,
+            bytes_accessed=(q3.size * 2 + k3.size + v3.size) * q.dtype.itemsize,
+            transcendentals=bh * sq * skv,
+        ),
+        interpret=interpret,
+    )(q3, k3, v3, do3)
+
+    dk3, dv3 = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct(k3.shape, k.dtype),
+            jax.ShapeDtypeStruct(v3.shape, v.dtype),
+        ),
+        grid=(bh, skv // bk),
+        in_specs=[
+            pl.BlockSpec((1, sq, d), lambda i, ki: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, ki: (i, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, ki: (i, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq, d), lambda i, ki: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq, 128), lambda i, ki: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq, 128), lambda i, ki: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda i, ki: (i, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, ki: (i, ki, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=params,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * bh * sq * skv * d,
+            bytes_accessed=(q3.size * 2 + k3.size + v3.size) * q.dtype.itemsize,
+            transcendentals=bh * sq * skv,
+        ),
+        interpret=interpret,
+    )(q3, k3, v3, do3, lse, delta)
+
+    unshape = lambda x: x.reshape(b, h, x.shape[1], d)
+    return unshape(dq3), unshape(dk3), unshape(dv3)
+
+
 def _block_q(sq: int) -> int:
     for bq in (512, 256, 128):
         if sq % bq == 0:

@@ -113,6 +113,122 @@ def gn_pallas_supported(x: jnp.ndarray, num_groups: int) -> bool:
     return s * c * 4 <= 8 * 1024 * 1024
 
 
+# ------------------------------------------------------------------- backward
+
+
+def _gn_bwd_kernel(x_ref, g_ref, scale_ref, bias_ref, dx_ref, dparam_ref, *,
+                   num_groups: int, eps: float, act: str | None):
+    """Single-pass GroupNorm(+SiLU) backward for one batch element.
+
+    Recomputes the forward statistics in-VMEM (same member-matrix trick as the
+    forward kernel), then
+        dpre   = g * silu'(y_pre)                (act backward)
+        dgamma = sum_s dpre * xhat ; dbeta = sum_s dpre
+        dx     = inv * (dxhat - mean_g(dxhat) - xhat * mean_g(dxhat * xhat))
+    Per-batch dgamma/dbeta go out as rows 0/1 of an (8, C) slab, summed over
+    the batch by the caller (grid programs may not accumulate into shared
+    outputs)."""
+    x = x_ref[0].astype(jnp.float32)  # (S, C)
+    g = g_ref[0].astype(jnp.float32)  # (S, C)
+    s, c = x.shape
+    gg = num_groups
+    cg = c // gg
+
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, gg), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, gg), 1)
+    member = (ch // cg == gr).astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    n = jnp.float32(s * cg)
+
+    def group_mean(t):  # (S, C) -> per-channel group mean (1, C)
+        col = jnp.sum(t, axis=0, keepdims=True)
+        gm = jnp.dot(col, member, preferred_element_type=jnp.float32, precision=hp) / n
+        return jnp.dot(gm, member.T, preferred_element_type=jnp.float32, precision=hp)
+
+    mean_c = group_mean(x)
+    var_c = group_mean(x * x) - mean_c * mean_c
+    inv_c = jax.lax.rsqrt(var_c + eps)
+    xhat = (x - mean_c) * inv_c
+
+    gamma = scale_ref[0].astype(jnp.float32)[None, :]
+    beta = bias_ref[0].astype(jnp.float32)[None, :]
+    if act == "silu":
+        y = xhat * gamma + beta
+        sig = jax.nn.sigmoid(y)
+        dpre = g * (sig * (1.0 + y * (1.0 - sig)))
+    else:
+        dpre = g
+
+    dgamma = jnp.sum(dpre * xhat, axis=0, keepdims=True)  # (1, C)
+    dbeta = jnp.sum(dpre, axis=0, keepdims=True)
+    dparam_ref[0] = jnp.concatenate(
+        [dgamma, dbeta, jnp.zeros((6, c), jnp.float32)], axis=0
+    )
+
+    dxhat = dpre * gamma
+    dx = inv_c * (dxhat - group_mean(dxhat) - xhat * group_mean(dxhat * xhat))
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "act", "interpret"))
+def group_norm_pallas_bwd(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    g: jnp.ndarray,
+    num_groups: int,
+    eps: float = 1e-6,
+    act: str | None = None,
+    interpret: bool = False,
+):
+    """Backward of group_norm_pallas: returns (dx, dscale, dbias)."""
+    orig_shape = x.shape
+    b = x.shape[0]
+    c = x.shape[-1]
+    x3 = x.reshape(b, -1, c)
+    g3 = g.reshape(b, -1, c)
+    s = x3.shape[1]
+
+    dx3, dparam = pl.pallas_call(
+        functools.partial(_gn_bwd_kernel, num_groups=num_groups, eps=eps, act=act),
+        out_shape=(
+            jax.ShapeDtypeStruct(x3.shape, x.dtype),
+            jax.ShapeDtypeStruct((b, 8, c), jnp.float32),
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=24 * b * s * c,
+            bytes_accessed=3 * x.size * x.dtype.itemsize,
+            transcendentals=b * s * c if act == "silu" else 0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x3, g3, scale.reshape(1, c), bias.reshape(1, c))
+
+    dscale = dparam[:, 0, :].sum(axis=0).astype(scale.dtype)
+    dbias = dparam[:, 1, :].sum(axis=0).astype(bias.dtype)
+    return dx3.reshape(orig_shape), dscale, dbias
+
+
+def gn_bwd_supported(x: jnp.ndarray, num_groups: int) -> bool:
+    """Backward holds x, g and ~4 f32 intermediates per sample in VMEM."""
+    c = x.shape[-1]
+    s = int(np.prod(x.shape[1:-1]))
+    if c % num_groups != 0:
+        return False
+    return s * c * 4 <= 8 * 1024 * 1024
+
+
 # -------------------------------------------------------------- two-stage path
 
 def _gn_stats_kernel(x_ref, o_ref, *, num_groups: int):

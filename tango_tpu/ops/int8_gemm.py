@@ -1,0 +1,107 @@
+"""Pallas W8A8 GEMM — int8 MXU kernel with fused dynamic activation quant.
+
+The v5e MXU runs int8 x int8 -> int32 at 2x the bf16 rate (394 vs 197
+TOP/s), but XLA's int8 dot lowering measured only ~1.4x and the separate
+activation-quantization ops eat the rest (round-2 measurement: int8 UNet
+eval 64.4 ms vs 62.3 bf16). This kernel fuses the whole W8A8 contraction:
+
+  per (M-block, N-block) grid step, VMEM-resident:
+    amax   = rowmax |x|                 (VPU, f32)
+    xq     = round(x / scale)           (VPU, int8)
+    acc    = xq @ wq                    (MXU, int8 -> int32)
+    out    = acc * scale * w_scale + b  (VPU epilogue, f32 -> bf16)
+
+so the bf16 activation is read once and no int8/f32 intermediate ever
+round-trips HBM. Weights are pre-quantized per-output-channel
+(ops/quant.quantize_weight). K stays un-blocked (UNet contractions are
+<= ~5 K elements — the (BM, K) x block and (K, BN) w block both fit VMEM).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _w8a8_kernel(x_ref, w_ref, ws_ref, o_ref):
+    x = x_ref[...].astype(jnp.float32)  # (BM, K)
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)  # (BM, 1)
+    xq = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )  # (BM, BN) int32
+    o_ref[...] = (
+        acc.astype(jnp.float32) * scale * ws_ref[...].astype(jnp.float32)
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "out_dtype", "interpret")
+)
+def w8a8_matmul(
+    x: jnp.ndarray,
+    w_q: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    *,
+    block_m: int = 512,
+    block_n: int = 512,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x (..., K) bf16/f32 @ w_q (K, N) int8 -> (..., N) in out_dtype.
+
+    w_scale (N,) f32 per-output-channel; activation scales are dynamic
+    per-row, computed inside the kernel.
+    """
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = w_q.shape[1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+
+    bm = min(block_m, m)
+
+    def pick_bn(limit):
+        for cand in (limit, 512, 256, 128):
+            if cand <= n and n % cand == 0:
+                return cand
+        return n
+
+    bn = pick_bn(block_n)
+    # pad M to a block multiple (grid must tile exactly)
+    m_pad = (-m) % bm
+    if m_pad:
+        x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
+    mp = m + m_pad
+    assert n % bn == 0, (n, bn)
+
+    out = pl.pallas_call(
+        _w8a8_kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        grid=(mp // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=x2.size * x2.dtype.itemsize + w_q.size + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, w_q, w_scale.reshape(1, n))
+    if m_pad:
+        out = out[:m]
+    return out.reshape(*lead, n)

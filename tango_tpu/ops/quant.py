@@ -53,11 +53,24 @@ def _quantize_act(x: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def int8_dot(x: jnp.ndarray, kernel_q: jnp.ndarray, kernel_scale: jnp.ndarray) -> jnp.ndarray:
     """x (..., K) @ int8 kernel (K, N) with per-token activation scales.
 
-    Returns f32 (..., N).
+    Returns f32 (..., N). On TPU, dispatches to the fused Pallas W8A8 kernel
+    (ops/int8_gemm.py) — dynamic quantization happens inside the kernel so
+    no int8/f32 intermediate round-trips HBM.
     """
+    if _on_tpu() and x.shape[-1] % 8 == 0 and kernel_q.shape[1] % 128 == 0:
+        from tango_tpu.ops.int8_gemm import w8a8_matmul
+
+        return w8a8_matmul(x, kernel_q, kernel_scale, out_dtype=jnp.float32)
     xq, xs = _quantize_act(x, axes=(-1,))  # per-token
     y = jax.lax.dot_general(
         xq, kernel_q, (((x.ndim - 1,), (0,)), ((), ())),
@@ -159,19 +172,25 @@ QUANT_CONV = {"conv1", "conv2", "conv_shortcut", "conv"}  # "conv" = up/downsamp
 _SKIP_PARENTS = {"time_embedding"}
 
 
-def quantize_tree(params, path=()):
+def quantize_tree(params, path=(), scope: str = "all"):
     """f32/bf16 UNet param tree -> int8 serving tree.
 
     Every {kernel[, bias]} node whose module name is in QUANT_DENSE/QUANT_CONV
     becomes {kernel_q, kernel_scale[, bias]}; other leaves pass through.
+    `scope` mirrors UNetConfig.quant_scope: "all" | "dense" | "conv".
     """
     if not isinstance(params, dict):
         return params
     name = path[-1] if path else ""
+    names = set()
+    if scope in ("all", "dense"):
+        names |= QUANT_DENSE
+    if scope in ("all", "conv"):
+        names |= QUANT_CONV
     if (
         "kernel" in params
         and not any(p in _SKIP_PARENTS for p in path)
-        and (name in QUANT_DENSE or name in QUANT_CONV)
+        and name in names
     ):
         w = np.asarray(jax.device_get(params["kernel"]))
         q, s = quantize_weight(w, out_axis=-1)

@@ -84,6 +84,36 @@ def test_grad_through_flash_dispatch(monkeypatch):
     np.testing.assert_allclose(np.asarray(gc), np.asarray(rc), atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "b,h,sq,skv,d",
+    [
+        (1, 2, 256, 256, 64),   # single q/kv block
+        (1, 2, 512, 512, 64),   # multi-block both axes (block 256)
+        (2, 1, 384, 128, 64),   # Sq != Skv
+    ],
+)
+def test_flash_bwd_kernels_match_xla_vjp(b, h, sq, skv, d):
+    """Dedicated Pallas dq/dkv kernels vs jax.vjp through the XLA oracle."""
+    from tango_tpu.ops.flash_attention import flash_attention_bwd
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(k1, (b, h, sq, d), jnp.float32)
+    k = jax.random.normal(k2, (b, h, skv, d), jnp.float32)
+    v = jax.random.normal(k3, (b, h, skv, d), jnp.float32)
+    g = jax.random.normal(k4, (b, h, sq, d), jnp.float32)
+    scale = d**-0.5
+
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv: _xla_attention(qq, kk, vv, bias=None, scale=scale, upcast=True),
+        q, k, v,
+    )
+    rq, rk, rv = vjp(g)
+    dq, dk, dv = flash_attention_bwd(q, k, v, g, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=1e-4, rtol=1e-3)
+
+
 def test_flash_v2_multiblock_matches_xla():
     """Blocked-KV online softmax (kv_steps > 1) against the XLA oracle."""
     from tango_tpu.ops.flash_attention import flash_attention_v2

@@ -66,6 +66,32 @@ def test_gn2_matches_xla(shape, groups, act):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "shape,groups,act",
+    [
+        ((2, 64, 8, 128), 16, "silu"),
+        ((2, 32, 4, 320), 32, None),
+    ],
+)
+def test_gn_bwd_kernel_matches_xla_vjp(shape, groups, act):
+    """Dedicated Pallas GN backward vs jax.vjp through the XLA reference."""
+    from tango_tpu.ops.basic import _gn_xla_ref
+    from tango_tpu.ops.gn_silu_pallas import group_norm_pallas_bwd
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(5), 4)
+    x = jax.random.normal(k1, shape, jnp.float32) * 1.7 + 0.4
+    scale = jax.random.normal(k2, (shape[-1],)) * 0.3 + 1.0
+    bias = jax.random.normal(k3, (shape[-1],)) * 0.1
+    g = jax.random.normal(k4, shape, jnp.float32)
+
+    _, vjp = jax.vjp(lambda xx, ss, bb: _gn_xla_ref(xx, ss, bb, groups, 1e-5, act), x, scale, bias)
+    rx, rs, rb = vjp(g)
+    dx, ds, db = group_norm_pallas_bwd(x, scale, bias, g, groups, 1e-5, act, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rx), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(rs), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(rb), atol=2e-4, rtol=1e-3)
+
+
 def test_grad_through_pallas_gn(monkeypatch):
     """Training must differentiate through the Pallas dispatch (custom VJP).
 
@@ -79,6 +105,9 @@ def test_grad_through_pallas_gn(monkeypatch):
     monkeypatch.setattr(basic, "_gn_pallas_enabled", lambda: True)
     monkeypatch.setattr(
         gnp, "group_norm_pallas", functools.partial(gnp.group_norm_pallas, interpret=True)
+    )
+    monkeypatch.setattr(
+        gnp, "group_norm_pallas_bwd", functools.partial(gnp.group_norm_pallas_bwd, interpret=True)
     )
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 8, 64))
     scale = jnp.ones((64,))

@@ -234,12 +234,22 @@ class Clap:
                  text_cfg: RobertaConfig = ROBERTA_BASE, audio_cfg=None,
                  max_length: int = 77, dtype=jnp.float32):
         from tango_tpu.models.htsat import HTSAT_TINY, ClapAudioEncoder, clap_logmel
+        from tango_tpu.models.pann import (
+            ClapPannAudioEncoder,
+            PANNAudioConfig,
+            pann_logmel,
+        )
 
         self.text = ClapTextConditioner(text_params, tokenizer, text_cfg, max_length, dtype)
         self.audio_cfg = audio_cfg or HTSAT_TINY
-        self.audio_model = ClapAudioEncoder(self.audio_cfg, dtype=dtype)
+        if isinstance(self.audio_cfg, PANNAudioConfig):
+            # PANN-14 tower (model_configs/PANN-14.json; pann_model.py:171)
+            self.audio_model = ClapPannAudioEncoder(self.audio_cfg, dtype=dtype)
+            self._logmel = lambda w: pann_logmel(w, self.audio_cfg)
+        else:
+            self.audio_model = ClapAudioEncoder(self.audio_cfg, dtype=dtype)
+            self._logmel = lambda w: clap_logmel(w, self.audio_cfg)
         self.audio_params = audio_params
-        self._logmel = lambda w: clap_logmel(w, self.audio_cfg)
         self._audio_apply = jax.jit(
             lambda p, m: self.audio_model.apply({"params": p}, m)
         )

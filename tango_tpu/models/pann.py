@@ -1,0 +1,87 @@
+"""PANN-14 CLAP audio tower — the alternative to the HTSAT Swin tower.
+
+Reference: /root/reference/audioldm/clap/open_clip/pann_model.py:171-427
+(Cnn14, enable_fusion=False eval path) + model.py:565-569 (audio_projection:
+Linear -> ReLU -> Linear into the joint space) + model_configs/PANN-14.json
+(48 kHz, window 1024, hop 480, 64 mels in [50, 14000] Hz, joint dim 2048).
+
+The conv trunk is byte-identical in structure to the audioldm_eval Cnn14
+(same module names conv_block1..6 / bn0 / fc1 / fc_audioset — the reference
+vendors the same PANN code twice), so this module reuses the golden-verified
+`tango_tpu.eval.panns.Cnn14` and only adds the CLAP frontend config,
+projection head, and the `audio_branch.` / `audio_projection.` converter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tango_tpu.eval.panns import Cnn14, convert_cnn14, logmel_frontend
+
+
+@dataclasses.dataclass(frozen=True)
+class PANNAudioConfig:
+    """model_configs/PANN-14.json audio_cfg + joint embed dim."""
+
+    sample_rate: int = 48000
+    clip_samples: int = 480000
+    stft_window_size: int = 1024
+    hop_size: int = 480
+    mel_bins: int = 64
+    fmin: float = 50.0
+    fmax: float = 14000.0
+    class_num: int = 527
+    joint_embed_dim: int = 2048  # PANN-14.json embed_dim
+
+
+PANN_14 = PANNAudioConfig()
+
+
+def pann_logmel(wav48k: jnp.ndarray, cfg: PANNAudioConfig = PANN_14) -> jnp.ndarray:
+    """(B, L) 48 kHz waveform -> (B, T, 64) log-mel, torchlibrosa semantics
+    (power spectrogram, slaney mel, 10*log10(clip(mel, 1e-10)))."""
+    return logmel_frontend(
+        wav48k, sr=cfg.sample_rate, n_fft=cfg.stft_window_size, hop=cfg.hop_size,
+        n_mels=cfg.mel_bins, fmin=cfg.fmin, fmax=cfg.fmax,
+    )
+
+
+class ClapPannAudioEncoder(nn.Module):
+    """(B, T, 64) log-mel -> L2-normalized joint-space embedding.
+
+    Mirrors ClapAudioEncoder (models/htsat.py) so `Clap` can swap towers.
+    """
+
+    cfg: PANNAudioConfig = PANN_14
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, logmel: jnp.ndarray):
+        out = Cnn14(classes_num=self.cfg.class_num, name="cnn14")(logmel)
+        e = out["2048"]  # relu(fc1(.)) == reference "embedding" (eval mode)
+        e = nn.Dense(self.cfg.joint_embed_dim, dtype=self.dtype, name="proj_0")(e)
+        e = nn.Dense(self.cfg.joint_embed_dim, dtype=self.dtype, name="proj_2")(jax.nn.relu(e))
+        norm = jnp.sqrt(jnp.sum(e.astype(jnp.float32) ** 2, axis=-1, keepdims=True))
+        return (e.astype(jnp.float32) / jnp.maximum(norm, 1e-12)).astype(self.dtype)
+
+
+def convert_clap_pann(sd, prefix: str = "") -> dict:
+    """Full CLAP audio side for the PANN tower:
+    {prefix}audio_branch.* (Cnn14 names) + {prefix}audio_projection.{0,2}.*"""
+    ab = prefix + "audio_branch."
+    trunk_sd = {k[len(ab):]: v for k, v in sd.items() if k.startswith(ab)}
+    p = {"cnn14": convert_cnn14(trunk_sd)}
+    p["proj_0"] = {
+        "kernel": np.asarray(sd[prefix + "audio_projection.0.weight"]).T,
+        "bias": np.asarray(sd[prefix + "audio_projection.0.bias"]),
+    }
+    p["proj_2"] = {
+        "kernel": np.asarray(sd[prefix + "audio_projection.2.weight"]).T,
+        "bias": np.asarray(sd[prefix + "audio_projection.2.bias"]),
+    }
+    return p

@@ -1,0 +1,72 @@
+"""PANN-14 CLAP audio tower (models/pann.py).
+
+The Cnn14 trunk is the golden-verified eval tower (test_eval.test_cnn14_parity
+pins it against reference torch outputs); these tests cover the CLAP-specific
+delta: the audio_branch./audio_projection. converter mapping, the projection +
+L2-normalize head (numpy oracle), and the 48 kHz frontend shapes.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import load_golden
+from tango_tpu.models.pann import (
+    PANN_14,
+    PANNAudioConfig,
+    ClapPannAudioEncoder,
+    convert_clap_pann,
+    pann_logmel,
+)
+
+
+def _clap_sd_from_cnn14_golden():
+    g = load_golden("cnn14_tiny")
+    sd = {"audio_branch." + k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    rng = np.random.RandomState(0)
+    joint = 32
+    sd["audio_projection.0.weight"] = rng.randn(joint, 2048).astype(np.float32) * 0.02
+    sd["audio_projection.0.bias"] = rng.randn(joint).astype(np.float32) * 0.01
+    sd["audio_projection.2.weight"] = rng.randn(joint, joint).astype(np.float32) * 0.05
+    sd["audio_projection.2.bias"] = rng.randn(joint).astype(np.float32) * 0.01
+    return g, sd, joint
+
+
+def test_clap_pann_encoder_matches_numpy_oracle():
+    g, sd, joint = _clap_sd_from_cnn14_golden()
+    cfg = PANNAudioConfig(class_num=11, joint_embed_dim=joint)
+    params = convert_clap_pann(sd)
+    model = ClapPannAudioEncoder(cfg)
+    logmel = g["logmel"][:, 0]  # (B, T, mel)
+    emb = np.asarray(model.apply({"params": params}, jnp.asarray(logmel)))
+
+    # numpy oracle: golden trunk embedding -> proj0 -> relu -> proj2 -> l2
+    t = g["emb"]  # reference Cnn14 "2048" embedding (already relu(fc1))
+    h = t @ sd["audio_projection.0.weight"].T + sd["audio_projection.0.bias"]
+    h = np.maximum(h, 0.0) @ sd["audio_projection.2.weight"].T + sd["audio_projection.2.bias"]
+    ref = h / np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+
+    assert emb.shape == (logmel.shape[0], joint)
+    np.testing.assert_allclose(emb, ref, atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)
+
+
+def test_pann_logmel_shapes():
+    wav = np.random.RandomState(1).randn(2, 48000).astype(np.float32) * 0.1
+    mel = np.asarray(pann_logmel(jnp.asarray(wav)))
+    # torchlibrosa center=True: T = 1 + L // hop
+    assert mel.shape == (2, 1 + 48000 // PANN_14.hop_size, PANN_14.mel_bins)
+    assert np.isfinite(mel).all()
+    assert mel.max() <= 80.0  # log10 scale, quiet input
+
+
+def test_clap_swaps_to_pann_tower():
+    """Clap picks the PANN encoder when given a PANNAudioConfig."""
+    from tango_tpu.models.clap import Clap
+
+    cfg = PANNAudioConfig(class_num=11, joint_embed_dim=32)
+    clap = Clap(text_params=None, audio_params=None, tokenizer=None, audio_cfg=cfg)
+    assert isinstance(clap.audio_model, ClapPannAudioEncoder)
+    assert clap.dim == 32

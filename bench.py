@@ -33,6 +33,8 @@ import numpy as np
 
 
 def main():
+    import dataclasses
+
     from tango_tpu import configs as C
     from tango_tpu.models.diffusion import AudioDiffusion
     from tango_tpu.models.hifigan import HiFiGANGenerator
@@ -43,10 +45,21 @@ def main():
     guidance = 3.0
     # default: the serving throughput point (batch 4 prompts = 8 CFG samples);
     # pass an explicit batch for latency-oriented runs (batch 1).
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = int(args[0]) if args else 4
+    # int8 W8A8 convs (quant_scope="conv") are the measured-on-chip win
+    # (60.9 vs 63.8 ms/eval at CFG batch 8); dense int8 measured slower and
+    # stays off. Quality held to bf16-noise through the full CFG loop
+    # (tests/test_quant.py). --no-quant reverts to pure bf16.
+    quant = "--no-quant" not in sys.argv
     audio_sec_per_clip = 10.24  # 256 latent frames (models.py:260)
 
-    diffusion = AudioDiffusion(unet_config=C.TANGO_UNET, dtype=dtype)
+    unet_cfg = (
+        dataclasses.replace(C.TANGO_UNET, quant_int8=True, quant_scope="conv")
+        if quant
+        else C.TANGO_UNET
+    )
+    diffusion = AudioDiffusion(unet_config=unet_cfg, dtype=dtype)
     vae = AutoencoderKL(C.TANGO_VAE, dtype=dtype)
     vocoder = HiFiGANGenerator(C.TANGO_HIFIGAN, dtype=dtype)
 
@@ -65,8 +78,12 @@ def main():
     @jax.jit
     def make_params():
         u = jax.tree_util.tree_map(
-            lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
-                dtype if s.dtype == jnp.float32 else s.dtype
+            lambda s: (
+                jnp.ones(s.shape, jnp.int8)
+                if s.dtype == jnp.int8
+                else (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
+                    dtype if s.dtype == jnp.float32 else s.dtype
+                )
             ),
             unet_shapes,
         )

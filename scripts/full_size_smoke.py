@@ -27,6 +27,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# the vendored diffusers fork's flax mixins reference jax.random.KeyArray,
+# removed in current JAX — restore the alias before importing the fork
+if not hasattr(jax.random, "KeyArray"):
+    jax.random.KeyArray = jax.Array
+
 import numpy as np
 
 REPO = pathlib.Path(__file__).resolve().parents[1]

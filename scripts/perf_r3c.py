@@ -1,0 +1,191 @@
+"""Round-3 perf, part C: in-graph attention/GN kernel variant sweep.
+
+Full UNet CFG eval (batch 8), monkeypatching the kernel dispatch per variant.
+Baselines: bf16 63.8 ms; attention-core ablation says 21.7 ms of it is
+attention (SOL ~13.3 at the D=64 half-rate ceiling), 4.4 ms GroupNorm.
+
+python scripts/perf_r3c.py [v2_default v1_all v2_bq256 gn_two_stage gn_xla]
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def out(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def chain_ms(fn, x0, iters=8, reps=3):
+    @jax.jit
+    def run(x):
+        y, _ = jax.lax.scan(lambda c, _: (fn(c), None), x, None, length=iters)
+        return y
+
+    def sync(y):
+        float(jnp.ravel(y)[0])
+
+    t0 = time.perf_counter()
+    sync(run(x0))
+    cs = time.perf_counter() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(run(x0))
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts)) * 1e3, cs
+
+
+def flash_v1(q, k, v, *, scale):
+    """Single-pass kernel (full KV per q block), bypassing the v2 dispatch."""
+    from tango_tpu.ops import flash_attention as fa
+
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bq = fa._block_q(sq)
+
+    def reshape3(x):
+        return x.reshape(b * h, x.shape[2], d)
+
+    q3, k3, v3 = reshape3(q), reshape3(k), reshape3(v)
+    out3 = pl.pallas_call(
+        functools.partial(fa._attn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
+        grid=(b * h, sq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv, d), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv, d), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * sq * skv * d,
+            bytes_accessed=(q3.size * 2 + k3.size + v3.size) * q.dtype.itemsize,
+            transcendentals=b * h * sq * skv,
+        ),
+    )(q3, k3, v3)
+    return out3.reshape(b, h, sq, d)
+
+
+def make_mha(attn_impl):
+    """multi_head_attention replacement with a chosen self-attn kernel."""
+    from tango_tpu.ops.attention import _xla_attention
+
+    def mha(q, k, v, *, heads, bias=None, upcast=True, use_flash=None):
+        b, sq, inner = q.shape
+        skv = k.shape[1]
+        d = inner // heads
+        scale = d**-0.5
+        if bias is not None and bias.ndim == 2:
+            bias = bias[:, None, None, :]
+        elif bias is not None and bias.ndim == 3:
+            bias = bias[:, None, :, :]
+        qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+        if bias is None and skv >= 256 and sq % 128 == 0:
+            o = attn_impl(qh, kh, vh, scale=scale)
+        else:
+            from tango_tpu.ops.flash_attention import flash_attention
+            if sq >= 256 and d % 8 == 0:
+                o = flash_attention(qh, kh, vh, bias=bias, scale=scale)
+            else:
+                o = _xla_attention(qh, kh, vh, bias=bias, scale=scale, upcast=upcast)
+        return o.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+
+    return mha
+
+
+def run_variant(name):
+    import tango_tpu.models.unet as unet_mod
+    from tango_tpu import configs as C
+    from tango_tpu.models.unet import UNet2DConditionModel
+    from tango_tpu.ops.flash_attention import flash_attention_v2
+    from tango_tpu.ops.gn_silu_pallas import group_norm_pallas2
+    from tango_tpu.ops.basic import _gn_xla_ref
+
+    orig_mha = unet_mod.multi_head_attention
+    orig_gn = unet_mod.group_norm
+
+    if name == "v1_all":
+        unet_mod.multi_head_attention = make_mha(flash_v1)
+    elif name == "v2_bq256":
+        unet_mod.multi_head_attention = make_mha(
+            lambda q, k, v, *, scale: flash_attention_v2(
+                q, k, v, scale=scale, block_q=256,
+                block_kv=min(1024, k.shape[2])).astype(q.dtype)
+        )
+    elif name == "v2_bq1024":
+        unet_mod.multi_head_attention = make_mha(
+            lambda q, k, v, *, scale: flash_attention_v2(
+                q, k, v, scale=scale, block_q=min(1024, q.shape[2]),
+                block_kv=min(2048, k.shape[2])).astype(q.dtype)
+        )
+    elif name == "gn_two_stage":
+        unet_mod.group_norm = lambda x, s, b, g, eps=1e-6, act=None: group_norm_pallas2(
+            x, s, b, g, eps, act)
+    elif name == "gn_xla":
+        unet_mod.group_norm = lambda x, s, b, g, eps=1e-6, act=None: _gn_xla_ref(
+            x, s, b, g, eps, act)
+    # "v2_default": no patch
+
+    try:
+        dtype = jnp.bfloat16
+        cfg = C.TANGO_UNET
+        unet = UNet2DConditionModel(cfg, dtype=dtype)
+        b = 8
+        shapes = jax.eval_shape(
+            lambda k: unet.init(
+                k, jnp.zeros((1, 256, 16, 8), dtype), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 2, cfg.cross_attention_dim), dtype),
+            )["params"],
+            jax.random.PRNGKey(0),
+        )
+
+        @jax.jit
+        def make():
+            return jax.tree_util.tree_map(
+                lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
+                    dtype if s.dtype == jnp.float32 else s.dtype
+                ),
+                shapes,
+            )
+
+        params = make()
+        ctx = jnp.ones((b, 64, cfg.cross_attention_dim), dtype) * 0.1
+        mask = jnp.ones((b, 64), jnp.int32)
+        t = jnp.full((b,), 500, jnp.int32)
+
+        def eval_fn(lat):
+            o = unet.apply({"params": params}, lat, t, ctx, encoder_attention_mask=mask)
+            return o.astype(lat.dtype)
+
+        lat0 = jnp.ones((b, 256, 16, 8), dtype) * 0.1
+        ms, cs = chain_ms(eval_fn, lat0)
+        out(exp="unet_eval_b8_variants", variant=name, ms=round(ms, 2), compile_s=round(cs, 1))
+    except Exception as e:
+        out(exp="unet_eval_b8_variants", variant=name, error=f"{type(e).__name__}: {e}"[:300])
+    finally:
+        unet_mod.multi_head_attention = orig_mha
+        unet_mod.group_norm = orig_gn
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["v1_all", "v2_bq256", "gn_two_stage", "gn_xla"]
+    out(exp="env", devices=[str(d) for d in jax.devices()])
+    for nm in names:
+        run_variant(nm)

@@ -57,9 +57,6 @@ def main():
         diffusion, vae, vae_params, TrainConfig(gradient_accumulation_steps=1),
         total_steps=100,
     )
-    import optax
-
-    state_cls = type(trainer).__mro__  # noqa: silence lint
     from tango_tpu.train.sft import TrainState
 
     opt_state = trainer.tx.init(unet_params)

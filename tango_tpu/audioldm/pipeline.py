@@ -23,7 +23,7 @@ A native JAX CLAP tower is tracked for a later round.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -402,8 +402,7 @@ def flash_attention(
         # normalize bias to (B, 1|Sq, Skv); broadcast over heads in index map
         if bias.ndim == 4:
             bias = bias[:, 0]
-        bq_bias = bias.shape[1] if bias.shape[1] != 1 else 1
-        if bq_bias == 1:
+        if bias.shape[1] == 1:
             b_spec = pl.BlockSpec((1, 1, skv), lambda i, qi: (i // h, 0, 0), memory_space=pltpu.VMEM)
         else:
             assert bias.shape[1] == sq, bias.shape

@@ -198,4 +198,4 @@ def quantize_tree(params, path=(), scope: str = "all"):
         if "bias" in params:
             out["bias"] = params["bias"]
         return out
-    return {k: quantize_tree(v, path + (k,)) for k, v in params.items()}
+    return {k: quantize_tree(v, path + (k,), scope) for k, v in params.items()}

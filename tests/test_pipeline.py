@@ -104,6 +104,36 @@ def test_no_cfg_when_guidance_leq_1(tiny_tango):
     assert wav.shape == (16 * 160 + 32,)  # +32: transposed-conv edge (matches torch)
 
 
+def test_batch_row_matches_single(tiny_tango):
+    """PipelineTesterMixin-style batch consistency: row 0 of a 2-prompt batch
+    generation equals the 1-prompt generation with the same seed (JAX's
+    counter-based PRNG makes row 0 of an (N, ...) draw equal the (1, ...)
+    draw, and the UNet is batch-consistent)."""
+    batched = tiny_tango.generate_for_batch(["a dog barks", "rain falls"], steps=3,
+                                            batch_size=2, seed=11)
+    single = tiny_tango.generate("a dog barks", steps=3, seed=11)
+    np.testing.assert_allclose(
+        batched[0].astype(np.float32), single.astype(np.float32), atol=2.0
+    )  # int16 scale; conv edge effects stay < 2 LSB
+
+
+def test_pipeline_save_load_roundtrip(tiny_tango, tmp_path):
+    """Component params survive a native checkpoint round-trip with identical
+    generation output (test_modeling_common_flax.py save/load idiom)."""
+    from tango_tpu.utils.checkpoint import load_native, save_native
+
+    ref = tiny_tango.generate("checkpoint me", steps=2, seed=5)
+    save_native(str(tmp_path / "unet"), jax.device_get(tiny_tango.unet_params), {})
+    restored, _ = load_native(str(tmp_path / "unet"))
+    orig = tiny_tango.unet_params
+    try:
+        tiny_tango.unet_params = jax.tree_util.tree_map(jnp.asarray, restored)
+        out = tiny_tango.generate("checkpoint me", steps=2, seed=5)
+    finally:
+        tiny_tango.unet_params = orig
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_generate_duration_override(tiny_tango):
     # tiny unet has 2 levels -> factor 2; 0.5s -> latent_t ~ 12
     wav = tiny_tango.generate("short", steps=2, duration=0.5)

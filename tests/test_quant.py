@@ -49,6 +49,21 @@ def test_int8_dot_close_to_f32():
     assert rel < 0.02, rel
 
 
+def test_quantize_tree_scope_recurses():
+    """Regression: scope must propagate into nested modules — a conv-scope
+    tree quantizes resnet convs at depth but leaves attention Dense kernels
+    as plain f32 {kernel} nodes."""
+    _, params = _tiny_unet_params()
+    qc = quantize_tree(jax.device_get(params), scope="conv")
+    r0 = qc["down_blocks_0"]["resnets_0"]["conv1"]
+    assert "kernel_q" in r0 and r0["kernel_q"].dtype == np.int8
+    a0 = qc["down_blocks_0"]["attentions_0"]["proj_in"]
+    assert "kernel" in a0 and "kernel_q" not in a0
+    qd = quantize_tree(jax.device_get(params), scope="dense")
+    assert "kernel" in qd["down_blocks_0"]["resnets_0"]["conv1"]
+    assert "kernel_q" in qd["down_blocks_0"]["attentions_0"]["proj_in"]
+
+
 def _tiny_unet_params():
     unet = UNet2DConditionModel(TINY)
     rng = jax.random.PRNGKey(0)

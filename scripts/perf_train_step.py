@@ -30,7 +30,11 @@ def main():
     from tango_tpu.models.vae import AutoencoderKL
     from tango_tpu.train.sft import SFTTrainer
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = int(args[0]) if args else 2
+    real_init = "--real-init" in sys.argv  # correctness mode: real params,
+    # print a 10-step loss trajectory (validates the Pallas backward kernels
+    # end-to-end on hardware, not just grad-parity in interpret mode)
     diffusion = AudioDiffusion(
         unet_config=dataclasses.replace(C.TANGO_UNET), dtype=jnp.bfloat16, remat=True
     )
@@ -42,16 +46,28 @@ def main():
     )
     unet_shapes = jax.eval_shape(lambda k: diffusion.init_params(k), rng)
 
-    @jax.jit
-    def make():
-        f = lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(s.dtype)
-        fb = lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(jnp.bfloat16)
-        return (
-            jax.tree_util.tree_map(f, unet_shapes),
-            jax.tree_util.tree_map(fb, vae_shapes),
-        )
+    if real_init:
+        t0 = time.perf_counter()
+        unet_params = jax.jit(diffusion.init_params)(rng)
+        vae_params = jax.jit(
+            lambda k: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16),
+                vae.init(k, jnp.zeros((1, 64, 64, 1), jnp.bfloat16), k)["params"],
+            )
+        )(rng)
+        print(json.dumps({"exp": "sft_step", "stage": "real_init",
+                          "s": round(time.perf_counter() - t0, 1)}), flush=True)
+    else:
+        @jax.jit
+        def make():
+            f = lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(s.dtype)
+            fb = lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(jnp.bfloat16)
+            return (
+                jax.tree_util.tree_map(f, unet_shapes),
+                jax.tree_util.tree_map(fb, vae_shapes),
+            )
 
-    unet_params, vae_params = make()
+        unet_params, vae_params = make()
 
     trainer = SFTTrainer(
         diffusion, vae, vae_params, TrainConfig(gradient_accumulation_steps=1),
@@ -75,17 +91,20 @@ def main():
     print(json.dumps({"exp": "sft_step", "stage": "compile", "s": round(compile_s, 1),
                       "loss": round(l0, 4)}), flush=True)
 
-    ts = []
-    for i in range(6):
+    ts, losses = [], [l0]
+    n_steps = 12 if real_init else 6
+    for i in range(n_steps):
         t0 = time.perf_counter()
         state, loss = trainer.train_step(state, b, jax.random.PRNGKey(2 + i))
-        _ = float(loss)  # device sync via scalar fetch
+        losses.append(float(loss))  # device sync via scalar fetch
         ts.append(time.perf_counter() - t0)
     ms = float(np.median(ts)) * 1e3
     print(json.dumps({
         "exp": "sft_step", "batch": batch, "ms": round(ms, 1),
         "samples_per_s": round(batch / (ms / 1e3), 2),
         "baseline_ms_r1": 218.0,
+        "losses": [round(l, 4) for l in losses] if real_init else None,
+        "finite": bool(np.isfinite(losses).all()),
     }), flush=True)
 
 

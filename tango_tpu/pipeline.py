@@ -58,6 +58,7 @@ class Tango:
         rng_seed: int = 0,
         cast_params: bool = True,
         mesh=None,
+        quant: Optional[str] = None,
     ):
         self.dtype = dtype or _default_dtype()
         self.max_text_length = max_text_length
@@ -71,6 +72,10 @@ class Tango:
         # mesh: optional ('data','model') mesh — generate_for_batch shards
         # prompts over 'data' so one program serves 1..N chips.
         self.mesh = mesh
+        # quant: int8 W8A8 serving mode for the UNet — "conv" (the measured
+        # win on v5e, bench.py default), "dense", or "all"; None = bf16/f32.
+        # Weights quantize once at load (ops/quant.quantize_tree).
+        self.quant = quant
 
         if name_or_path is not None:
             path = name_or_path
@@ -113,8 +118,10 @@ class Tango:
         latent_f_size: int = 16,
         cast_params: bool = False,
         mesh=None,
+        quant: Optional[str] = None,
     ) -> "Tango":
-        self = cls(None, tokenizer=tokenizer, dtype=dtype, cast_params=cast_params, mesh=mesh)
+        self = cls(None, tokenizer=tokenizer, dtype=dtype, cast_params=cast_params,
+                   mesh=mesh, quant=quant)
         self._build(
             unet_config=unet_config,
             vae_config=vae_config,
@@ -157,6 +164,10 @@ class Tango:
                 tree,
             )
 
+        if self.quant:
+            unet_config = dataclasses.replace(
+                unet_config, quant_int8=True, quant_scope=self.quant
+            )
         self.model = AudioDiffusion(
             unet_config=unet_config,
             scheduler_config=scheduler_config or C.SD21_SCHEDULER,
@@ -165,6 +176,19 @@ class Tango:
             dtype=self.dtype,
         )
         unet_params = maybe_cast(unet_params)
+        if self.quant:
+            # quantize AFTER the compute-dtype cast so kernel_scale leaves
+            # stay f32 (casting scales to bf16 would add ~0.4% on top of the
+            # int8 error)
+            from tango_tpu.ops.quant import quantize_tree
+
+            unet_params = jax.tree_util.tree_map(
+                jnp.asarray,
+                quantize_tree(
+                    jax.device_get(jax.tree_util.tree_map(jnp.asarray, unet_params)),
+                    scope=self.quant,
+                ),
+            )
         vae_params = maybe_cast(vae_params)
         t5_params = maybe_cast(t5_params)
         hifigan_params = maybe_cast(hifigan_params)

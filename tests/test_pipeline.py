@@ -134,6 +134,25 @@ def test_pipeline_save_load_roundtrip(tiny_tango, tmp_path):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_quant_conv_serving_mode(tiny_tango):
+    """quant="conv" pipeline: int8 resnet convs, output close to the f32
+    pipeline (ops/quant.py quality bar: within bf16-scale error)."""
+    comps = dict(
+        unet_config=TINY_UNET, vae_config=TINY_VAE,
+        unet_params=tiny_tango.unet_params, vae_params=tiny_tango.vae_params,
+        t5_config=TINY_T5, t5_params=tiny_tango.t5_params,
+        hifigan_config=TINY_HIFI, hifigan_params=tiny_tango.hifigan_params,
+        tokenizer=tiny_tango.tokenizer, latent_t_size=8, latent_f_size=4,
+    )
+    quanted = Tango.from_components(quant="conv", **comps)
+    assert quanted.model.unet_config.quant_int8
+    assert quanted.model.unet_config.quant_scope == "conv"
+    ref = tiny_tango.generate("a dog barks", steps=3, seed=3).astype(np.float32)
+    out = quanted.generate("a dog barks", steps=3, seed=3).astype(np.float32)
+    # int16 waveforms; int8-conv error stays a small fraction of full scale
+    assert np.abs(out - ref).max() < 0.05 * 32768, np.abs(out - ref).max()
+
+
 def test_generate_duration_override(tiny_tango):
     # tiny unet has 2 levels -> factor 2; 0.5s -> latent_t ~ 12
     wav = tiny_tango.generate("short", steps=2, duration=0.5)

@@ -197,6 +197,13 @@ def hifigan_smoke():
 
 
 def write_parity_md():
+    # merge with previous runs (a partial run must not drop earlier rows)
+    sidecar = REPO / "docs" / ".parity_results.json"
+    if sidecar.exists():
+        prev = json.loads(sidecar.read_text())
+        for k, v in prev.items():
+            RESULTS.setdefault(k, v)
+    sidecar.write_text(json.dumps(RESULTS, indent=1))
     path = REPO / "docs" / "PARITY.md"
     lines = [
         "# Parity status vs the reference",

@@ -1,0 +1,85 @@
+"""Full-size DPO train-step timing on v5e-1 (Tango 2 alignment loop).
+
+DPO runs the trainable UNet on the 2B winner/loser batch AND the frozen bf16
+ref UNet (tango2/models.py:459-482 semantics), so a step is ~2.5x the SFT
+FLOPs. Measures with the dedicated Pallas backward kernels.
+
+python scripts/perf_dpo_step.py [batch_pairs]
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from tango_tpu import configs as C
+    from tango_tpu.configs import DPOConfig
+    from tango_tpu.models.dpo import DPOAudioDiffusion
+    from tango_tpu.models.vae import AutoencoderKL
+    from tango_tpu.train.dpo import DPOTrainer
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    diffusion = DPOAudioDiffusion(unet_config=C.TANGO_UNET, dtype=jnp.bfloat16, remat=True)
+    vae = AutoencoderKL(C.TANGO_VAE, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    unet_params = jax.jit(diffusion.init_params)(rng)
+    # frozen reference copy stored bf16 (a second f32 copy OOMs one chip)
+    ref_params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), unet_params)
+    vae_params = jax.jit(
+        lambda k: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16),
+            vae.init(k, jnp.zeros((1, 64, 64, 1), jnp.bfloat16), k)["params"],
+        )
+    )(rng)
+    print(json.dumps({"exp": "dpo_step", "stage": "init",
+                      "s": round(time.perf_counter() - t0, 1)}), flush=True)
+
+    trainer = DPOTrainer(diffusion, vae, vae_params,
+                         DPOConfig(gradient_accumulation_steps=1), total_steps=100)
+    state = trainer.init_state(unet_params)
+
+    b = {
+        "fbank_w": jnp.ones((batch, 1024, 64), jnp.float32) * 0.1,
+        "fbank_l": jnp.ones((batch, 1024, 64), jnp.float32) * 0.08,
+        "text_embeds": jnp.ones((batch, 64, C.TANGO_UNET.cross_attention_dim), jnp.float32) * 0.02,
+        "text_mask": jnp.ones((batch, 64), jnp.int32),
+    }
+
+    t0 = time.perf_counter()
+    state, loss, metrics = trainer.dpo_step(state, ref_params, b, jax.random.PRNGKey(1))
+    l0 = float(loss)
+    print(json.dumps({"exp": "dpo_step", "stage": "compile",
+                      "s": round(time.perf_counter() - t0, 1), "loss": round(l0, 4)}), flush=True)
+
+    ts, losses = [], [l0]
+    for i in range(8):
+        t0 = time.perf_counter()
+        state, loss, metrics = trainer.dpo_step(state, ref_params, b, jax.random.PRNGKey(2 + i))
+        losses.append(float(loss))
+        ts.append(time.perf_counter() - t0)
+    ms = float(np.median(ts)) * 1e3
+    print(json.dumps({
+        "exp": "dpo_step", "batch_pairs": batch, "ms": round(ms, 1),
+        "pairs_per_s": round(batch / (ms / 1e3), 2),
+        "losses": [round(l, 4) for l in losses],
+        "finite": bool(np.isfinite(losses).all()),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    print(json.dumps({"exp": "env", "devices": [str(d) for d in jax.devices()]}), flush=True)
+    main()

@@ -135,6 +135,54 @@ def run_variant(name):
                 q, k, v, scale=scale, block_q=min(1024, q.shape[2]),
                 block_kv=min(2048, k.shape[2])).astype(q.dtype)
         )
+    elif name == "xla_cross":
+        # flash only for self-attention (skv >= 256); cross-attention to the
+        # 64-token text context goes through the XLA einsum path where it can
+        # fuse with its surrounding projections
+        from tango_tpu.ops.attention import _xla_attention
+        from tango_tpu.ops.flash_attention import flash_attention
+
+        def mha(q, k, v, *, heads, bias=None, upcast=True, use_flash=None):
+            b, sq, inner = q.shape
+            skv = k.shape[1]
+            d = inner // heads
+            scale = d**-0.5
+            if bias is not None and bias.ndim == 2:
+                bias = bias[:, None, None, :]
+            elif bias is not None and bias.ndim == 3:
+                bias = bias[:, None, :, :]
+            if bias is not None:
+                bias = bias.astype(jnp.float32)
+            qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+            kh = k.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+            vh = v.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+            if skv >= 256 and sq % 128 == 0 and bias is None:
+                o = flash_attention(qh, kh, vh, scale=scale)
+            else:
+                o = _xla_attention(qh, kh, vh, bias=bias, scale=scale, upcast=upcast)
+            return o.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+
+        unet_mod.multi_head_attention = mha
+    elif name == "no_cross_core":
+        # ablation: cross-attention core -> identity (self-attn kept) to
+        # split the 21.7 ms attention cost between self and cross
+        from tango_tpu.ops.attention import _xla_attention
+        from tango_tpu.ops.flash_attention import flash_attention
+
+        def mha(q, k, v, *, heads, bias=None, upcast=True, use_flash=None):
+            b, sq, inner = q.shape
+            skv = k.shape[1]
+            d = inner // heads
+            scale = d**-0.5
+            if skv != sq:
+                return q  # cross-attn core ablated
+            qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+            kh = k.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+            vh = v.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+            o = flash_attention(qh, kh, vh, scale=scale)
+            return o.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+
+        unet_mod.multi_head_attention = mha
     elif name == "gn_two_stage":
         unet_mod.group_norm = lambda x, s, b, g, eps=1e-6, act=None: group_norm_pallas2(
             x, s, b, g, eps, act)

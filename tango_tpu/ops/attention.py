@@ -53,7 +53,16 @@ def multi_head_attention(
         bias = bias.astype(jnp.float32)
 
     if use_flash is None:
-        use_flash = _flash_available() and sq >= 256 and d % 8 == 0
+        # cross-attention to a short (< 256-token) padded text context stays
+        # on the XLA einsum path: the (Sq, Skv) logits are tiny and XLA fuses
+        # the softmax with the projections (measured in-graph: 62.8 vs
+        # 63.8 ms/eval at CFG batch 8 — docs/PERF.md round-3 table)
+        use_flash = (
+            _flash_available()
+            and sq >= 256
+            and d % 8 == 0
+            and (bias is None or skv >= 256)
+        )
 
     # NOTE: a transpose-free variant (head slices carved straight from the
     # (B,S,H,D) view by BlockSpec index maps) is NOT possible: Mosaic requires

@@ -23,10 +23,23 @@ class Predictor:
     def __init__(self):
         self.tango = None
 
-    def setup(self, model: str = "declare-lab/tango"):
+    def setup(self, model: str = "declare-lab/tango", quant: Optional[str] = None):
+        import jax
+
         from tango_tpu.pipeline import Tango
 
-        self.tango = Tango(model)
+        # persistent XLA compilation cache: restarted replicas skip the
+        # ~2 min 100-step program compile (same mechanism as bench.py)
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/tango_tpu/xla")
+        )
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+        except Exception:
+            pass  # already configured or backend initialized with a cache
+
+        self.tango = Tango(model, quant=quant)
         # warm the 100-step program so first request latency is steady-state
         try:
             self.tango.generate("warmup", steps=100)
@@ -53,6 +66,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--output", type=str, default="output.wav")
     p.add_argument("--music", action="store_true", help="use the Mustango pipeline")
+    p.add_argument("--quant", type=str, default=None, choices=("conv", "dense", "all"),
+                   help="int8 W8A8 UNet serving mode (conv is the measured v5e win)")
     args = p.parse_args(argv)
 
     from tango_tpu.audio.wav import write_wav
@@ -66,7 +81,7 @@ def main(argv=None):
     else:
         from tango_tpu.pipeline import Tango
 
-        model = Tango(args.model)
+        model = Tango(args.model, quant=args.quant)
         wav = model.generate(
             args.prompt, steps=args.steps, guidance=args.guidance,
             samples=args.samples, seed=args.seed,

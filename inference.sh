@@ -1,0 +1,6 @@
+#!/usr/bin/env bash
+# Batch generation + objective eval (reference inference.sh equivalent).
+python -m tango_tpu.inference \
+  --model "${MODEL:-declare-lab/tango}" \
+  --test_file "data/test_audiocaps_subset.json" \
+  --num_steps 200 --guidance 3 --num_samples 1 "$@"

@@ -23,6 +23,13 @@ def parse_args(argv=None):
     p.add_argument("--train_file", type=str, required=True)
     p.add_argument("--validation_file", type=str, required=True)
     p.add_argument("--data_prefix", type=str, default="")
+    # reference-surface flags (train.py:33-198) accepted for drop-in scripts:
+    p.add_argument("--test_file", type=str, default=None,
+                   help="held-out manifest recorded in summary.jsonl (generation/eval runs via tango_tpu.inference)")
+    p.add_argument("--freeze_text_encoder", action="store_true",
+                   help="accepted for parity; the T5 encoder is always frozen here (text is pre-encoded outside the step)")
+    p.add_argument("--text_column", type=str, default="captions")
+    p.add_argument("--audio_column", type=str, default="location")
     p.add_argument("--tango_snapshot", type=str, default=None,
                    help="reference-format snapshot dir for VAE/T5 weights")
     p.add_argument("--audioldm_ckpt", type=str, default=None,
@@ -118,8 +125,10 @@ def main(argv=None):
     )
 
     # --- data -----------------------------------------------------------
-    train_ex = load_manifest(args.train_file, args.data_prefix)
-    val_ex = load_manifest(args.validation_file, args.data_prefix)
+    train_ex = load_manifest(args.train_file, args.data_prefix,
+                             args.text_column, args.audio_column)
+    val_ex = load_manifest(args.validation_file, args.data_prefix,
+                           args.text_column, args.audio_column)
 
     mesh = pmesh.make_mesh(data=-1, model=args.model_parallel)
     data_size = mesh.shape["data"]

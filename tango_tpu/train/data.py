@@ -32,8 +32,12 @@ class Example:
     caption: str
 
 
-def load_manifest(path: str, prefix: str = "") -> List[Example]:
-    """Read a reference-format JSON manifest (one object or JSONL / {"data": []})."""
+def load_manifest(path: str, prefix: str = "", text_column: str = "captions",
+                  audio_column: str = "location") -> List[Example]:
+    """Read a reference-format JSON manifest (one object or JSONL / {"data": []}).
+
+    `text_column`/`audio_column` mirror the reference --text_column /
+    --audio_column flags (train.py:85-95)."""
     examples = []
     with open(path) as f:
         content = f.read().strip()
@@ -45,7 +49,8 @@ def load_manifest(path: str, prefix: str = "") -> List[Example]:
     except json.JSONDecodeError:
         rows = [json.loads(line) for line in content.splitlines() if line.strip()]
     for r in rows:
-        examples.append(Example(prefix + r["location"], r.get("captions") or r.get("caption", "")))
+        caption = r.get(text_column) or r.get("captions") or r.get("caption", "")
+        examples.append(Example(prefix + r[audio_column], caption))
     return examples
 
 

@@ -1,0 +1,93 @@
+"""End-to-end drive of the batch-generation CLI (tango_tpu/inference.py) —
+the reference inference.py:71-203 loop: manifest -> generate_for_batch ->
+output_{i}.wav naming -> summary.jsonl record."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tango_tpu import configs as C
+from tango_tpu.models.hifigan import HiFiGANGenerator
+from tango_tpu.models.t5 import T5Encoder
+from tango_tpu.models.unet import UNet2DConditionModel
+from tango_tpu.models.vae import AutoencoderKL
+from tango_tpu.pipeline import Tango
+
+from tests.test_pipeline import TINY_HIFI, TINY_T5, TINY_UNET, TINY_VAE, StubTokenizer
+
+
+def _tiny_tango():
+    k = jax.random.PRNGKey(0)
+    unet = UNet2DConditionModel(TINY_UNET)
+    unet_params = unet.init(
+        k, jnp.zeros((1, 8, 4, 8)), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 2, 16))
+    )["params"]
+    vae = AutoencoderKL(TINY_VAE)
+    vae_params = vae.init(k, jnp.zeros((1, 32, 16, 1)), k)["params"]
+    t5 = T5Encoder(TINY_T5)
+    t5_params = t5.init(k, jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32))["params"]
+    hifi = HiFiGANGenerator(TINY_HIFI)
+    hifi_params = hifi.init(k, jnp.zeros((1, 8, 8)))["params"]
+    return Tango.from_components(
+        unet_config=TINY_UNET, vae_config=TINY_VAE,
+        unet_params=unet_params, vae_params=vae_params,
+        t5_config=TINY_T5, t5_params=t5_params,
+        hifigan_config=TINY_HIFI, hifigan_params=hifi_params,
+        tokenizer=StubTokenizer(), latent_t_size=8, latent_f_size=4,
+    )
+
+
+def test_inference_cli_end_to_end(tmp_path, monkeypatch):
+    import tango_tpu.pipeline as pipeline_mod
+    from tango_tpu import inference
+
+    manifest = tmp_path / "test.json"
+    rows = [
+        {"dataset": "t", "location": "x0.wav", "captions": "a dog barks"},
+        {"dataset": "t", "location": "x1.wav", "captions": "rain falls"},
+        {"dataset": "t", "location": "x2.wav", "captions": "a car horn"},
+    ]
+    manifest.write_text("\n".join(json.dumps(r) for r in rows))
+
+    tiny = _tiny_tango()
+    monkeypatch.setattr(pipeline_mod, "Tango", lambda name_or_path, **kw: tiny)
+    monkeypatch.chdir(tmp_path)
+
+    out_dir = str(tmp_path / "gen")
+    inference.main([
+        "--model", "stub-snapshot", "--test_file", str(manifest),
+        "--output_dir", out_dir, "--num_steps", "2", "--batch_size", "2",
+    ])
+
+    # output_{i}.wav naming convention matches manifest line indices
+    for i in range(3):
+        assert os.path.exists(os.path.join(out_dir, f"output_{i}.wav")), i
+    rec = json.loads(open(tmp_path / "summary.jsonl").read().splitlines()[-1])
+    assert rec["num_prompts"] == 3
+    assert rec["num_steps"] == 2
+    assert rec["x_realtime"] > 0
+    assert rec["output_dir"] == out_dir
+
+
+def test_inference_cli_num_test_instances(tmp_path, monkeypatch):
+    import tango_tpu.pipeline as pipeline_mod
+    from tango_tpu import inference
+
+    manifest = tmp_path / "test.json"
+    rows = [{"dataset": "t", "location": f"x{i}.wav", "captions": f"prompt {i}"} for i in range(4)]
+    manifest.write_text("\n".join(json.dumps(r) for r in rows))
+    tiny = _tiny_tango()
+    monkeypatch.setattr(pipeline_mod, "Tango", lambda name_or_path, **kw: tiny)
+    monkeypatch.chdir(tmp_path)
+
+    out_dir = str(tmp_path / "gen2")
+    inference.main([
+        "--model", "stub", "--test_file", str(manifest), "--output_dir", out_dir,
+        "--num_steps", "2", "--batch_size", "2", "--num_test_instances", "2",
+    ])
+    assert os.path.exists(os.path.join(out_dir, "output_1.wav"))
+    assert not os.path.exists(os.path.join(out_dir, "output_2.wav"))

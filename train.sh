@@ -1,0 +1,15 @@
+#!/usr/bin/env bash
+# SFT training driver (reference train.sh equivalent — flag names match
+# tango_tpu/train/cli.py, which mirrors the reference argparse surface).
+# Multi-chip: the mesh is discovered from jax.devices(); no accelerate launch.
+python -m tango_tpu.train.cli \
+  --train_file="data/train_audiocaps.json" \
+  --validation_file="data/valid_audiocaps.json" \
+  --test_file="data/test_audiocaps_subset.json" \
+  --unet_model_config="configs/diffusion_model_config.json" \
+  --freeze_text_encoder \
+  --gradient_accumulation_steps 4 \
+  --per_device_train_batch_size=2 --per_device_eval_batch_size=2 \
+  --augment --learning_rate=3e-5 --num_train_epochs 40 --snr_gamma 5 \
+  --text_column captions --audio_column location \
+  --checkpointing_steps="best" "$@"

@@ -50,20 +50,48 @@ def chain_ms(fn, x0, iters=8, reps=3):
     return float(np.median(ts)) * 1e3, cs
 
 
-def flash_v1(q, k, v, *, scale):
+def _attn_kernel_dd(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """v1 with deferred division: unnormalized p (<=1) feeds the MXU in bf16,
+    the output rows scale by 1/denom afterwards — removes the (BQ, Skv) f32
+    divide from the inner loop."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+
+def flash_v1(q, k, v, *, scale, bq=None, kernel=None, vmem_mb=None):
     """Single-pass kernel (full KV per q block), bypassing the v2 dispatch."""
     from tango_tpu.ops import flash_attention as fa
 
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    bq = fa._block_q(sq)
+    bq = bq or fa._block_q(sq)
+    if sq % bq != 0:
+        bq = fa._block_q(sq)
 
     def reshape3(x):
         return x.reshape(b * h, x.shape[2], d)
 
     q3, k3, v3 = reshape3(q), reshape3(k), reshape3(v)
+    params = {}
+    if vmem_mb:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024
+        )
     out3 = pl.pallas_call(
-        functools.partial(fa._attn_kernel, scale=scale),
+        functools.partial(kernel or fa._attn_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
         grid=(b * h, sq // bq),
         in_specs=[
@@ -77,6 +105,7 @@ def flash_v1(q, k, v, *, scale):
             bytes_accessed=(q3.size * 2 + k3.size + v3.size) * q.dtype.itemsize,
             transcendentals=b * h * sq * skv,
         ),
+        **params,
     )(q3, k3, v3)
     return out3.reshape(b, h, sq, d)
 
@@ -100,11 +129,12 @@ def make_mha(attn_impl):
         if bias is None and skv >= 256 and sq % 128 == 0:
             o = attn_impl(qh, kh, vh, scale=scale)
         else:
-            from tango_tpu.ops.flash_attention import flash_attention
-            if sq >= 256 and d % 8 == 0:
-                o = flash_attention(qh, kh, vh, bias=bias, scale=scale)
-            else:
-                o = _xla_attention(qh, kh, vh, bias=bias, scale=scale, upcast=upcast)
+            # mirror the adopted product dispatch: short-Skv bias path on XLA
+            o = _xla_attention(
+                qh, kh, vh,
+                bias=None if bias is None else bias.astype(jnp.float32),
+                scale=scale, upcast=upcast,
+            )
         return o.transpose(0, 2, 1, 3).reshape(b, sq, inner)
 
     return mha
@@ -123,6 +153,15 @@ def run_variant(name):
 
     if name == "v1_all":
         unet_mod.multi_head_attention = make_mha(flash_v1)
+    elif name == "v1_deferred_div":
+        unet_mod.multi_head_attention = make_mha(
+            lambda q, k, v, *, scale: flash_v1(q, k, v, scale=scale, kernel=_attn_kernel_dd)
+        )
+    elif name == "v1_bq1024":
+        unet_mod.multi_head_attention = make_mha(
+            lambda q, k, v, *, scale: flash_v1(
+                q, k, v, scale=scale, bq=1024, kernel=_attn_kernel_dd, vmem_mb=96)
+        )
     elif name == "v2_bq256":
         unet_mod.multi_head_attention = make_mha(
             lambda q, k, v, *, scale: flash_attention_v2(

@@ -25,6 +25,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    # Deferred division: the unnormalized p (values in (0, 1]) feeds the MXU
+    # in bf16 and only the (BQ, D) output rows divide by the softmax denom —
+    # removes the (BQ, Skv) f32 divide from the hot loop (measured in-graph:
+    # 61.9 vs 62.8 ms/eval at CFG batch 8 — docs/PERF.md).
     q = q_ref[0]  # (BQ, D)
     k = k_ref[0]  # (S, D)
     v = v_ref[0]  # (S, D)
@@ -35,8 +39,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
 
 
 def _attn_kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
@@ -51,8 +55,8 @@ def _attn_kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
 
 
 def _attn_kernel_v2(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
@@ -361,10 +365,11 @@ def flash_attention(
     b, h, sq, d = q.shape
     skv = k.shape[2]
 
-    # No-bias self-attention at UNet sizes: blocked-KV online-softmax kernel
-    # (measured: ties the single-pass kernel at Skv=4096, ~2x faster at 1024 —
-    # docs/PERF.md round-2 table).
-    if bias is None and skv >= 512 and skv % 512 == 0 and sq % 128 == 0:
+    # Long-sequence self-attention falls to the blocked-KV online-softmax
+    # kernel only when the full K/V no longer fits a VMEM-resident block;
+    # at UNet sizes (Skv <= 4096) the single-pass deferred-division kernel
+    # measured faster in-graph (61.9 vs 62.8 ms/eval — docs/PERF.md r3).
+    if bias is None and skv > 4096 and skv % 512 == 0 and sq % 128 == 0:
         return flash_attention_v2(
             q, k, v, scale=scale, block_q=min(512, sq), block_kv=min(1024, skv),
             interpret=interpret,

@@ -1,0 +1,67 @@
+"""Serving layer: CLI arg surface + Predictor lifecycle with a stubbed
+pipeline (reference predict.py:29-60 / inference.sh)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+class _StubTango:
+    def __init__(self, *a, **kw):
+        self.kw = kw
+        self.calls = []
+
+    def generate(self, prompt, steps=100, guidance=3.0, samples=1, seed=None, **kw):
+        self.calls.append((prompt, steps, guidance, samples, seed))
+        wav = (np.sin(np.linspace(0, 100, 16000)) * 20000).astype(np.int16)
+        return [wav] * samples if samples > 1 else wav
+
+
+def test_serve_cli_writes_wav(tmp_path, monkeypatch):
+    import tango_tpu.pipeline as pipeline_mod
+    from tango_tpu import serve
+
+    stub = {}
+
+    def factory(name, **kw):
+        stub["tango"] = _StubTango(name, **kw)
+        return stub["tango"]
+
+    monkeypatch.setattr(pipeline_mod, "Tango", factory)
+    out = str(tmp_path / "o.wav")
+    serve.main(["--model", "x", "--prompt", "a dog barks", "--steps", "7",
+                "--guidance", "2.5", "--seed", "4", "--output", out])
+    assert os.path.exists(out)
+    assert stub["tango"].calls == [("a dog barks", 7, 2.5, 1, 4)]
+
+
+def test_serve_cli_quant_flag(tmp_path, monkeypatch):
+    import tango_tpu.pipeline as pipeline_mod
+    from tango_tpu import serve
+
+    seen = {}
+
+    def factory(name, **kw):
+        seen.update(kw)
+        return _StubTango(name, **kw)
+
+    monkeypatch.setattr(pipeline_mod, "Tango", factory)
+    out = str(tmp_path / "q.wav")
+    serve.main(["--model", "x", "--prompt", "p", "--quant", "conv",
+                "--steps", "2", "--output", out])
+    assert seen.get("quant") == "conv"
+    assert os.path.exists(out)
+
+
+def test_predictor_lifecycle(tmp_path, monkeypatch):
+    import tango_tpu.pipeline as pipeline_mod
+    from tango_tpu.serve import Predictor
+
+    monkeypatch.setattr(pipeline_mod, "Tango", lambda name, **kw: _StubTango(name, **kw))
+    p = Predictor()
+    with pytest.raises(AssertionError):
+        p.predict("too early")
+    p.setup(model="stub")
+    out = p.predict("hello", steps=3, output_path=str(tmp_path / "p.wav"))
+    assert os.path.exists(out)

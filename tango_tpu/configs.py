@@ -51,7 +51,9 @@ class UNetConfig(_FromDict):
     (320/5 = 64 for Tango).
     """
 
-    sample_size: Any = None
+    # latent grid metadata carried by the reference JSONs ((32, 2) for the
+    # released Tango configs); not used by the forward pass
+    sample_size: Any = (32, 2)
     in_channels: int = 8
     out_channels: int = 8
     center_input_sample: bool = False
@@ -133,6 +135,8 @@ class UNetConfig(_FromDict):
         object.__setattr__(self, "mid_block_type", mid)
         object.__setattr__(self, "block_out_channels", _tup(self.block_out_channels))
         object.__setattr__(self, "extra_cond_dims", _tup(self.extra_cond_dims) if self.extra_cond_dims else ())
+        if isinstance(self.sample_size, list):
+            object.__setattr__(self, "sample_size", tuple(self.sample_size))
         if isinstance(self.attention_head_dim, (list, tuple)):
             object.__setattr__(self, "attention_head_dim", _tup(self.attention_head_dim))
 

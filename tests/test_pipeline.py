@@ -1,6 +1,7 @@
 """End-to-end Tango pipeline test with dwarf components (the reference test
 idiom: AudioLDMPipelineFastTests builds MB-scale components — SURVEY.md §4)."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -151,6 +152,60 @@ def test_quant_conv_serving_mode(tiny_tango):
     out = quanted.generate("a dog barks", steps=3, seed=3).astype(np.float32)
     # int16 waveforms; int8-conv error stays a small fraction of full scale
     assert np.abs(out - ref).max() < 0.05 * 32768, np.abs(out - ref).max()
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/configs/diffusion_model_config.json"),
+    reason="reference configs not present",
+)
+def test_release_configs_match_reference_json():
+    """TANGO_UNET / TANGO_UNET_XL must round-trip the reference JSON files."""
+    import json
+
+    for fname, cfg in [
+        ("diffusion_model_config.json", C.TANGO_UNET),
+        ("diffusion_model_xl_config.json", C.TANGO_UNET_XL),
+    ]:
+        with open(f"/root/reference/configs/{fname}") as f:
+            d = {k: v for k, v in json.load(f).items() if not k.startswith("_")}
+        assert C.UNetConfig.from_dict(d) == cfg, fname
+
+
+def test_pipeline_generates_under_mesh():
+    """The same pipeline code drives 1..N chips: an (8-data x 1-model) mesh
+    generation matches the meshless output (DP inference parity)."""
+    from tango_tpu.parallel import mesh as pmesh
+
+    k = jax.random.PRNGKey(0)
+    unet = UNet2DConditionModel(TINY_UNET)
+    unet_params = unet.init(
+        k, jnp.zeros((1, 8, 4, 8)), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 2, 16))
+    )["params"]
+    vae = AutoencoderKL(TINY_VAE)
+    vae_params = vae.init(k, jnp.zeros((1, 32, 16, 1)), k)["params"]
+    hifi = HiFiGANGenerator(TINY_HIFI)
+    hifi_params = hifi.init(k, jnp.zeros((1, 8, 8)))["params"]
+    t5 = T5Encoder(TINY_T5)
+    t5_params = t5.init(k, jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32))["params"]
+
+    comps = dict(
+        unet_config=TINY_UNET, vae_config=TINY_VAE,
+        unet_params=unet_params, vae_params=vae_params,
+        t5_config=TINY_T5, t5_params=t5_params,
+        hifigan_config=TINY_HIFI, hifigan_params=hifi_params,
+        tokenizer=StubTokenizer(), latent_t_size=8, latent_f_size=4,
+    )
+    plain = Tango.from_components(**comps)
+    mesh = pmesh.make_mesh(data=8, model=1)
+    sharded = Tango.from_components(mesh=mesh, **comps)
+
+    prompts = [f"prompt number {i}" for i in range(8)]
+    a = plain.generate_for_batch(prompts, steps=2, batch_size=8, seed=9)
+    b = sharded.generate_for_batch(prompts, steps=2, batch_size=8, seed=9)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(
+            x.astype(np.float32), y.astype(np.float32), atol=2.0
+        )
 
 
 def test_generate_duration_override(tiny_tango):

@@ -71,6 +71,27 @@ def _attn_kernel_dd(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = (acc / denom).astype(o_ref.dtype)
 
 
+def _attn_kernel_dd2(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """dd + scale folded into q (saves the (BQ, Skv) f32 multiply) + exp2
+    with log2(e) folded into the same q prescale (exp2 is the cheaper VPU
+    transcendental; m is in the same base so softmax is unchanged)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    qs = (q.astype(jnp.float32) * (scale * 1.4426950408889634)).astype(q.dtype)
+    logits = lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp2(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+
 def flash_v1(q, k, v, *, scale, bq=None, kernel=None, vmem_mb=None):
     """Single-pass kernel (full KV per q block), bypassing the v2 dispatch."""
     from tango_tpu.ops import flash_attention as fa
@@ -153,6 +174,10 @@ def run_variant(name):
 
     if name == "v1_all":
         unet_mod.multi_head_attention = make_mha(flash_v1)
+    elif name == "v1_dd2_exp2":
+        unet_mod.multi_head_attention = make_mha(
+            lambda q, k, v, *, scale: flash_v1(q, k, v, scale=scale, kernel=_attn_kernel_dd2)
+        )
     elif name == "v1_deferred_div":
         unet_mod.multi_head_attention = make_mha(
             lambda q, k, v, *, scale: flash_v1(q, k, v, scale=scale, kernel=_attn_kernel_dd)

@@ -24,36 +24,46 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+LOG2_E = 1.4426950408889634
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    # Deferred division: the unnormalized p (values in (0, 1]) feeds the MXU
-    # in bf16 and only the (BQ, D) output rows divide by the softmax denom —
-    # removes the (BQ, Skv) f32 divide from the hot loop (measured in-graph:
-    # 61.9 vs 62.8 ms/eval at CFG batch 8 — docs/PERF.md).
+    # Two (BQ, Skv) f32 elementwise passes removed from the hot loop
+    # (in-graph: 62.8 -> 61.9 -> 59.7 ms/eval at CFG batch 8 — docs/PERF.md):
+    #  * deferred division — unnormalized p (values in (0, 1]) feeds the MXU
+    #    in bf16; only the (BQ, D) output rows divide by the softmax denom.
+    #  * scale * log2(e) folded into the (BQ, D) q block + exp2 softmax
+    #    (exp2(x*log2e) == exp(x); the base change is exact in real
+    #    arithmetic, the q prescale is exact in f32 and sub-ulp noise at
+    #    bf16 — the same precision class as the bf16 inputs themselves).
     q = q_ref[0]  # (BQ, D)
     k = k_ref[0]  # (S, D)
     v = v_ref[0]  # (S, D)
+    qs = (q.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype)
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    logits = logits * scale
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
+    p = jnp.exp2(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0] = (acc / denom).astype(o_ref.dtype)
 
 
 def _attn_kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
+    # same deferred-division + exp2 scheme as _attn_kernel; the additive bias
+    # rescales by log2(e) on its (1|BQ, S) block
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     bias = b_ref[0]  # (1 or BQ, S) f32
+    qs = (q.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype)
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    logits = logits * scale + bias
+    logits = logits + bias * LOG2_E
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
+    p = jnp.exp2(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0] = (acc / denom).astype(o_ref.dtype)
@@ -78,16 +88,17 @@ def _attn_kernel_v2(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
+    qs = (q.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK) f32
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, BK) f32, base-2 log-space (see _attn_kernel)
 
     m_prev = m_ref[...]
     l_prev = l_ref[...]
     m_cur = jnp.broadcast_to(jnp.max(s, axis=-1, keepdims=True), m_prev.shape)
     m_next = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_next)  # (BQ, 128) replicated
-    p = jnp.exp(s - m_next[:, :1])
+    alpha = jnp.exp2(m_prev - m_next)  # (BQ, 128) replicated
+    p = jnp.exp2(s - m_next[:, :1])
     l_next = alpha * l_prev + jnp.broadcast_to(
         jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
     )

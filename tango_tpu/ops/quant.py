@@ -53,24 +53,15 @@ def _quantize_act(x: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
-
-
 def int8_dot(x: jnp.ndarray, kernel_q: jnp.ndarray, kernel_scale: jnp.ndarray) -> jnp.ndarray:
     """x (..., K) @ int8 kernel (K, N) with per-token activation scales.
 
-    Returns f32 (..., N). On TPU, dispatches to the fused Pallas W8A8 kernel
-    (ops/int8_gemm.py) — dynamic quantization happens inside the kernel so
-    no int8/f32 intermediate round-trips HBM.
+    Returns f32 (..., N). Stays on the XLA int8 dot: the fused Pallas W8A8
+    kernel (ops/int8_gemm.py) measured SLOWER in-graph (78.3 vs 63.8 ms/eval
+    — each pallas_call is a fusion barrier around a GEMM that XLA would
+    otherwise fuse with its neighbors; docs/PERF.md round-3 table). The
+    kernel and its parity test remain as the documented negative result.
     """
-    if _on_tpu() and x.shape[-1] % 8 == 0 and kernel_q.shape[1] % 128 == 0:
-        from tango_tpu.ops.int8_gemm import w8a8_matmul
-
-        return w8a8_matmul(x, kernel_q, kernel_scale, out_dtype=jnp.float32)
     xq, xs = _quantize_act(x, axes=(-1,))  # per-token
     y = jax.lax.dot_general(
         xq, kernel_q, (((x.ndim - 1,), (0,)), ((), ())),

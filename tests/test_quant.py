@@ -49,6 +49,21 @@ def test_int8_dot_close_to_f32():
     assert rel < 0.02, rel
 
 
+def test_pallas_w8a8_matches_xla_int8():
+    """The fused-quant Pallas GEMM (a documented perf negative result, kept
+    for weight-memory-bound serving experiments) must agree with int8_dot."""
+    from tango_tpu.ops.int8_gemm import w8a8_matmul
+
+    rng = np.random.RandomState(2)
+    w = rng.randn(320, 256).astype(np.float32) * 0.05
+    q, s = quantize_weight(w)
+    x = jnp.asarray(rng.randn(300, 320) * 0.3, jnp.float32)
+    ref = int8_dot(x, jnp.asarray(q), jnp.asarray(s))
+    out = w8a8_matmul(x, jnp.asarray(q), jnp.asarray(s), block_m=256, block_n=128,
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
 def test_quantize_tree_scope_recurses():
     """Regression: scope must propagate into nested modules — a conv-scope
     tree quantizes resnet convs at depth but leaves attention Dense kernels

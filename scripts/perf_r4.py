@@ -1,0 +1,413 @@
+"""Round-4 perf: VPU-transcendental precision sweep + end-to-end breakdown.
+
+The r3 in-graph accounting (docs/PERF.md) left self-attention at 19 ms vs a
+13.3 ms D=64 MXU ceiling and GN stats at 4.4 ms. Both gaps are VPU-side:
+the (BQ, Skv) softmax passes (max / exp2 / sum) and the GN silu sigmoids run
+in f32. Outputs are cast to bf16 anyway, so computing the transcendentals in
+bf16 is the same error class as the existing bf16 casts — IF the VPU runs
+bf16 elementwise at a higher rate. This measures that.
+
+Experiments (full UNet CFG eval, batch 8, in-graph ablation methodology):
+  base          current kernels (fresh baseline)
+  attn_bf16p    flash v1: (logits - m) cast bf16 -> exp2 in bf16
+  attn_nomax    flash v1: skip max subtraction (DIAGNOSTIC ONLY — bounds the
+                cost of the max pass; not parity-safe)
+  gn_silu_bf16  GN kernel: normalize f32, silu in bf16
+  gn_norm_bf16  GN kernel: stats f32, normalize+affine+silu all bf16
+  both          attn_bf16p + gn_norm_bf16
+
+  breakdown     bench batch 4: 100-step sample loop vs VAE decode vs vocoder
+                (what does the non-UNet tail cost end-to-end?)
+
+python scripts/perf_r4.py [names...]
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LOG2_E = 1.4426950408889634
+
+
+def out(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def chain_ms(fn, x0, iters=8, reps=3):
+    @jax.jit
+    def run(x):
+        y, _ = jax.lax.scan(lambda c, _: (fn(c), None), x, None, length=iters)
+        return y
+
+    def sync(y):
+        float(jnp.ravel(y)[0])
+
+    t0 = time.perf_counter()
+    sync(run(x0))
+    cs = time.perf_counter() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(run(x0))
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts)) * 1e3, cs
+
+
+# ---------------------------------------------------------------- attention
+
+
+def _attn_bf16p(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """v1 deferred-div/exp2 kernel with the exp2 computed in bf16.
+
+    diff = logits - m is <= 0; casting it to bf16 loses <=2^-8 relative on the
+    exponent argument — the resulting p error is the same class as the bf16
+    cast p already takes before the PV matmul."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    qs = (q.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype)
+    logits = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp2((logits - m).astype(jnp.bfloat16))
+    denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+    acc = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+
+def _attn_nomax(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """DIAGNOSTIC: no max subtraction. Deferred division makes acc/denom
+    scale-invariant, but exp2(logits) overflows f32 for logits > ~127 —
+    measures what the max pass costs, not a product candidate."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    qs = (q.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype)
+    logits = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp2(logits)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+
+def flash_v1(q, k, v, *, scale, kernel):
+    from tango_tpu.ops import flash_attention as fa
+
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bq = fa._block_q(sq)
+
+    def reshape3(x):
+        return x.reshape(b * h, x.shape[2], d)
+
+    q3, k3, v3 = reshape3(q), reshape3(k), reshape3(v)
+    out3 = pl.pallas_call(
+        functools.partial(kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
+        grid=(b * h, sq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv, d), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv, d), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * sq * skv * d,
+            bytes_accessed=(q3.size * 2 + k3.size + v3.size) * q.dtype.itemsize,
+            transcendentals=b * h * sq * skv,
+        ),
+    )(q3, k3, v3)
+    return out3.reshape(b, h, sq, d)
+
+
+def make_mha(attn_impl):
+    """multi_head_attention with a chosen self-attn kernel (product dispatch:
+    short-Skv / biased cross-attention stays on the XLA einsum path)."""
+    from tango_tpu.ops.attention import _xla_attention
+
+    def mha(q, k, v, *, heads, bias=None, upcast=True, use_flash=None):
+        b, sq, inner = q.shape
+        skv = k.shape[1]
+        d = inner // heads
+        scale = d**-0.5
+        if bias is not None and bias.ndim == 2:
+            bias = bias[:, None, None, :]
+        elif bias is not None and bias.ndim == 3:
+            bias = bias[:, None, :, :]
+        if bias is not None:
+            bias = bias.astype(jnp.float32)
+        qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+        if bias is None and skv >= 256 and sq % 128 == 0:
+            o = attn_impl(qh, kh, vh, scale=scale)
+        else:
+            o = _xla_attention(qh, kh, vh, bias=bias, scale=scale, upcast=upcast)
+        return o.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+
+    return mha
+
+
+# ---------------------------------------------------------------- GroupNorm
+
+
+def _gn_kernel_var(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, act, mode):
+    x = x_ref[0].astype(jnp.float32)  # (S, C)
+    s, c = x.shape
+    g = num_groups
+    cg = c // g
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
+    member = (ch // cg == gr).astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    col_sum = jnp.sum(x, axis=0, keepdims=True)
+    col_sumsq = jnp.sum(x * x, axis=0, keepdims=True)
+    gsum = jnp.dot(col_sum, member, preferred_element_type=jnp.float32, precision=hp)
+    gsumsq = jnp.dot(col_sumsq, member, preferred_element_type=jnp.float32, precision=hp)
+    n = jnp.float32(s * cg)
+    mean_g = gsum / n
+    var_g = gsumsq / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, member.T, preferred_element_type=jnp.float32, precision=hp)
+    inv_c = jnp.dot(inv_g, member.T, preferred_element_type=jnp.float32, precision=hp)
+    gamma = scale_ref[0].astype(jnp.float32)[None, :]
+    beta = bias_ref[0].astype(jnp.float32)[None, :]
+    a = inv_c * gamma
+    b = beta - mean_c * a
+
+    if mode == "silu_bf16":
+        y = x * a + b
+        if act == "silu":
+            yb = y.astype(o_ref.dtype)
+            o_ref[0] = yb * jax.nn.sigmoid(yb)
+        else:
+            o_ref[0] = y.astype(o_ref.dtype)
+    elif mode == "norm_bf16":
+        xb = x_ref[0]
+        yb = xb * a.astype(xb.dtype) + b.astype(xb.dtype)
+        if act == "silu":
+            yb = yb * jax.nn.sigmoid(yb)
+        o_ref[0] = yb.astype(o_ref.dtype)
+    else:
+        raise ValueError(mode)
+
+
+def gn_variant(mode):
+    from tango_tpu.ops import basic as basic_mod
+    from tango_tpu.ops.gn_silu_pallas import gn_pallas_supported
+
+    orig = basic_mod.group_norm
+
+    def group_norm(x, scale, bias, num_groups, eps=1e-6, act=None):
+        if not gn_pallas_supported(x, num_groups):
+            return orig(x, scale, bias, num_groups, eps, act)
+        orig_shape = x.shape
+        b = x.shape[0]
+        c = x.shape[-1]
+        x3 = x.reshape(b, -1, c)
+        s = x3.shape[1]
+        o = pl.pallas_call(
+            functools.partial(_gn_kernel_var, num_groups=num_groups, eps=eps, act=act, mode=mode),
+            out_shape=jax.ShapeDtypeStruct(x3.shape, x.dtype),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=8 * b * s * c,
+                bytes_accessed=2 * x.size * x.dtype.itemsize,
+                transcendentals=b * s * c if act == "silu" else 0,
+            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        )(x3, scale.reshape(1, c), bias.reshape(1, c))
+        return o.reshape(orig_shape)
+
+    return group_norm
+
+
+# ---------------------------------------------------------------- harness
+
+
+def run_variant(name):
+    import tango_tpu.models.unet as unet_mod
+    from tango_tpu import configs as C
+    from tango_tpu.models.unet import UNet2DConditionModel
+
+    orig_mha = unet_mod.multi_head_attention
+    orig_gn = unet_mod.group_norm
+
+    if name in ("attn_bf16p", "both"):
+        unet_mod.multi_head_attention = make_mha(
+            lambda q, k, v, *, scale: flash_v1(q, k, v, scale=scale, kernel=_attn_bf16p)
+        )
+    if name == "attn_nomax":
+        unet_mod.multi_head_attention = make_mha(
+            lambda q, k, v, *, scale: flash_v1(q, k, v, scale=scale, kernel=_attn_nomax)
+        )
+    if name == "gn_silu_bf16":
+        unet_mod.group_norm = gn_variant("silu_bf16")
+    if name in ("gn_norm_bf16", "both"):
+        unet_mod.group_norm = gn_variant("norm_bf16")
+
+    try:
+        dtype = jnp.bfloat16
+        cfg = C.TANGO_UNET
+        unet = UNet2DConditionModel(cfg, dtype=dtype)
+        b = 8
+        shapes = jax.eval_shape(
+            lambda k: unet.init(
+                k, jnp.zeros((1, 256, 16, 8), dtype), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 2, cfg.cross_attention_dim), dtype),
+            )["params"],
+            jax.random.PRNGKey(0),
+        )
+
+        @jax.jit
+        def make():
+            return jax.tree_util.tree_map(
+                lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
+                    dtype if s.dtype == jnp.float32 else s.dtype
+                ),
+                shapes,
+            )
+
+        params = make()
+        ctx = jnp.ones((b, 64, cfg.cross_attention_dim), dtype) * 0.1
+        mask = jnp.ones((b, 64), jnp.int32)
+        t = jnp.full((b,), 500, jnp.int32)
+
+        def eval_fn(lat):
+            o = unet.apply({"params": params}, lat, t, ctx, encoder_attention_mask=mask)
+            return o.astype(lat.dtype)
+
+        lat0 = jnp.ones((b, 256, 16, 8), dtype) * 0.1
+        ms, cs = chain_ms(eval_fn, lat0)
+        out(exp="unet_eval_b8_r4", variant=name, ms=round(ms, 2), compile_s=round(cs, 1))
+    except Exception as e:
+        out(exp="unet_eval_b8_r4", variant=name, error=f"{type(e).__name__}: {e}"[:300])
+    finally:
+        unet_mod.multi_head_attention = orig_mha
+        unet_mod.group_norm = orig_gn
+
+
+def run_breakdown():
+    """bench-config batch 4: sample loop vs VAE decode vs vocoder."""
+    import dataclasses
+
+    from tango_tpu import configs as C
+    from tango_tpu.models.diffusion import AudioDiffusion
+    from tango_tpu.models.hifigan import HiFiGANGenerator
+    from tango_tpu.models.vae import AutoencoderKL
+
+    dtype = jnp.bfloat16
+    batch = 4
+    unet_cfg = dataclasses.replace(C.TANGO_UNET, quant_int8=True, quant_scope="conv")
+    diffusion = AudioDiffusion(unet_config=unet_cfg, dtype=dtype)
+    vae = AutoencoderKL(C.TANGO_VAE, dtype=dtype)
+    vocoder = HiFiGANGenerator(C.TANGO_HIFIGAN, dtype=dtype)
+
+    rng = jax.random.PRNGKey(0)
+    unet_shapes = jax.eval_shape(lambda k: diffusion.init_params(k), rng)
+    vae_shapes = jax.eval_shape(
+        lambda k: vae.init(k, jnp.zeros((1, 1024, 64, 1), dtype), k)["params"], rng
+    )
+    voc_shapes = jax.eval_shape(
+        lambda k: vocoder.init(k, jnp.zeros((1, 1024, 64), dtype))["params"], rng
+    )
+
+    @jax.jit
+    def make_params():
+        mk = lambda shapes: jax.tree_util.tree_map(
+            lambda s: (
+                jnp.ones(s.shape, jnp.int8)
+                if s.dtype == jnp.int8
+                else (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
+                    dtype if s.dtype == jnp.float32 else s.dtype
+                )
+            ),
+            shapes,
+        )
+        return mk(unet_shapes), mk(vae_shapes), mk(voc_shapes)
+
+    unet_params, vae_params, voc_params = make_params()
+    seq = 64
+    cond = jnp.ones((batch, seq, C.TANGO_UNET.cross_attention_dim), dtype) * 0.1
+    mask = jnp.ones((batch, seq), jnp.int32)
+    uncond = jnp.zeros_like(cond)
+
+    @jax.jit
+    def sample_only(unet_params, rng):
+        return diffusion.sample(
+            unet_params, cond, mask, rng, num_steps=100, guidance_scale=3.0,
+            uncond_embeds=uncond, uncond_mask=mask,
+        )
+
+    @jax.jit
+    def vae_only(vae_params, lat):
+        return vae.apply({"params": vae_params}, lat.astype(dtype), method=vae.decode_first_stage)
+
+    @jax.jit
+    def voc_only(voc_params, mel):
+        return vocoder.apply({"params": voc_params}, mel[..., 0])
+
+    def sync(x):
+        float(jnp.ravel(x)[0])
+
+    def timed(f, *args, reps=3):
+        t0 = time.perf_counter()
+        sync(f(*args))
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync(f(*args))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)), compile_s
+
+    lat_s, cs1 = timed(sample_only, unet_params, rng)
+    lat = sample_only(unet_params, rng)
+    vae_s, cs2 = timed(vae_only, vae_params, lat)
+    mel = vae_only(vae_params, lat)
+    voc_s, cs3 = timed(voc_only, voc_params, mel)
+    out(
+        exp="breakdown_b4",
+        sample_100step_s=round(lat_s, 3),
+        vae_decode_s=round(vae_s, 4),
+        vocoder_s=round(voc_s, 4),
+        total_s=round(lat_s + vae_s + voc_s, 3),
+        compiles_s=[round(c, 1) for c in (cs1, cs2, cs3)],
+        x_realtime_implied=round(batch * 10.24 / (lat_s + vae_s + voc_s), 3),
+    )
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or [
+        "base", "attn_bf16p", "attn_nomax", "gn_silu_bf16", "gn_norm_bf16", "both",
+        "breakdown",
+    ]
+    out(exp="env", devices=[str(d) for d in jax.devices()])
+    for nm in names:
+        if nm == "breakdown":
+            run_breakdown()
+        else:
+            run_variant(nm)

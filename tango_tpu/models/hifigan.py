@@ -16,9 +16,12 @@ ConvTranspose1d with padding=(k-u)//2, out_len = T*u).
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tango_tpu.configs import HiFiGANConfig
 
@@ -29,14 +32,51 @@ def _lrelu(x):
     return jax.nn.leaky_relu(x, LRELU_SLOPE)
 
 
+@functools.lru_cache(maxsize=None)
+def _subpixel_tables(k: int, u: int, p: int):
+    """Static gather tables for the subpixel transposed-conv decomposition.
+
+    A stride-u transposed conv equals u interleaved DENSE convs ("subpixel"
+    phases): output position n = u*s + r takes input taps x[s + d] with
+    kernel rows w[u*d + a_r], a_r = (k-1-p) - r. On TPU this matters: the
+    lhs-dilated formulation feeds the MXU an input that is (u-1)/u zeros,
+    while the phase-major kernel turns the whole stage into one dense GEMM
+    with a u*C_out lane dimension (measured: see docs/PERF.md round-4).
+
+    Returns (idx (kp, u), mask (kp, u), D0, D1) with kp = D1 - D0 + 1;
+    idx[dp, r] selects the stored-kernel row for phase r / tap offset
+    d = dp + D0 (masked 0 where u*d + a_r falls outside [0, k)).
+    """
+    a = [(k - 1 - p) - r for r in range(u)]
+    d_min = [-(ar // u) for ar in a]
+    d_max = [(k - 1 - ar) // u for ar in a]
+    d0, d1 = min(d_min), max(d_max)
+    kp = d1 - d0 + 1
+    idx = np.zeros((kp, u), np.int32)
+    mask = np.zeros((kp, u), np.float32)
+    for r in range(u):
+        for dp in range(kp):
+            i = u * (dp + d0) + a[r]
+            if 0 <= i < k:
+                idx[dp, r] = i
+                mask[dp, r] = 1.0
+    return idx, mask, d0, d1
+
+
 class ConvTranspose1D(nn.Module):
-    """torch ConvTranspose1d(stride=u, padding=p) equivalent on (B, T, C)."""
+    """torch ConvTranspose1d(stride=u, padding=p) equivalent on (B, T, C).
+
+    `subpixel=True` (default) computes it as u interleaved dense convs — the
+    math is identical (same stored kernel, see _subpixel_tables); the
+    lhs-dilation formulation is kept as the oracle for the equality test.
+    """
 
     out_channels: int
     kernel_size: int
     stride: int
     padding: int
     dtype: jnp.dtype = jnp.float32
+    subpixel: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -50,14 +90,36 @@ class ConvTranspose1D(nn.Module):
             (k, in_ch, self.out_channels),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        if not self.subpixel:
+            out = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1,),
+                padding=[(k - 1 - p, k - 1 - p)],
+                lhs_dilation=(u,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
+            return out + bias
+
+        b, t, _ = x.shape
+        co = self.out_channels
+        idx, mask, d0, d1 = _subpixel_tables(k, u, p)
+        kp = d1 - d0 + 1
+        out_len = (t - 1) * u - 2 * p + k  # torch ConvTranspose1d length
+        s_out = -(-out_len // u)
+        # phase-major dense kernel (kp, Ci, u*Co); gather is static-indexed
+        kw = kernel.astype(self.dtype)[idx.reshape(-1)] * jnp.asarray(
+            mask.reshape(-1, 1, 1), self.dtype
+        )
+        kw = kw.reshape(kp, u, in_ch, co).transpose(0, 2, 1, 3).reshape(kp, in_ch, u * co)
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
-            kernel.astype(self.dtype),
+            kw,
             window_strides=(1,),
-            padding=[(k - 1 - p, k - 1 - p)],
-            lhs_dilation=(u,),
+            padding=[(-d0, s_out + d1 - t)],
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
+        out = out.reshape(b, s_out * u, co)[:, :out_len]
         return out + bias
 
 

@@ -5,7 +5,10 @@ tango_tpu.utils.convert and checks the NHWC JAX model reproduces the reference
 NCHW outputs.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.conftest import load_golden
 from tango_tpu.configs import HiFiGANConfig, UNetConfig, VAEConfig
@@ -121,3 +124,21 @@ def test_hifigan_parity():
     mel = np.transpose(g["mel"], (0, 2, 1))  # (B, n_mels, T) -> (B, T, n_mels)
     wav = model.apply({"params": params}, mel)
     np.testing.assert_allclose(np.asarray(wav), g["wav"][:, 0, :], atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("k,u", [(16, 5), (16, 4), (8, 2), (4, 2), (15, 5)])
+def test_conv_transpose_subpixel_matches_lhs_dilation(k, u):
+    """Subpixel (phase-major dense conv) == lhs-dilation transposed conv,
+    including the odd k-u case (k=15, u=5 -> torch out length T*u + 1... etc.
+    covers every (kernel, rate) pair of HIFIGAN_16K_64 plus an odd remainder)."""
+    from tango_tpu.models.hifigan import ConvTranspose1D
+
+    p = (k - u) // 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 37, 16), jnp.float32)
+    sub = ConvTranspose1D(out_channels=24, kernel_size=k, stride=u, padding=p)
+    ref = ConvTranspose1D(out_channels=24, kernel_size=k, stride=u, padding=p, subpixel=False)
+    params = sub.init(jax.random.PRNGKey(1), x)
+    y = sub.apply(params, x)
+    y_ref = ref.apply(params, x)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5, rtol=1e-5)

@@ -245,6 +245,71 @@ def gn_variant(mode):
     return group_norm
 
 
+# ---------------------------------------------------------------- conv ablation
+
+
+def patch_qconv_center():
+    """Replace 3x3 stride-1 convs with their center tap (1/9 the FLOPs,
+    same shapes). DIAGNOSTIC: bounds what any 3x3-conv FLOP-reduction scheme
+    (Winograd etc.) could save in-graph."""
+    from tango_tpu.ops import quant as quant_mod
+
+    orig_call = quant_mod.QConv.__call__
+
+    def call(self, x):
+        if (
+            tuple(self.kernel_size) == (3, 3)
+            and tuple(self.strides) == (1, 1)
+            and not self.quant
+        ):
+            in_f = x.shape[-1]
+            k = self.param(
+                "kernel", jax.nn.initializers.lecun_normal(), (3, 3, in_f, self.features)
+            )
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k[1:2, 1:2].astype(self.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if self.use_bias:
+                b = self.param("bias", jax.nn.initializers.zeros, (self.features,))
+                y = y + b.astype(self.dtype)
+            return y
+        return orig_call(self, x)
+
+    quant_mod.QConv.__call__ = call
+    return orig_call
+
+
+def patch_qconv_winograd():
+    """Route 3x3 stride-1 bf16 convs through Winograd F(2x2,3x3) (ops/winograd)."""
+    from tango_tpu.ops import quant as quant_mod
+    from tango_tpu.ops.winograd import winograd_conv3x3
+
+    orig_call = quant_mod.QConv.__call__
+
+    def call(self, x):
+        if (
+            tuple(self.kernel_size) == (3, 3)
+            and tuple(self.strides) == (1, 1)
+            and not self.quant
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            in_f = x.shape[-1]
+            k = self.param(
+                "kernel", jax.nn.initializers.lecun_normal(), (3, 3, in_f, self.features)
+            )
+            y = winograd_conv3x3(x.astype(self.dtype), k.astype(self.dtype))
+            if self.use_bias:
+                b = self.param("bias", jax.nn.initializers.zeros, (self.features,))
+                y = y + b.astype(self.dtype)
+            return y
+        return orig_call(self, x)
+
+    quant_mod.QConv.__call__ = call
+    return orig_call
+
+
 # ---------------------------------------------------------------- harness
 
 
@@ -255,7 +320,12 @@ def run_variant(name):
 
     orig_mha = unet_mod.multi_head_attention
     orig_gn = unet_mod.group_norm
+    orig_qconv = None
 
+    if name == "conv3x3_center":
+        orig_qconv = patch_qconv_center()
+    if name == "conv3x3_winograd":
+        orig_qconv = patch_qconv_winograd()
     if name in ("attn_bf16p", "both"):
         unet_mod.multi_head_attention = make_mha(
             lambda q, k, v, *, scale: flash_v1(q, k, v, scale=scale, kernel=_attn_bf16p)
@@ -308,6 +378,10 @@ def run_variant(name):
     finally:
         unet_mod.multi_head_attention = orig_mha
         unet_mod.group_norm = orig_gn
+        if orig_qconv is not None:
+            from tango_tpu.ops import quant as quant_mod
+
+            quant_mod.QConv.__call__ = orig_qconv
 
 
 def run_breakdown():

@@ -1,0 +1,97 @@
+"""Winograd kernel: TPU compile + standalone timing at UNet conv shapes.
+
+Compares lax direct conv vs the fused Pallas Winograd F(2x2,3x3) kernel vs
+the pure-XLA Winograd at the resnet conv shapes (CFG batch 8). Standalone
+chained-scan numbers carry ~3.5 ms/iter fixed overhead (docs/PERF.md) —
+deltas between variants at the same shape are still meaningful; in-graph
+ablation (perf_r4.py conv3x3_winograd*) is the adoption gate.
+
+python scripts/perf_wino.py
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from tango_tpu.ops.winograd import winograd_conv3x3, winograd_conv3x3_pallas
+
+
+def out(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def chain_ms(fn, x0, iters=8, reps=3):
+    @jax.jit
+    def run(x):
+        y, _ = jax.lax.scan(lambda c, _: (fn(c), None), x, None, length=iters)
+        return y
+
+    def sync(y):
+        float(jnp.ravel(y)[0])
+
+    t0 = time.perf_counter()
+    sync(run(x0))
+    cs = time.perf_counter() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(run(x0))
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts)) * 1e3, cs
+
+
+SHAPES = [  # (B, H, W, Cin, Cout) — resnet conv sites at CFG batch 8
+    (8, 256, 16, 320, 320),   # L0
+    (8, 128, 8, 640, 640),    # L1
+    (8, 64, 4, 1280, 1280),   # L2
+]
+
+
+def main():
+    out(exp="env", devices=[str(d) for d in jax.devices()])
+    for (b, h, w, ci, co) in SHAPES:
+        x = (jax.random.normal(jax.random.PRNGKey(0), (b, h, w, ci)) * 0.1).astype(jnp.bfloat16)
+        k = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, ci, co)) * 0.02).astype(jnp.bfloat16)
+
+        def direct(xx):
+            y = jax.lax.conv_general_dilated(
+                xx, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y.astype(xx.dtype) * 0.25  # keep magnitudes stable across the chain
+
+        def wino_pallas(xx):
+            return (winograd_conv3x3_pallas(xx, k) * 0.25).astype(xx.dtype)
+
+        def wino_xla(xx):
+            return (winograd_conv3x3(xx, k) * 0.25).astype(xx.dtype)
+
+        flops = 2 * b * h * w * 9 * ci * co
+        for name, fn in [("direct", direct), ("wino_pallas", wino_pallas), ("wino_xla", wino_xla)]:
+            try:
+                ms, cs = chain_ms(fn, x)
+                # numerical check vs direct on one call
+                ref = np.asarray(direct(x), np.float32)
+                got = np.asarray(fn(x), np.float32)
+                err = float(np.abs(ref - got).max() / (np.abs(ref).max() + 1e-9))
+                out(
+                    exp="wino_shape", shape=[b, h, w, ci, co], variant=name,
+                    ms=round(ms, 3), tf_s=round(flops / ms / 1e9, 1),
+                    rel_err=round(err, 6), compile_s=round(cs, 1),
+                )
+            except Exception as e:
+                out(exp="wino_shape", shape=[b, h, w, ci, co], variant=name,
+                    error=f"{type(e).__name__}: {e}"[:400])
+
+
+if __name__ == "__main__":
+    main()

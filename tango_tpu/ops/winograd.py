@@ -1,0 +1,236 @@
+"""Winograd F(2x2, 3x3) convolution — MAC-reduced 3x3 conv for the UNet.
+
+The reference UNet's FLOPs are dominated by 3x3 stride-1 SAME convs
+(resnet conv1/conv2 — resnet.py:432-595 in the reference fork). Winograd
+F(2x2,3x3) computes each 2x2 output tile from a 4x4 input tile with 16
+multiplies instead of 36 — a 2.25x MAC reduction — while keeping the
+channel contractions as MXU GEMMs:
+
+    Y = A^T [ (G g G^T) . (B^T d B) ] A      (. = elementwise over 4x4)
+
+batched over channels:  M[p,q] = V[p,q] @ U[p,q]  for the 16 transform
+points (p,q), where V is the input tile transform (B, tiles, Cin) and
+U = GgG^T the weight transform (Cin, Cout). The transforms are exact in
+rational arithmetic (G has halves; error amplification is mild for F(2,3)
+and the contractions accumulate in f32).
+
+This is the pure-XLA formulation: the 16 GEMMs run as one batched
+dot_general; tile extraction is 16 strided slices. A fused Pallas version
+would avoid the HBM-materialized V/M intermediates; measured tradeoffs live
+in docs/PERF.md (round 4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# F(2x2, 3x3) transform matrices (Lavin & Gray, arXiv:1509.09308)
+_BT = np.array(
+    [[1, 0, -1, 0], [0, 1, 1, 0], [0, -1, 1, 0], [0, 1, 0, -1]], np.float32
+)
+_G = np.array([[1, 0, 0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0, 0, 1]], np.float32)
+_AT = np.array([[1, 1, 1, 0], [0, 1, -1, -1]], np.float32)
+
+
+def winograd_weight_transform(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) -> U (4, 4, Cin, Cout) = G w G^T per channel pair."""
+    g = jnp.asarray(_G, w.dtype)
+    return jnp.einsum("pi,qj,ijcd->pqcd", g, g, w)
+
+
+def winograd_conv3x3(
+    x: jnp.ndarray, w: jnp.ndarray, *, compute_dtype=None
+) -> jnp.ndarray:
+    """3x3 stride-1 SAME conv via Winograd F(2x2, 3x3).
+
+    x (B, H, W, Cin) with even H and W; w (3, 3, Cin, Cout). Returns
+    (B, H, W, Cout) in x.dtype. Matches lax.conv_general_dilated NHWC/HWIO
+    SAME to f32-noise.
+    """
+    b, h, ww, ci = x.shape
+    co = w.shape[-1]
+    assert h % 2 == 0 and ww % 2 == 0, (h, ww)
+    th, tw = h // 2, ww // 2
+    dt = compute_dtype or x.dtype
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # overlapping 4x4 tiles at stride 2: d[b,th,tw,i,j,c] = xp[b, 2th+i, 2tw+j, c]
+    rows = [
+        jnp.stack([xp[:, i : i + h : 2, j : j + ww : 2, :] for j in range(4)], axis=3)
+        for i in range(4)
+    ]
+    d = jnp.stack(rows, axis=3)  # (B, th, tw, 4, 4, C)
+
+    bt = jnp.asarray(_BT, jnp.float32)
+    at = jnp.asarray(_AT, jnp.float32)
+    # input transform (f32 accumulate over the +-1 sums, then compute dtype)
+    v = jnp.einsum("pi,qj,btwijc->pqbtwc", bt, bt, d.astype(jnp.float32)).astype(dt)
+    u = winograd_weight_transform(w.astype(jnp.float32)).astype(dt)
+    # the 16 channel contractions: (16, N, Cin) @ (16, Cin, Cout)
+    m = jax.lax.dot_general(
+        v.reshape(16, b * th * tw, ci),
+        u.reshape(16, ci, co),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(4, 4, b, th, tw, co)
+    # inverse transform: y[b,t,a,w,d,c] = sum_pq AT[a,p] AT[d,q] m[p,q,b,t,w,c]
+    y = jnp.einsum("ap,dq,pqbtwc->btawdc", at, at, m)
+    # (b, th, 2, tw, 2, co): rows interleave as 2t+a, cols as 2w+d
+    return y.reshape(b, h, ww, co).astype(x.dtype)
+
+
+# ---------------------------------------------------------- fused Pallas kernel
+#
+# The pure-XLA form above materializes d/V/M in HBM (2.25x input duplication
+# plus two f32-ish intermediates) — more bandwidth than the MAC reduction
+# saves. The fused kernel keeps everything VMEM-resident: one grid program
+# transforms a block of tile-rows, runs the 16 channel GEMMs out of VMEM and
+# inverse-transforms into the output block. Input arrives pre-padded
+# (H+2, W+2 -> even splits); the 2-row overlap between adjacent tile-row
+# blocks is re-read via the index map (blocks below overlap in their first
+# two rows — Pallas allows overlapping INPUT blocks).
+
+
+def _wino_kernel(xa_ref, xh_ref, u_ref, o_ref, *, tb: int, wt: int, ci: int, co: int):
+    """One block of tb tile-rows for one batch element.
+
+    xa_ref (1, 2*tb, 2*wt+2, Ci) — padded input rows [2*r*tb, 2*(r+1)*tb)
+    xh_ref (1, 2, 2*wt+2, Ci)    — the 2 halo rows [2*(r+1)*tb, +2)
+    u_ref  (16, Ci, Co)          — transformed weights (GgG^T), flattened pq
+    o_ref  (1, 2*tb, 2*wt, Co)
+    """
+    # stride-2 tile extraction via parity split: rows (2tb+2) -> (tb+1, 2)
+    xa = xa_ref[0].reshape(tb, 2, 2 * wt + 2, ci)
+    xh = xh_ref[0].reshape(1, 2, 2 * wt + 2, ci)
+    xr = jnp.concatenate([xa, xh], axis=0)  # (tb+1, 2, 2wt+2, C)
+    # d rows i=0..3 for tile-row t: [even[t], odd[t], even[t+1], odd[t+1]]
+    r_even0 = xr[: tb, 0]
+    r_odd0 = xr[: tb, 1]
+    r_even1 = xr[1 :, 0]
+    r_odd1 = xr[1 :, 1]
+
+    def col_split(r):  # (tb, 2wt+2, C) -> 4 col-parity/shift views (tb, wt, C)
+        rc = r.reshape(tb, wt + 1, 2, ci)
+        return rc[:, :wt, 0], rc[:, :wt, 1], rc[:, 1:, 0], rc[:, 1:, 1]
+
+    # d[i][j] (tb, wt, C) in f32 for the transform adds
+    rows = (r_even0, r_odd0, r_even1, r_odd1)
+    d = [[None] * 4 for _ in range(4)]
+    for i in range(4):
+        c0, c1, c2, c3 = col_split(rows[i])
+        d[i][0], d[i][1], d[i][2], d[i][3] = (
+            c0.astype(jnp.float32), c1.astype(jnp.float32),
+            c2.astype(jnp.float32), c3.astype(jnp.float32),
+        )
+
+    # V[p][q] = sum_ij BT[p,i] BT[q,j] d[i][j] — BT rows are 0/+-1 signed
+    # pairs: row transform first (4 -> 4 over i), then column transform.
+    def bt_combine(a0, a1, a2, a3):
+        return (a0 - a2, a1 + a2, a2 - a1, a1 - a3)
+
+    t = [[None] * 4 for _ in range(4)]  # after row transform: t[p][j]
+    for j in range(4):
+        p0, p1, p2, p3 = bt_combine(d[0][j], d[1][j], d[2][j], d[3][j])
+        t[0][j], t[1][j], t[2][j], t[3][j] = p0, p1, p2, p3
+    v = [[None] * 4 for _ in range(4)]
+    for p in range(4):
+        v[p][0], v[p][1], v[p][2], v[p][3] = bt_combine(
+            t[p][0], t[p][1], t[p][2], t[p][3]
+        )
+
+    # 16 channel GEMMs: (tb*wt, Ci) @ (Ci, Co), f32 accumulation
+    m = [[None] * 4 for _ in range(4)]
+    for p in range(4):
+        for q in range(4):
+            vb = v[p][q].reshape(tb * wt, ci).astype(o_ref.dtype)
+            m[p][q] = jnp.dot(
+                vb, u_ref[4 * p + q], preferred_element_type=jnp.float32
+            )
+
+    # inverse transform: AT = [[1,1,1,0],[0,1,-1,-1]]
+    def at_combine(m0, m1, m2, m3):
+        return (m0 + m1 + m2, m1 - m2 - m3)
+
+    ya = [[None] * 4 for _ in range(2)]  # row-combined: ya[a][q]
+    for q in range(4):
+        a0, a1 = at_combine(m[0][q], m[1][q], m[2][q], m[3][q])
+        ya[0][q], ya[1][q] = a0, a1
+    out = [[None] * 2 for _ in range(2)]
+    for a in range(2):
+        out[a][0], out[a][1] = at_combine(ya[a][0], ya[a][1], ya[a][2], ya[a][3])
+
+    # interleave: (tb, wt) grids of 2x2 outputs -> (2tb, 2wt, Co)
+    def col_interleave(y0, y1):  # two (tb*wt, Co) -> (tb, 2wt, Co)
+        y = jnp.stack([y0.reshape(tb, wt, co), y1.reshape(tb, wt, co)], axis=2)
+        return y.reshape(tb, 2 * wt, co)
+
+    row0 = col_interleave(out[0][0], out[0][1])  # a=0 rows
+    row1 = col_interleave(out[1][0], out[1][1])  # a=1 rows
+    y = jnp.stack([row0, row1], axis=1).reshape(2 * tb, 2 * wt, co)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _pick_tb(th: int, w_bytes: int) -> int:
+    """Largest tile-row block (divisor of th) keeping the f32 working set sane."""
+    for tb in (64, 32, 16, 8, 4, 2, 1):
+        if th % tb == 0 and tb * w_bytes <= 4 * 1024 * 1024:
+            return tb
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def winograd_conv3x3_pallas(
+    x: jnp.ndarray, w: jnp.ndarray, *, interpret: bool = False
+) -> jnp.ndarray:
+    """Fused Winograd F(2x2,3x3) SAME conv. x (B,H,W,Cin) even H/W; w HWIO."""
+    b, h, ww, ci = x.shape
+    co = w.shape[-1]
+    assert h % 2 == 0 and ww % 2 == 0, (h, ww)
+    th, wt = h // 2, ww // 2
+    dt = x.dtype
+
+    u = winograd_weight_transform(w.astype(jnp.float32)).astype(dt).reshape(16, ci, co)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    # per-tile-row f32 working set: ~16 V slabs + 16 M slabs of (wt, C)
+    row_bytes = 16 * wt * (ci + co) * 4
+    tb = _pick_tb(th, row_bytes)
+
+    out = pl.pallas_call(
+        functools.partial(_wino_kernel, tb=tb, wt=wt, ci=ci, co=co),
+        out_shape=jax.ShapeDtypeStruct((b, h, ww, co), dt),
+        grid=(b, th // tb),
+        in_specs=[
+            # aligned 2tb-row main block; the 2-row halo below arrives as a
+            # second view of the same array (2-row blocks: offset 2tb(r+1)
+            # is block index tb(r+1))
+            pl.BlockSpec(
+                (1, 2 * tb, 2 * wt + 2, ci),
+                lambda i, r: (i, r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, 2 * wt + 2, ci),
+                lambda i, r: (i, tb * (r + 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((16, ci, co), lambda i, r: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2 * tb, 2 * wt, co), lambda i, r: (i, r, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * ww * ci * co * 4,  # 16 muls per 2x2 outputs
+            bytes_accessed=(x.size + b * h * ww * co) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, xp, u)
+    return out

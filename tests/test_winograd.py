@@ -1,0 +1,65 @@
+"""Winograd F(2x2,3x3) conv vs lax direct conv (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tango_tpu.ops.winograd import (
+    winograd_conv3x3,
+    winograd_conv3x3_pallas,
+    winograd_weight_transform,
+)
+
+
+def _direct(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+@pytest.mark.parametrize(
+    "b,h,w,ci,co",
+    [
+        (2, 8, 6, 16, 24),     # odd tile count in W? (w=6 -> wt=3)
+        (1, 256, 16, 8, 8),    # L0 spatial shape
+        (2, 4, 4, 8, 16),      # minimal tiles
+    ],
+)
+def test_winograd_xla_matches_direct(b, h, w, ci, co):
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, ci), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, ci, co), jnp.float32) * 0.1
+    np.testing.assert_allclose(
+        np.asarray(winograd_conv3x3(x, k)), np.asarray(_direct(x, k)),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+@pytest.mark.parametrize(
+    "b,h,w,ci,co",
+    [
+        (2, 8, 8, 16, 24),
+        (1, 64, 16, 32, 8),
+        (2, 256, 16, 16, 16),  # multi-block grid (tile-row blocks + halo)
+    ],
+)
+def test_winograd_pallas_matches_direct(b, h, w, ci, co):
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, ci), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, ci, co), jnp.float32) * 0.1
+    y = winograd_conv3x3_pallas(x, k, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(_direct(x, k)), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_weight_transform_shape_and_identity():
+    """U = GgG^T reproduces the direct conv on a delta input."""
+    ci, co = 4, 4
+    k = jax.random.normal(jax.random.PRNGKey(2), (3, 3, ci, co), jnp.float32)
+    u = winograd_weight_transform(k)
+    assert u.shape == (4, 4, ci, co)
+    # delta image -> conv output at center equals kernel center tap response
+    x = jnp.zeros((1, 8, 8, ci)).at[0, 4, 4, 0].set(1.0)
+    y = winograd_conv3x3(x, k)
+    ref = _direct(x, k)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)

@@ -246,68 +246,61 @@ def gn_variant(mode):
 
 
 # ---------------------------------------------------------------- conv ablation
+#
+# flax Modules wrap __call__ at class creation, so QConv can't be method-
+# patched; instead patch jax.lax.conv_general_dilated globally (this is an
+# isolated experiment process). Dispatch condition: HWIO (3,3) kernel,
+# stride (1,1), no lhs_dilation, pad SAME/1 — i.e. every resnet/conv_in/out
+# 3x3 site in the UNet.
 
 
-def patch_qconv_center():
-    """Replace 3x3 stride-1 convs with their center tap (1/9 the FLOPs,
-    same shapes). DIAGNOSTIC: bounds what any 3x3-conv FLOP-reduction scheme
-    (Winograd etc.) could save in-graph."""
-    from tango_tpu.ops import quant as quant_mod
+def _is_3x3s1(kernel, window_strides, kwargs):
+    if kernel.ndim != 4 or kernel.shape[:2] != (3, 3):
+        return False
+    if tuple(window_strides) != (1, 1):
+        return False
+    if kwargs.get("lhs_dilation") not in (None, (1, 1)):
+        return False
+    dn = kwargs.get("dimension_numbers")
+    dnt = getattr(dn, "lhs_spec", None)
+    if dn not in (("NHWC", "HWIO", "NHWC"),) and dnt is None:
+        return False
+    return True
 
-    orig_call = quant_mod.QConv.__call__
 
-    def call(self, x):
+def _pad_ok(padding):
+    if isinstance(padding, str):
+        return padding == "SAME"
+    p = tuple(tuple(q) for q in padding)
+    return p == ((1, 1), (1, 1))
+
+
+def patch_lax_conv(mode, max_ci=10**9):
+    from tango_tpu.ops.winograd import winograd_conv3x3, winograd_conv3x3_pallas
+
+    orig = jax.lax.conv_general_dilated
+
+    def conv(lhs, rhs, window_strides, padding, **kwargs):
         if (
-            tuple(self.kernel_size) == (3, 3)
-            and tuple(self.strides) == (1, 1)
-            and not self.quant
+            _is_3x3s1(rhs, window_strides, kwargs)
+            and _pad_ok(padding)
+            and lhs.ndim == 4
+            and lhs.shape[1] % 2 == 0
+            and lhs.shape[2] % 2 == 0
+            and lhs.shape[-1] <= max_ci
+            and lhs.dtype == rhs.dtype
+            and jnp.issubdtype(lhs.dtype, jnp.floating)
         ):
-            in_f = x.shape[-1]
-            k = self.param(
-                "kernel", jax.nn.initializers.lecun_normal(), (3, 3, in_f, self.features)
-            )
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), k[1:2, 1:2].astype(self.dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            if self.use_bias:
-                b = self.param("bias", jax.nn.initializers.zeros, (self.features,))
-                y = y + b.astype(self.dtype)
-            return y
-        return orig_call(self, x)
+            if mode == "center":
+                return orig(lhs, rhs[1:2, 1:2], window_strides, "SAME", **kwargs)
+            if mode == "wino_xla":
+                return winograd_conv3x3(lhs, rhs).astype(lhs.dtype)
+            if mode == "wino_pallas":
+                return winograd_conv3x3_pallas(lhs, rhs).astype(lhs.dtype)
+        return orig(lhs, rhs, window_strides, padding, **kwargs)
 
-    quant_mod.QConv.__call__ = call
-    return orig_call
-
-
-def patch_qconv_winograd():
-    """Route 3x3 stride-1 bf16 convs through Winograd F(2x2,3x3) (ops/winograd)."""
-    from tango_tpu.ops import quant as quant_mod
-    from tango_tpu.ops.winograd import winograd_conv3x3
-
-    orig_call = quant_mod.QConv.__call__
-
-    def call(self, x):
-        if (
-            tuple(self.kernel_size) == (3, 3)
-            and tuple(self.strides) == (1, 1)
-            and not self.quant
-            and x.shape[1] % 2 == 0
-            and x.shape[2] % 2 == 0
-        ):
-            in_f = x.shape[-1]
-            k = self.param(
-                "kernel", jax.nn.initializers.lecun_normal(), (3, 3, in_f, self.features)
-            )
-            y = winograd_conv3x3(x.astype(self.dtype), k.astype(self.dtype))
-            if self.use_bias:
-                b = self.param("bias", jax.nn.initializers.zeros, (self.features,))
-                y = y + b.astype(self.dtype)
-            return y
-        return orig_call(self, x)
-
-    quant_mod.QConv.__call__ = call
-    return orig_call
+    jax.lax.conv_general_dilated = conv
+    return orig
 
 
 # ---------------------------------------------------------------- harness
@@ -323,9 +316,13 @@ def run_variant(name):
     orig_qconv = None
 
     if name == "conv3x3_center":
-        orig_qconv = patch_qconv_center()
+        orig_qconv = patch_lax_conv("center")
     if name == "conv3x3_winograd":
-        orig_qconv = patch_qconv_winograd()
+        orig_qconv = patch_lax_conv("wino_xla")
+    if name == "conv3x3_winograd_pallas":
+        orig_qconv = patch_lax_conv("wino_pallas")
+    if name == "conv3x3_winograd_pallas_l01":
+        orig_qconv = patch_lax_conv("wino_pallas", max_ci=640)
     if name in ("attn_bf16p", "both"):
         unet_mod.multi_head_attention = make_mha(
             lambda q, k, v, *, scale: flash_v1(q, k, v, scale=scale, kernel=_attn_bf16p)
@@ -379,9 +376,7 @@ def run_variant(name):
         unet_mod.multi_head_attention = orig_mha
         unet_mod.group_norm = orig_gn
         if orig_qconv is not None:
-            from tango_tpu.ops import quant as quant_mod
-
-            quant_mod.QConv.__call__ = orig_qconv
+            jax.lax.conv_general_dilated = orig_qconv
 
 
 def run_breakdown():

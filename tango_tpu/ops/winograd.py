@@ -179,7 +179,7 @@ def _wino_kernel(xa_ref, xh_ref, u_ref, o_ref, *, tb: int, wt: int, ci: int, co:
 def _pick_tb(th: int, w_bytes: int) -> int:
     """Largest tile-row block (divisor of th) keeping the f32 working set sane."""
     for tb in (64, 32, 16, 8, 4, 2, 1):
-        if th % tb == 0 and tb * w_bytes <= 4 * 1024 * 1024:
+        if th % tb == 0 and tb * w_bytes <= 16 * 1024 * 1024:
             return tb
     return 1
 
@@ -234,3 +234,44 @@ def winograd_conv3x3_pallas(
         interpret=interpret,
     )(xp, xp, u)
     return out
+
+
+# ------------------------------------------------------------------- dispatch
+
+
+def _direct_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+@jax.custom_vjp
+def winograd_conv3x3_vjp(x, w):
+    """Pallas Winograd forward; backward through the identical direct-conv
+    math (jax.vjp) — same pattern as the GN/flash kernels (ops/basic.py)."""
+    return winograd_conv3x3_pallas(x, w)
+
+
+def _wino_fwd(x, w):
+    return winograd_conv3x3_vjp(x, w), (x, w)
+
+
+def _wino_bwd(res, g):
+    x, w = res
+    _, vjp = jax.vjp(_direct_conv, x, w)
+    return vjp(g.astype(x.dtype))
+
+
+winograd_conv3x3_vjp.defvjp(_wino_fwd, _wino_bwd)
+
+
+def wino_supported(x_shape, k_shape, strides) -> bool:
+    """3x3 stride-1 SAME conv with even spatial dims (the UNet resnet sites)."""
+    return (
+        len(k_shape) == 4
+        and tuple(k_shape[:2]) == (3, 3)
+        and tuple(strides) == (1, 1)
+        and len(x_shape) == 4
+        and x_shape[1] % 2 == 0
+        and x_shape[2] % 2 == 0
+    )

@@ -22,11 +22,11 @@ import jax
 
 # Persistent compilation cache: repeated driver benches skip the ~2 min
 # XLA compile (VERDICT r1 weak #6). Must be set before any compilation.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+# Shared with serve.py via the same helper/location.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from tango_tpu.utils.profiling import setup_compilation_cache
+
+setup_compilation_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 import jax.numpy as jnp
 import numpy as np

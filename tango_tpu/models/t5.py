@@ -345,7 +345,8 @@ class T5Seq2Seq:
                 return False
             if early_stopping:
                 return True
-            best_possible = max(beam_scores) / (max_length**length_penalty)
+            # HF BeamHypotheses.is_done: best_sum_logprobs / cur_len**penalty
+            best_possible = max(beam_scores) / (cur_len**length_penalty)
             return min(h[0] for h in hyps) >= best_possible  # worst kept >= best reachable
 
         cur_len = 1

@@ -131,8 +131,17 @@ def flash_attention_v2(
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    bq = min(block_q, sq)
-    bkv = min(block_kv, skv)
+
+    def _pick(limit, n):
+        # largest power-of-two block <= limit that divides n (falls back to n
+        # itself) — callers may pass any Sq/Skv, e.g. 4608 for 11.5 s audio
+        for cand in (limit, 1024, 512, 256, 128):
+            if cand <= n and n % cand == 0:
+                return cand
+        return n
+
+    bq = _pick(block_q, sq)
+    bkv = _pick(block_kv, skv)
     assert sq % bq == 0 and skv % bkv == 0, (sq, bq, skv, bkv)
     kv_steps = skv // bkv
 

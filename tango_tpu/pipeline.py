@@ -75,7 +75,11 @@ class Tango:
         # quant: int8 W8A8 serving mode for the UNet — "conv" (the measured
         # win on v5e, bench.py default), "dense", or "all"; None = bf16/f32.
         # Weights quantize once at load (ops/quant.quantize_tree).
-        self.quant = quant
+        if quant not in (None, False, "conv", "dense", "all"):
+            # a typo ("int8", "convs", ...) would otherwise silently produce
+            # an UNQUANTIZED pipeline (truthy flag, empty quantize name set)
+            raise ValueError(f"quant must be one of None/'conv'/'dense'/'all', got {quant!r}")
+        self.quant = quant or None
 
         if name_or_path is not None:
             path = name_or_path
@@ -182,12 +186,12 @@ class Tango:
             # int8 error)
             from tango_tpu.ops.quant import quantize_tree
 
+            # device_get handles host numpy leaves directly — wrapping in
+            # jnp.asarray first would round-trip the 3.5 GB tree through the
+            # device (minutes on the axon relay) for nothing
             unet_params = jax.tree_util.tree_map(
                 jnp.asarray,
-                quantize_tree(
-                    jax.device_get(jax.tree_util.tree_map(jnp.asarray, unet_params)),
-                    scope=self.quant,
-                ),
+                quantize_tree(jax.device_get(unet_params), scope=self.quant),
             )
         vae_params = maybe_cast(vae_params)
         t5_params = maybe_cast(t5_params)

@@ -29,15 +29,10 @@ class Predictor:
         from tango_tpu.pipeline import Tango
 
         # persistent XLA compilation cache: restarted replicas skip the
-        # ~2 min 100-step program compile (same mechanism as bench.py)
-        cache_dir = os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/tango_tpu/xla")
-        )
-        try:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-        except Exception:
-            pass  # already configured or backend initialized with a cache
+        # ~2 min 100-step program compile (same cache as bench.py)
+        from tango_tpu.utils.profiling import setup_compilation_cache
+
+        setup_compilation_cache()
 
         self.tango = Tango(model, quant=quant)
         # warm the 100-step program so first request latency is steady-state

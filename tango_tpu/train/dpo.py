@@ -200,4 +200,9 @@ class DPOTrainer:
                     jax.device_get(state.params),
                     manifest=rec,
                 )
+        # always leave a final checkpoint: with sft_first_epochs >= num_epochs
+        # and no validation file, neither branch above ever fires
+        ckpt_io.save_native(
+            os.path.join(output_dir, "last"), jax.device_get(state.params)
+        )
         return state

@@ -147,8 +147,14 @@ def main(argv=None):
         vrows = load_preference_manifest(args.validation_file)
 
         def val_batches():
-            for k in range(0, len(vrows) - bs + 1, bs):
+            # include the tail: pad the final partial batch by repeating rows
+            # (keeps the jitted val step at one static batch shape); without
+            # this a val set smaller than bs yields zero batches and the
+            # best-checkpoint gate silently never fires
+            for k in range(0, len(vrows), bs):
                 chunk = vrows[k : k + bs]
+                if len(chunk) < bs:
+                    chunk = (chunk * bs)[:bs]
                 w = np.concatenate(
                     [read_wav_file(r["chosen"], args.target_length * 160) for r in chunk], 0
                 )

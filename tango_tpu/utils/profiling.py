@@ -55,3 +55,27 @@ def trace(logdir: str = "/tmp/tango_tpu_trace"):
 
 def realtime_factor(audio_seconds: float, wall_seconds: float, chips: int = 1) -> float:
     return audio_seconds / wall_seconds / chips
+
+
+def setup_compilation_cache(default_dir: str | None = None) -> str:
+    """Point JAX at a persistent compilation cache (shared by bench + serve).
+
+    Priority: $JAX_COMPILATION_CACHE_DIR > `default_dir` > <repo>/.jax_cache
+    (falls back to ~/.cache/tango_tpu/xla when the repo dir is not writable).
+    One shared location means the 100-step serving program compiled by a
+    bench run is reused by the first serve replica and vice versa.
+    """
+    import os
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or default_dir
+    if cache_dir is None:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        cache_dir = os.path.join(repo, ".jax_cache")
+        if not os.access(os.path.dirname(cache_dir), os.W_OK):
+            cache_dir = os.path.expanduser("~/.cache/tango_tpu/xla")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass  # backend already initialized with a cache
+    return cache_dir

@@ -125,3 +125,18 @@ def test_flash_v2_multiblock_matches_xla():
     out = flash_attention_v2(q, k, v, scale=0.125, block_q=128, block_kv=128, interpret=True)
     ref = _xla_attention(q, k, v, bias=None, scale=0.125, upcast=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_v2_non_divisible_lengths_pick_valid_blocks():
+    """Sq/Skv that default block sizes don't divide (e.g. 4608 = 11.5 s
+    latents) must fall back to smaller divisors instead of assert-crashing."""
+    from tango_tpu.ops.flash_attention import flash_attention_v2
+
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(1, 1, 384, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 1, 640, 64), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 1, 640, 64), jnp.float32)
+    # 384 % 512 != 0 and 640 % 1024 != 0: picks bq=128, bkv=128
+    out = flash_attention_v2(q, k, v, scale=0.125, interpret=True)
+    ref = _xla_attention(q, k, v, bias=None, scale=0.125, upcast=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)

@@ -134,3 +134,13 @@ def test_cfg_loop_int8_error_comparable_to_bf16():
     err_int8 = np.linalg.norm(lat_int8 - lat_f32) / np.linalg.norm(lat_f32)
     assert np.isfinite(err_int8)
     assert err_int8 < max(8 * err_bf16, 0.05), (err_int8, err_bf16)
+
+
+def test_pipeline_rejects_unknown_quant_scope():
+    """A typo'd quant scope must raise, not silently serve unquantized."""
+    import pytest
+
+    from tango_tpu.pipeline import Tango
+
+    with pytest.raises(ValueError, match="quant must be"):
+        Tango.__new__(Tango).__init__(name_or_path=None, quant="int8")

@@ -941,11 +941,58 @@ def make_htsat_golden():
     print("htsat_tiny:", out["embedding"].shape, float(out["embedding"].abs().mean()))
 
 
+
+
+def make_vggish_golden():
+    """torchvggish VGG semantics (harritaylor/torchvggish vggish.py): the
+    package is not installable here (torch.hub, zero egress), so the exact
+    architecture + transpose-flatten forward is reproduced in torch with
+    seeded random weights; the fixture pins convert_vggish + the JAX model,
+    in particular the (H, W, C) flatten order before embeddings.0."""
+    torch.manual_seed(11)
+
+    features = torch.nn.Sequential(
+        torch.nn.Conv2d(1, 64, 3, padding=1), torch.nn.ReLU(True), torch.nn.MaxPool2d(2, 2),
+        torch.nn.Conv2d(64, 128, 3, padding=1), torch.nn.ReLU(True), torch.nn.MaxPool2d(2, 2),
+        torch.nn.Conv2d(128, 256, 3, padding=1), torch.nn.ReLU(True),
+        torch.nn.Conv2d(256, 256, 3, padding=1), torch.nn.ReLU(True), torch.nn.MaxPool2d(2, 2),
+        torch.nn.Conv2d(256, 512, 3, padding=1), torch.nn.ReLU(True),
+        torch.nn.Conv2d(512, 512, 3, padding=1), torch.nn.ReLU(True), torch.nn.MaxPool2d(2, 2),
+    )
+    embeddings = torch.nn.Sequential(
+        torch.nn.Linear(512 * 4 * 6, 4096), torch.nn.ReLU(True),
+        torch.nn.Linear(4096, 4096), torch.nn.ReLU(True),
+        torch.nn.Linear(4096, 128), torch.nn.ReLU(True),
+    )
+
+    class VGG(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = features
+            self.embeddings = embeddings
+
+        def forward(self, x):
+            x = self.features(x)
+            x = torch.transpose(x, 1, 3)
+            x = torch.transpose(x, 1, 2)
+            x = x.contiguous()
+            x = x.view(x.size(0), -1)
+            return self.embeddings(x)
+
+    model = VGG().eval()
+    x = torch.randn(2, 1, 96, 64)
+    with torch.no_grad():
+        emb = model(x)
+    out = {"x": x.numpy(), "emb": emb.numpy()}
+    out.update(state_to_numpy(model.state_dict()))
+    np.savez(OUT / "vggish.npz", **out)
+    print("vggish golden:", emb.shape)
+
 if __name__ == "__main__":
     import sys as _sys
     only = _sys.argv[1:] if len(_sys.argv) > 1 else None
     for fn in [make_scheduler_golden, make_unet_golden, make_vae_golden,
-               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden, make_clap_text_golden, make_htsat_golden, make_deberta_golden, make_t5gen_golden]:
+               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden, make_clap_text_golden, make_htsat_golden, make_deberta_golden, make_t5gen_golden, make_vggish_golden]:
         name = fn.__name__.replace("make_", "").replace("_golden", "")
         if only is None or name in only:
             fn()

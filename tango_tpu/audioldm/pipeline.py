@@ -138,8 +138,13 @@ class AudioLDMPipeline:
     # -------------------------------------------------------------- sampling
     def sample_latents(self, film_cond, film_uncond, rng, *, latent_t_size: int,
                        ddim_steps: int, guidance_scale: float,
-                       init_latents=None, t_start: Optional[int] = None) -> jnp.ndarray:
-        """CFG DDIM scan over the FiLM UNet; optional partial-noising start."""
+                       init_latents=None, t_start: Optional[int] = None,
+                       eta: float = 1.0) -> jnp.ndarray:
+        """CFG DDIM scan over the FiLM UNet; optional partial-noising start.
+
+        eta defaults to 1.0 (stochastic DDIM) — the reference samples with
+        ddim_eta=1.0 in generation, masked generation and style transfer
+        (ldm.py:639,728; pipeline.py:212)."""
         sched = self.scheduler
         all_ts = sched.timesteps(ddim_steps)
         if t_start is not None:
@@ -148,7 +153,7 @@ class AudioLDMPipeline:
         b = film_cond.shape[0]
         shape = (b, latent_t_size, self.latent_f_size, self.unet_config.in_channels)
 
-        k_init, _ = jax.random.split(rng)
+        k_init, k_loop = jax.random.split(rng)
         if init_latents is None:
             latents = jax.random.normal(k_init, shape, jnp.float32)
         else:
@@ -156,7 +161,9 @@ class AudioLDMPipeline:
 
         film = jnp.concatenate([film_uncond, film_cond], axis=0)
 
-        def body(lat, t):
+        def body(carry, t):
+            lat, key = carry
+            key, k_var = jax.random.split(key)
             lat_in = jnp.concatenate([lat, lat], axis=0)
             t_b = jnp.full((2 * b,), t, jnp.int32)
             pred = self.unet.apply(
@@ -164,10 +171,11 @@ class AudioLDMPipeline:
             ).astype(jnp.float32)
             pu, pc = jnp.split(pred, 2, axis=0)
             pred = pu + guidance_scale * (pc - pu)
-            lat, _ = self.scheduler.step(pred, t, lat, jnp.zeros_like(lat), ddim_steps, eta=0.0)
-            return lat, None
+            noise = jax.random.normal(k_var, lat.shape, jnp.float32)
+            lat, _ = self.scheduler.step(pred, t, lat, noise, ddim_steps, eta=eta)
+            return (lat, key), None
 
-        latents, _ = jax.lax.scan(body, latents, timesteps)
+        (latents, _), _ = jax.lax.scan(body, (latents, k_loop), timesteps)
         return latents
 
     def p_sample_loop(self, film_cond, film_uncond, rng, *, latent_t_size: int,
@@ -246,10 +254,27 @@ def text_to_audio(
     guidance_scale: float = 2.5,
     n_candidate_gen_per_text: int = 3,
 ) -> np.ndarray:
-    """pipeline.py:107-143 semantics; candidates re-ranked by CLAP similarity."""
+    """pipeline.py:107-143 semantics; candidates re-ranked by CLAP similarity.
+
+    With `original_audio_file_path`, conditioning switches to the CLAP AUDIO
+    embedding of the source file ("generate audio that has similar content",
+    reference set_cond_audio / embed_mode="audio", pipeline.py:97-133)."""
     cond = pipeline.conditioner
     n = batchsize * max(n_candidate_gen_per_text, 1)
-    film_cond = jnp.asarray(np.repeat(cond.text_embed([text]), n, axis=0))
+    if original_audio_file_path is not None:
+        if not hasattr(cond, "audio_embed"):
+            raise ValueError(
+                "original_audio_file_path needs a conditioner with an audio "
+                "tower (models.clap.Clap); this one only embeds text"
+            )
+        from tango_tpu.audio.wav import read_wav_file
+
+        wav = read_wav_file(original_audio_file_path, int(duration * 102.4) * 160)
+        film_cond = jnp.asarray(
+            np.repeat(cond.audio_embed(np.asarray(wav, np.float32)), n, axis=0)
+        )
+    else:
+        film_cond = jnp.asarray(np.repeat(cond.text_embed([text]), n, axis=0))
     film_uncond = jnp.asarray(cond.unconditional_embed(n))
 
     rng = jax.random.PRNGKey(seed)
@@ -294,20 +319,27 @@ def style_transfer(
     z0 = jnp.repeat(z0, batchsize, axis=0)
 
     t_start_idx = int(transfer_strength * ddim_steps)
-    all_ts = pipeline.scheduler.timesteps(ddim_steps)
-    t0 = int(all_ts[max(len(all_ts) - t_start_idx, 0)] if t_start_idx < len(all_ts) else all_ts[0])
-    noise = jax.random.normal(k_noise, z0.shape, jnp.float32)
-    noisy = pipeline.scheduler.add_noise(z0.astype(jnp.float32), noise, jnp.full((z0.shape[0],), t0))
+    if t_start_idx <= 0:
+        # strength rounds to zero denoising steps: the reference's DDIM
+        # sampler runs 0 steps and returns the (un-noised) source latent
+        latents = z0.astype(jnp.float32)
+    else:
+        all_ts = pipeline.scheduler.timesteps(ddim_steps)
+        t0 = int(all_ts[len(all_ts) - t_start_idx] if t_start_idx < len(all_ts) else all_ts[0])
+        noise = jax.random.normal(k_noise, z0.shape, jnp.float32)
+        noisy = pipeline.scheduler.add_noise(z0.astype(jnp.float32), noise, jnp.full((z0.shape[0],), t0))
 
-    cond = pipeline.conditioner
-    film_cond = jnp.asarray(np.repeat(cond.text_embed([text]), batchsize, axis=0))
-    film_uncond = jnp.asarray(cond.unconditional_embed(batchsize))
-    latents = pipeline.sample_latents(
-        film_cond, film_uncond, k_samp,
-        latent_t_size=z0.shape[1], ddim_steps=ddim_steps,
-        guidance_scale=guidance_scale, init_latents=noisy, t_start=t0,
-    )
-    return pipeline.decode(latents)
+        cond = pipeline.conditioner
+        film_cond = jnp.asarray(np.repeat(cond.text_embed([text]), batchsize, axis=0))
+        film_uncond = jnp.asarray(cond.unconditional_embed(batchsize))
+        latents = pipeline.sample_latents(
+            film_cond, film_uncond, k_samp,
+            latent_t_size=z0.shape[1], ddim_steps=ddim_steps,
+            guidance_scale=guidance_scale, init_latents=noisy, t_start=t0,
+        )
+    # the reference trims the last 3 latent time-frames before decoding
+    # (pipeline.py:240-241: decode_first_stage(samples[:, :, :-3, :]))
+    return pipeline.decode(latents[:, :-3])
 
 
 def super_resolution_and_inpainting(
@@ -364,7 +396,7 @@ def super_resolution_and_inpainting(
 
     def body(carry, t):
         lat, key = carry
-        key, k_n = jax.random.split(key)
+        key, k_n, k_var = jax.random.split(key, 3)
         lat_in = jnp.concatenate([lat, lat], axis=0)
         t_b = jnp.full((2 * b,), t, jnp.int32)
         pred = pipeline.unet.apply(
@@ -372,7 +404,12 @@ def super_resolution_and_inpainting(
         ).astype(jnp.float32)
         pu, pc = jnp.split(pred, 2, axis=0)
         pred = pu + guidance_scale * (pc - pu)
-        lat, _ = sched.step(pred, t, lat, jnp.zeros_like(lat), ddim_steps, eta=0.0)
+        # stochastic DDIM: the reference samples masked generation with
+        # ddim_eta=1.0 (ldm.py:728)
+        lat, _ = sched.step(
+            pred, t, lat, jax.random.normal(k_var, lat.shape, jnp.float32),
+            ddim_steps, eta=1.0,
+        )
         # pin the kept region to the source, re-noised to the current level
         prev_t = jnp.maximum(t - sched.config.num_train_timesteps // ddim_steps, 0)
         known = sched.add_noise(z0, jax.random.normal(k_n, z0.shape), jnp.full((b,), prev_t))

@@ -106,7 +106,11 @@ class EvaluationHelper:
 
     def cnn14_features(self, files: List[str]) -> Dict[str, np.ndarray]:
         assert self.cnn14_params is not None, "Cnn14 weights not loaded"
-        apply = jax.jit(lambda p, m: self.cnn14.apply({"params": p}, m))
+        # jit cache is keyed on the function object: hoist it so the gen and
+        # ref dirs share ONE compile (each remote compile is minutes)
+        if not hasattr(self, "_cnn14_apply"):
+            self._cnn14_apply = jax.jit(lambda p, m: self.cnn14.apply({"params": p}, m))
+        apply = self._cnn14_apply
 
         mels = []
         for f in files:
@@ -137,7 +141,9 @@ class EvaluationHelper:
 
     def vggish_embeddings(self, files: List[str]) -> np.ndarray:
         assert self.vggish_params is not None, "VGGish weights not loaded"
-        apply = jax.jit(lambda p, x: self.vggish.apply({"params": p}, x))
+        if not hasattr(self, "_vggish_apply"):
+            self._vggish_apply = jax.jit(lambda p, x: self.vggish.apply({"params": p}, x))
+        apply = self._vggish_apply
         examples = []
         for f in files:
             wav = _read_mono_16k(f, self.sampling_rate)
@@ -249,17 +255,30 @@ class EvaluationHelper:
             m1 = self._mel(g)
             m2 = self._mel(r)
             n = min(len(m1), len(m2))
-            p = M.psnr(m1[:n], m2[:n])
+            # skimage float-dtype semantics on [0,1] mels: psnr data_range
+            # 1.0 (true_min >= 0), ssim data_range 2.0 (dtype range (-1,1))
+            p = M.psnr(m1[:n], m2[:n], data_range=1.0)
             if np.isinf(p):
                 continue
             psnrs.append(p)
-            ssims.append(M.ssim(m1[:n], m2[:n]))
+            ssims.append(M.ssim(m1[:n], m2[:n], data_range=2.0))
         return {
             "psnr": float(np.mean(psnrs)) if psnrs else -1,
             "ssim": float(np.mean(ssims)) if ssims else -1,
         }
 
     def _mel(self, path: str) -> np.ndarray:
-        wav = _read_mono_16k(path, self.sampling_rate)
-        mel, _ = self.paired_stft.mel_spectrogram(jnp.asarray(wav[None, :]))
-        return np.asarray(mel)[0]
+        """MelPairedDataset mel (load_mel.py:88-115): mean-subtract (NO peak
+        normalization, unlike WaveDataset), clip to [-1, 1], log10 mel, then
+        (mel + 100) / 100 clipped to [0, 1]."""
+        from tango_tpu.audio.wav import read_wav, resample_poly
+
+        wav, sr = read_wav(path)
+        if wav.ndim > 1:
+            wav = wav[:, 0]
+        wav = wav.astype(np.float32) - float(np.mean(wav))
+        wav = resample_poly(wav, sr, self.sampling_rate)
+        wav = np.clip(wav, -1.0, 1.0)
+        mel_ln, _ = self.paired_stft.mel_spectrogram(jnp.asarray(wav[None, :]))
+        mel10 = np.asarray(mel_ln)[0] / np.log(10.0)  # ln -> log10
+        return np.clip((mel10 + 100.0) / 100.0, 0.0, 1.0)

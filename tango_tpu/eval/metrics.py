@@ -165,9 +165,14 @@ def calculate_kid(featuresdict_1, featuresdict_2, feat_layer_name: str = "2048",
 
 # ------------------------------------------------------------ paired PSNR/SSIM
 
-def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """skimage.metrics.peak_signal_noise_ratio with data_range = b.max()-b.min()."""
-    data_range = b.max() - b.min()
+def psnr(a: np.ndarray, b: np.ndarray, data_range: Optional[float] = None) -> float:
+    """skimage.metrics.peak_signal_noise_ratio(image_true=a, image_test=b).
+
+    For float inputs skimage derives data_range from the DTYPE range (-1, 1):
+    1.0 when a.min() >= 0 else 2.0 — never from the observed min/max. The
+    evaluator passes data_range=1.0 explicitly for its [0, 1] paired mels."""
+    if data_range is None:
+        data_range = 1.0 if a.min() >= 0 else 2.0
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     if mse == 0:
         return float("inf")

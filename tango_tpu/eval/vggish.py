@@ -91,8 +91,11 @@ class VGGish(nn.Module):
                 x = jax.nn.relu(x)
                 li += 1
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        # torch flattens NCHW (C,H,W) = (512, 6, 4); we are NHWC (6, 4, 512)
-        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+        # torchvggish VGG.forward transposes NCHW -> (B, H, W, C) BEFORE
+        # flattening (transpose(1,3); transpose(1,2); view(B, -1) — the fc
+        # weights originate from TF VGGish, which is channels-last), so the
+        # correct flatten order is (H, W, C): exactly our native NHWC layout.
+        x = x.reshape(x.shape[0], -1)
         x = jax.nn.relu(nn.Dense(4096, name="fc0")(x))
         x = jax.nn.relu(nn.Dense(4096, name="fc1")(x))
         x = jax.nn.relu(nn.Dense(128, name="fc2")(x))

@@ -134,6 +134,7 @@ class AudioDiffusion:
         extra_contexts: Sequence[jnp.ndarray] = (),
         extra_masks: Sequence[jnp.ndarray] = (),
         uncond_extra_contexts: Sequence[jnp.ndarray] = (),
+        uncond_extra_masks: Sequence[jnp.ndarray] = (),
         noise_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         latent_t_size: Optional[int] = None,
     ) -> jnp.ndarray:
@@ -168,11 +169,24 @@ class AudioDiffusion:
         if cfg:
             ctx = jnp.concatenate([uncond_embeds, cond_embeds], axis=0)
             msk = jnp.concatenate([uncond_mask, cond_mask], axis=0)
+            if extra_contexts:
+                # zip would silently DROP streams on an arity mismatch
+                assert len(uncond_extra_contexts) == len(extra_contexts), (
+                    "CFG with extra conditioning streams needs one "
+                    "unconditional context per stream "
+                    f"({len(uncond_extra_contexts)} vs {len(extra_contexts)})"
+                )
             extra = [
                 jnp.concatenate([u, c], axis=0)
                 for u, c in zip(uncond_extra_contexts, extra_contexts)
             ]
-            extra_m = [jnp.concatenate([m, m], axis=0) for m in extra_masks]
+            # unconditional streams carry their own masks when provided
+            # (Mustango embeds tokenized-EMPTY beats/chords with distinct
+            # masks — mustango/models.py:668,712); default: reuse cond mask
+            um = uncond_extra_masks or extra_masks
+            extra_m = [
+                jnp.concatenate([u, m], axis=0) for u, m in zip(um, extra_masks)
+            ]
         else:
             ctx, msk = cond_embeds, cond_mask
             extra, extra_m = list(extra_contexts), list(extra_masks)

@@ -238,10 +238,28 @@ class MusicAudioDiffusion(AudioDiffusion):
         beat_emb, beat_mask, chord_emb, chord_mask,
         num_steps=200, guidance_scale=3.0,
         uncond_embeds=None, uncond_mask=None,
+        cond_params=None,
     ):
-        """CFG sampling: unconditional half zeroes text AND music conditions
-        (mustango/models.py:650-740)."""
-        uncond_extras = (jnp.zeros_like(beat_emb), jnp.zeros_like(chord_emb))
+        """CFG sampling with music streams (mustango/models.py:650-740).
+
+        The reference's unconditional half is NOT zeros: it embeds
+        tokenized-EMPTY beats ([[],[]] -> all-pad ids, all-zero mask) and
+        chords ([] -> single "N" token, mask [1,0,...]) through the embedding
+        layers, with those tokenizations' own masks (encode_beats/
+        chords_classifier_free). Pass `cond_params` (the MusicConditioner
+        params) to reproduce that exactly; without it the fallback zeroes the
+        embeddings and reuses the conditional masks (pre-r2 behavior, kept
+        only for callers without conditioner params)."""
+        if cond_params is not None:
+            n = int(beat_emb.shape[0])
+            ub_emb, ub_mask, uc_emb, uc_mask = self.encode_music(
+                cond_params, [[[], []]] * n, [[]] * n, [[]] * n
+            )
+            uncond_extras = (ub_emb, uc_emb)
+            uncond_extra_masks = (ub_mask, uc_mask)
+        else:
+            uncond_extras = (jnp.zeros_like(beat_emb), jnp.zeros_like(chord_emb))
+            uncond_extra_masks = ()
         return self.sample(
             unet_params, cond_embeds, cond_mask, rng,
             num_steps=num_steps, guidance_scale=guidance_scale,
@@ -249,6 +267,7 @@ class MusicAudioDiffusion(AudioDiffusion):
             extra_contexts=(beat_emb, chord_emb),
             extra_masks=(beat_mask, chord_mask),
             uncond_extra_contexts=uncond_extras,
+            uncond_extra_masks=uncond_extra_masks,
         )
 
 

@@ -106,7 +106,15 @@ class MusicFeaturePredictor:
         """(num_classes,), (L,) -> (max_beat, beat_times, beats) (mustango.py:60-90)."""
         max_beat = int(1 + np.argmax(logits_first_token))
         cums = np.cumsum(np.round(intervals.astype(np.float32), 4))
-        beat_times = [round(float(t), 2) for t in cums if t < 10][:50]
+        # the reference BREAKS at the first cumulative time >= 10 (not a
+        # filter): negative predicted intervals can dip the cumsum back
+        # under 10 and those later beats must NOT be kept (mustango.py:74-79)
+        beat_times = []
+        for t in cums:
+            if t >= 10:
+                break
+            beat_times.append(round(float(t), 2))
+        beat_times = beat_times[:50]
         if not beat_times:
             return max_beat, [], [[], []]
         counts = [float(1.0 + np.mod(i, max_beat)) for i in range(len(beat_times))]
@@ -271,6 +279,7 @@ class Mustango:
             beat_emb, beat_mask, chord_emb, chord_mask,
             num_steps=steps, guidance_scale=guidance,
             uncond_embeds=uncond, uncond_mask=uncond_mask,
+            cond_params=self.conditioner_params,
         )
         mel = self.vae.apply({"params": self.vae_params}, latents, method=self.vae.decode_first_stage)
         wav = self.vocoder.apply({"params": self.hifigan_params}, mel[..., 0])

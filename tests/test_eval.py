@@ -121,3 +121,20 @@ def test_ndb_same_vs_shifted():
     assert same_res["ndb"] <= 3
     assert shift_res["ndb"] >= 7
     assert shift_res["js_divergence"] > same_res["js_divergence"]
+
+
+def test_vggish_parity_golden():
+    """Full VGGish forward vs the torch oracle (tests/golden/vggish.npz) —
+    pins the (H, W, C) flatten order before embeddings.0 (torchvggish
+    transposes NCHW->NHWC before view(B, -1))."""
+    import numpy as np
+
+    from tango_tpu.eval.vggish import VGGish, convert_vggish
+    from tests.conftest import load_golden
+
+    g = load_golden("vggish")
+    params = convert_vggish({k[4:]: g[k] for k in g.files if k.startswith("sd::")})
+    model = VGGish()
+    x = np.asarray(g["x"])[:, 0]  # NCHW (B,1,96,64) -> (B,96,64)
+    emb = model.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(emb), g["emb"], atol=2e-4, rtol=1e-3)

@@ -110,9 +110,29 @@ def test_music_diffusion_loss_and_sample():
         beat_emb, beat_mask, chord_emb, chord_mask,
         num_steps=2, guidance_scale=3.0,
         uncond_embeds=jnp.zeros_like(text), uncond_mask=tmask,
+        cond_params=cond_params,
     )
     assert out.shape == (2, 8, 4, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+    # the reference's CFG unconditional half embeds tokenized-EMPTY sequences
+    # (mustango/models.py:668,712): beats all-masked, chords a single "N"
+    # token — NOT zero embeddings, and with their own masks
+    ub_emb, ub_mask, uc_emb, uc_mask = diff.encode_music(
+        cond_params, [[[], []]] * 2, [[]] * 2, [[]] * 2
+    )
+    assert np.asarray(ub_mask).sum() == 0          # empty beats: mask all 0
+    np.testing.assert_array_equal(
+        np.asarray(uc_mask), np.array([[1, 0, 0, 0]] * 2)
+    )                                              # "N" chord occupies slot 0
+    assert float(np.abs(np.asarray(uc_emb)).max()) > 0  # decidedly nonzero
+    out2 = diff.music_sample(
+        unet_params, text, tmask, jax.random.PRNGKey(2),
+        beat_emb, beat_mask, chord_emb, chord_mask,
+        num_steps=2, guidance_scale=3.0,
+        uncond_embeds=jnp.zeros_like(text), uncond_mask=tmask,
+    )  # zeros fallback (no cond_params) must differ from the reference CFG
+    assert float(np.abs(np.asarray(out) - np.asarray(out2)).max()) > 0
 
 
 def test_film_unet_parity():

@@ -91,7 +91,9 @@ def main(argv=None):
         w0 = w if args.num_samples == 1 or not isinstance(w, list) else w[0]
         write_wav(os.path.join(out_dir, f"output_{i}.wav"), w0, 16000)
 
-    audio_sec = len(prompts) * 10.24
+    # gen_time covers num_samples generations per prompt — count them all,
+    # or x_realtime understates throughput by that factor
+    audio_sec = len(prompts) * max(args.num_samples, 1) * 10.24
     record = {
         "exp_id": exp_id,
         "model": args.model,

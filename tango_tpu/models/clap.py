@@ -262,21 +262,38 @@ class Clap:
     def unconditional_embed(self, batch):
         return self.text.unconditional_embed(batch)
 
+    # fixed device batch: a whole eval set in one jitted call would build a
+    # multi-GB activation set and recompile per dataset size
+    audio_batch: int = 32
+
     def audio_embed(self, waveforms_16k: np.ndarray) -> np.ndarray:
         """(B, L) float waveforms @16 kHz -> (B, D) normalized embeddings.
 
         Resamples to 48 kHz and pads/truncates to 10 s (clip_samples), the
-        reference's enable_fusion=False path (encoders.py:118-141)."""
+        reference's enable_fusion=False path (encoders.py:118-141). Runs the
+        tower in fixed-size chunks (last chunk padded by repetition) so one
+        compiled shape serves any dataset size."""
         from tango_tpu.audio.wav import resample_poly
 
         clip = self.audio_cfg.clip_samples
-        out = np.zeros((len(waveforms_16k), clip), np.float32)
+        n_in = len(waveforms_16k)
+        out = np.zeros((n_in, clip), np.float32)
         for i, w in enumerate(np.asarray(waveforms_16k, np.float32)):
             w48 = resample_poly(w, 16000, self.audio_cfg.sample_rate)
             n = min(len(w48), clip)
             out[i, :n] = w48[:n]
-        mel = self._logmel(jnp.asarray(out))
-        return np.asarray(self._audio_apply(self.audio_params, mel))
+
+        bs = min(self.audio_batch, max(n_in, 1))
+        embs = []
+        for k in range(0, n_in, bs):
+            chunk = out[k : k + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)], 0)
+            mel = self._logmel(jnp.asarray(chunk))
+            e = np.asarray(self._audio_apply(self.audio_params, mel))
+            embs.append(e if not pad else e[:-pad])
+        return np.concatenate(embs, 0) if embs else np.zeros((0, self.dim), np.float32)
 
     def similarity(self, waveforms_16k, prompt) -> np.ndarray:
         """Cosine similarity of each waveform against one prompt."""

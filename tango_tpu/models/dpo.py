@@ -71,8 +71,14 @@ class DPOAudioDiffusion(AudioDiffusion):
         embeds = jnp.concatenate([text_embeds, text_embeds], axis=0)
         mask = jnp.concatenate([text_mask, text_mask], axis=0)
         if self.uncondition and not validation_mode:
+            # NOTE reference quirk, reproduced for parity: tango2/models.py
+            # :429-432 draws mask_indices from range(len(prompt)) AFTER the
+            # repeat(2,...) — zeroing text for only the FIRST (winner) half
+            # of each dropped pair, not both. Likely unintentional upstream,
+            # but it is the conditioning Tango 2 was trained under.
             drop = jax.random.uniform(k_uncond, (bsz, 1, 1)) < 0.1
-            embeds = jnp.where(jnp.concatenate([drop, drop], 0), 0.0, embeds)
+            no_drop = jnp.zeros_like(drop)
+            embeds = jnp.where(jnp.concatenate([drop, no_drop], 0), 0.0, embeds)
 
         def per_sample_mse(params):
             pred = self.unet.apply(

@@ -285,9 +285,6 @@ class HTSAT(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         b, n, c = x.shape
         # token-semantic regrouping (htsat.py:1026-1046)
-        frames_num = cfg.spec_size * cfg.freq_ratio  # post-resize T
-        sf = frames_num // (2 ** (len(cfg.depths) - 1)) // cfg.patch_stride[0]
-        st = frames_num // (2 ** (len(cfg.depths) - 1)) // cfg.patch_stride[1]
         # tokens are (H=freq-stacked, W=time) row-major: (SF, ST) = res
         x = x.transpose(0, 2, 1).reshape(b, c, res[0], res[1])
         c_freq_bin = res[0] // cfg.freq_ratio

@@ -100,6 +100,10 @@ class Encoder(nn.Module):
         cfg = self.cfg
         h = nn.Conv(cfg.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x.astype(self.dtype))
         num_levels = len(cfg.ch_mult)
+        assert not cfg.downsample_time_stride4_levels, (
+            "stride-4 time downsampling variants are not implemented "
+            "(unused by every shipped AudioLDM/Tango config)"
+        )
         curr_res = cfg.resolution
         for level in range(num_levels):
             out_ch = cfg.ch * cfg.ch_mult[level]
@@ -134,12 +138,21 @@ class Decoder(nn.Module):
         h = VAEResnetBlock(block_in, self.dtype, name="mid_block_1")(h)
         h = VAEAttnBlock(self.dtype, name="mid_attn_1")(h)
         h = VAEResnetBlock(block_in, self.dtype, name="mid_block_2")(h)
+        assert not cfg.downsample_time_stride4_levels, (
+            "stride-4 time down/upsampling variants are not implemented "
+            "(unused by every shipped AudioLDM/Tango config)"
+        )
+        curr_res = cfg.resolution // 2 ** (num_levels - 1)
         for level in reversed(range(num_levels)):
             out_ch = cfg.ch * cfg.ch_mult[level]
             for i in range(cfg.num_res_blocks + 1):
                 h = VAEResnetBlock(out_ch, self.dtype, name=f"up_{level}_block_{i}")(h)
+                # per-block attention mirrors the encoder (modules.py:335-354)
+                if curr_res in cfg.attn_resolutions:
+                    h = VAEAttnBlock(self.dtype, name=f"up_{level}_attn_{i}")(h)
             if level != 0:
                 h = VAEUpsample(self.dtype, name=f"up_{level}_upsample")(h)
+                curr_res *= 2
         s = self.param("norm_out_scale", nn.initializers.ones, (h.shape[-1],))
         b = self.param("norm_out_bias", nn.initializers.zeros, (h.shape[-1],))
         h = group_norm(h, s, b, 32, 1e-6, act="silu")

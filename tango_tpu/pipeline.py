@@ -316,14 +316,29 @@ class Tango:
     ) -> List[np.ndarray]:
         """Prompt list -> list of int16 waveforms (reference tango.py:51-64)."""
         outputs = []
-        for k in range(0, len(prompts), batch_size):
-            wavs = self._generate_batch(prompts[k : k + batch_size], steps, guidance, samples, seed)
-            outputs += [w for w in wavs]
+        # one base key folded per chunk: a fixed seed must still give every
+        # chunk DISTINCT noise (the reference consumes one torch generator
+        # sequentially across batches) while staying reproducible
+        base = jax.random.PRNGKey(seed) if seed is not None else None
+        n_data = 1 if self.mesh is None else self.mesh.devices.shape[0]
+        for ci, k in enumerate(range(0, len(prompts), batch_size)):
+            chunk = list(prompts[k : k + batch_size])
+            n_real = len(chunk)
+            # mesh batches must divide the 'data' axis: pad the tail chunk by
+            # cycling prompts (independent samples; extras are discarded below)
+            while (len(chunk) * samples) % n_data:
+                chunk.append(chunk[len(chunk) % n_real])
+            # chunk 0 keeps the unfolded key so batch row 0 == the single-
+            # prompt generation at the same seed (batch-consistency test)
+            key = None if base is None else (base if ci == 0 else jax.random.fold_in(base, ci))
+            wavs = self._generate_batch(chunk, steps, guidance, samples, rng_key=key)
+            outputs += [w for w in wavs[: n_real * samples]]
         if samples == 1:
             return outputs
         return [outputs[i : i + samples] for i in range(0, len(outputs), samples)]
 
-    def _generate_batch(self, prompts, steps, guidance, samples, seed=None, latent_t=None):
+    def _generate_batch(self, prompts, steps, guidance, samples, seed=None, latent_t=None,
+                        rng_key=None):
         cond, cond_mask = self.encode_text(prompts)
         # repeat_interleave for multi-sample (models.py:221-222, 278-279)
         if samples > 1:
@@ -338,7 +353,10 @@ class Tango:
         else:
             uncond, uncond_mask = cond, cond_mask
 
-        rng = jax.random.PRNGKey(seed) if seed is not None else self.next_rng()
+        if rng_key is not None:
+            rng = rng_key
+        else:
+            rng = jax.random.PRNGKey(seed) if seed is not None else self.next_rng()
         if self.mesh is not None:
             from tango_tpu.parallel import mesh as pmesh
 

@@ -65,18 +65,24 @@ def resolve(name: str, download: bool = True) -> str:
     path = meta.get("path")
     if path and os.path.exists(path):
         return path
+    if not download:
+        # honored for every kind — a zero-egress caller gets the actionable
+        # FileNotFoundError instead of a raw HF/urllib network failure
+        raise FileNotFoundError(f"{name} not cached at {path}")
     if meta["kind"].endswith("snapshot"):
         from huggingface_hub import snapshot_download
 
         return snapshot_download(repo_id=name)
-    if not download:
-        raise FileNotFoundError(f"{name} not cached at {path}")
     url = meta.get("url")
     try:
         import urllib.request
 
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        urllib.request.urlretrieve(url, path)
+        # download to a temp name + atomic rename: a dropped connection must
+        # not leave a truncated file that os.path.exists() treats as cached
+        tmp = path + ".part"
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, path)
         return path
     except Exception as e:
         raise FileNotFoundError(

@@ -19,10 +19,18 @@ import numpy as np
 
 
 def sync(tree) -> None:
-    """Reliably wait for device work: fetch one element of one leaf."""
+    """Reliably wait for device work: fetch ONE device-side scalar.
+
+    The indexing happens ON device (x.ravel()[0] is a device computation);
+    only the scalar crosses the relay — device_get of a whole leaf would put
+    a multi-MB transfer inside the timed region (see CLAUDE.md timing rule)."""
     leaves = jax.tree_util.tree_leaves(tree)
     if leaves:
-        np.asarray(jax.device_get(jax.tree_util.tree_map(lambda x: x, leaves[0]))).ravel()[:1]
+        x = leaves[0]
+        if hasattr(x, "ravel"):
+            float(np.asarray(jax.device_get(x.ravel()[0:1])))
+        else:
+            jax.block_until_ready(x)
 
 
 def device_timer(fn: Callable, *args, iters: int = 5, warmup: int = 1) -> dict:

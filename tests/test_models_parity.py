@@ -142,3 +142,21 @@ def test_conv_transpose_subpixel_matches_lhs_dilation(k, u):
     y_ref = ref.apply(params, x)
     assert y.shape == y_ref.shape
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5, rtol=1e-5)
+
+
+def test_vae_decoder_attn_blocks():
+    """attn_resolutions inserts per-block attention in BOTH coders (the
+    reference builds attn in the decoder up-loop too — modules.py:335-354)."""
+    from tango_tpu.models.vae import AutoencoderKL
+
+    cfg = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=4,
+                    embed_dim=4, resolution=16, attn_resolutions=(8,),
+                    in_channels=1, out_ch=1)
+    vae = AutoencoderKL(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 16, 16, 1))
+    params = vae.init(rng, x, rng)["params"]
+    names = str(jax.tree_util.tree_structure(params))
+    assert "up_0_attn_0" in names or "up_1_attn_0" in names, names[:500]
+    rec = vae.apply({"params": params}, jnp.zeros((1, 8, 8, 4)), method=vae.decode)
+    assert rec.shape == (1, 16, 16, 1)

@@ -152,5 +152,9 @@ def test_pipeline_dp_generation():
             mesh=mesh,
         )
         outs = tango.generate_for_batch([f"p{i}" for i in range(8)], steps=2, batch_size=8)
+        # non-divisible tail: 10 prompts at batch 8 leaves a 2-prompt chunk
+        # that must pad up to the 8-device 'data' axis and discard extras
+        outs10 = tango.generate_for_batch([f"q{i}" for i in range(10)], steps=2, batch_size=8)
     assert len(outs) == 8
     assert all(o.dtype == np.int16 for o in outs)
+    assert len(outs10) == 10

@@ -213,3 +213,17 @@ def test_generate_duration_override(tiny_tango):
     wav = tiny_tango.generate("short", steps=2, duration=0.5)
     # latent 12 -> mel 24 -> x160 vocoder (+32 edge)
     assert wav.shape == (24 * 160 + 32,)
+
+
+def test_generate_for_batch_seed_varies_across_chunks(tiny_tango):
+    """A fixed seed must give each chunk DISTINCT noise (the reference
+    consumes one torch generator sequentially across batches): the same
+    prompt in two different chunks may not produce identical audio."""
+    outs = tiny_tango.generate_for_batch(["same prompt", "same prompt"],
+                                         steps=2, batch_size=1, seed=7)
+    assert not np.array_equal(outs[0], outs[1])
+    # and the whole call is reproducible
+    outs2 = tiny_tango.generate_for_batch(["same prompt", "same prompt"],
+                                          steps=2, batch_size=1, seed=7)
+    np.testing.assert_array_equal(outs[0], outs2[0])
+    np.testing.assert_array_equal(outs[1], outs2[1])

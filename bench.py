@@ -114,9 +114,9 @@ def main():
         wav = vocoder.apply({"params": voc_params}, mel[..., 0])
         return wav
 
-    def _sync(w):
-        # relay-safe sync: fetch one device-side scalar (see docs/PERF.md)
-        float(w.ravel()[0])
+    # relay-safe sync (one device-side scalar): the shared helper, so the
+    # timing recipe lives in exactly one place (utils/profiling.py)
+    from tango_tpu.utils.profiling import sync as _sync
 
     t0 = time.time()
     wav = generate(unet_params, vae_params, voc_params, rng, guidance)

@@ -43,6 +43,8 @@ def main(argv=None):
         text_to_audio,
     )
 
+    if args.mode in ("transfer", "inpainting") and not args.file_path:
+        raise SystemExit(f"--mode {args.mode} requires a source audio file (-f/--file_path)")
     os.makedirs(args.save_path, exist_ok=True)
     pipeline = build_model(args.ckpt_path)
 
@@ -79,7 +81,9 @@ def main(argv=None):
                 batchsize=args.batchsize, guidance_scale=args.guidance_scale,
                 ddim_steps=args.ddim_steps,
             )
-        name = text.replace(" ", "_")[:60] or f"sample_{i}"
+        # prompt index keeps files unique: duplicate prompts (or ones sharing
+        # a 60-char prefix) must not overwrite each other's outputs
+        name = f"{i}_" + (text.replace(" ", "_")[:60] or "sample")
         for j, w in enumerate(wavs):
             write_wav(os.path.join(args.save_path, f"{name}_{j}.wav"), w, 16000)
         print(f"[{i}] wrote {len(wavs)} wav(s) for: {text}")

@@ -35,11 +35,10 @@ class Predictor:
         setup_compilation_cache()
 
         self.tango = Tango(model, quant=quant)
-        # warm the 100-step program so first request latency is steady-state
-        try:
-            self.tango.generate("warmup", steps=100)
-        except Exception:
-            pass
+        # warm the 100-step program so first request latency is steady-state;
+        # a warmup failure IS a setup failure — surfacing it here (not on the
+        # first live request) is the whole point of warming up
+        self.tango.generate("warmup", steps=100)
 
     def predict(self, prompt: str, steps: int = 100, guidance: float = 3.0,
                 output_path: str = "output.wav", seed: Optional[int] = None) -> str:
@@ -71,20 +70,36 @@ def main(argv=None):
     if args.music:
         from tango_tpu.pipeline_music import Mustango
 
+        if args.quant:
+            p.error("--quant is not supported with --music (Mustango serves bf16)")
         model = Mustango(args.model)
-        wav = model.generate(args.prompt, steps=args.steps, guidance=args.guidance, seed=args.seed)
+        wavs = [
+            model.generate(
+                args.prompt, steps=args.steps, guidance=args.guidance,
+                seed=None if args.seed is None else args.seed + i,
+            )
+            for i in range(max(args.samples, 1))
+        ]
     else:
         from tango_tpu.pipeline import Tango
 
         model = Tango(args.model, quant=args.quant)
-        wav = model.generate(
+        wavs = model.generate(
             args.prompt, steps=args.steps, guidance=args.guidance,
             samples=args.samples, seed=args.seed,
         )
-        if args.samples > 1:
-            wav = wav[0]
-    write_wav(args.output, wav, 16000)
-    print(f"wrote {args.output} in {time.time()-t0:.1f}s")
+        if args.samples == 1:
+            wavs = [wavs]
+    if args.samples == 1:
+        write_wav(args.output, wavs[0], 16000)
+        print(f"wrote {args.output} in {time.time()-t0:.1f}s")
+    else:
+        # every requested sample is written: output.wav, output_1.wav, ...
+        base, ext = os.path.splitext(args.output)
+        for i, w in enumerate(wavs[: args.samples]):
+            path = args.output if i == 0 else f"{base}_{i}{ext}"
+            write_wav(path, w, 16000)
+        print(f"wrote {args.samples} samples at {base}*{ext} in {time.time()-t0:.1f}s")
 
 
 if __name__ == "__main__":

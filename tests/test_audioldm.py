@@ -162,3 +162,15 @@ def test_ema_matches_reference_formula():
     got = ema_params(st)
     np.testing.assert_allclose(np.asarray(got["w"]), shadow["w"], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(got["b"]), shadow["b"], rtol=1e-6)
+
+
+def test_cli_transfer_requires_file_path(tmp_path):
+    """transfer/inpainting must fail at argparse level without -f, not deep
+    inside wav reading after the model loads."""
+    import pytest
+
+    from tango_tpu.audioldm.cli import main
+
+    with pytest.raises(SystemExit, match="requires a source audio"):
+        main(["--mode", "transfer", "-t", "x", "--ckpt", str(tmp_path / "nope.ckpt"),
+              "--save_path", str(tmp_path)])

@@ -597,6 +597,22 @@ def make_music_golden():
                    encoder_attention_mask=tmask,
                    beat_attention_mask=bmask,
                    chord_attention_mask=cmask).sample
+    # CFG unconditional halves: the reference tokenizes EMPTY beats/chords
+    # through the same tokenizer+embedding path (models.py:668-740)
+    btok = ml.beat_tokenizer(seq_len_beat=5, if_pad=True)
+    ctok = ml.chord_tokenizer(seq_len_chord=5, if_pad=True)
+    tb, tbt, tbm = btok([[], []])
+    cr, ct, ci, ctt, cm = ctok([], [])
+    with torch.no_grad():
+        unc_beat_emb = beat_layer(torch.tensor([tb]), torch.tensor([tbt]), "cpu")
+        unc_chord_emb = chord_layer(
+            torch.tensor([cr]), torch.tensor([ct]), torch.tensor([ci]),
+            torch.tensor([ctt]), "cpu")
+    unc = dict(
+        unc_beat_emb=unc_beat_emb.numpy(), unc_beat_mask=np.asarray([tbm]),
+        unc_chord_emb=unc_chord_emb.numpy(), unc_chord_mask=np.asarray([cm]),
+    )
+
     music_sd = {
         "FME.translation_bias": FME.translation_bias.detach(),
         "beat_embedding_layer.beat_ffn.weight": beat_layer.beat_ffn.weight.detach(),
@@ -613,6 +629,7 @@ def make_music_golden():
         x=x.numpy(), t=t.numpy(), text=text.numpy(),
         tmask=tmask.numpy(), bmask=bmask.numpy(), cmask=cmask.numpy(),
         out=out.numpy(),
+        **unc,
         **{f"music::{k}": v.float().numpy() for k, v in music_sd.items()},
         **state_to_numpy(unet.state_dict()),
     )

@@ -151,3 +151,30 @@ def test_film_unet_parity():
     model = FilmUNet(cfg)
     out = model.apply({"params": params}, nchw_to_nhwc(g["x"]), g["t"], g["film"])
     np.testing.assert_allclose(nhwc_to_nchw(np.asarray(out)), g["out"], atol=2e-4, rtol=1e-3)
+
+
+def test_music_cfg_uncond_parity_golden():
+    """Our empty-sequence tokenize+embed (the CFG unconditional half) must
+    bit-match the reference tokenizer+embedding path on empties
+    (encode_beats/chords_classifier_free, mustango/models.py:668-740)."""
+    from tango_tpu.models.music import batch_tokenize_beats, batch_tokenize_chords
+
+    g = load_golden("music_tiny")
+    params = convert_music_conditioner(
+        {k[7:]: g[k] for k in g.files if k.startswith("music::")}
+    )
+    cond = MusicConditioner(d_model=32)
+    b_ids, b_times, b_mask = batch_tokenize_beats([[[], []]], seq_len=5)
+    c_roots, c_types, c_invs, c_times, c_mask = batch_tokenize_chords(
+        [[]], [[]], seq_len=5
+    )
+    beat_emb, chord_emb = cond.apply(
+        {"params": params},
+        jnp.asarray(b_ids), jnp.asarray(b_times),
+        jnp.asarray(c_roots), jnp.asarray(c_types), jnp.asarray(c_invs),
+        jnp.asarray(c_times),
+    )
+    np.testing.assert_array_equal(np.asarray(b_mask), g["unc_beat_mask"].astype(b_mask.dtype))
+    np.testing.assert_array_equal(np.asarray(c_mask), g["unc_chord_mask"].astype(c_mask.dtype))
+    np.testing.assert_allclose(np.asarray(beat_emb), g["unc_beat_emb"], atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(chord_emb), g["unc_chord_emb"], atol=1e-5, rtol=1e-5)

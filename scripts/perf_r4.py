@@ -311,6 +311,13 @@ def run_variant(name):
     from tango_tpu import configs as C
     from tango_tpu.models.unet import UNet2DConditionModel
 
+    # "b2_<variant>" runs the eval at CFG batch 2 (single-clip latency mode;
+    # the whole-sample GN grid is only 2 programs there)
+    b = 8
+    if name.startswith("b2_"):
+        b = 2
+        name = name[3:]
+
     orig_mha = unet_mod.multi_head_attention
     orig_gn = unet_mod.group_norm
     orig_qconv = None
@@ -333,6 +340,12 @@ def run_variant(name):
         )
     if name == "gn_silu_bf16":
         unet_mod.group_norm = gn_variant("silu_bf16")
+    if name == "gn_two_stage":
+        from tango_tpu.ops.gn_silu_pallas import group_norm_pallas2
+
+        unet_mod.group_norm = (
+            lambda x, s, b_, g, eps=1e-6, act=None: group_norm_pallas2(x, s, b_, g, eps, act)
+        )
     if name in ("gn_norm_bf16", "both"):
         unet_mod.group_norm = gn_variant("norm_bf16")
 
@@ -340,7 +353,6 @@ def run_variant(name):
         dtype = jnp.bfloat16
         cfg = C.TANGO_UNET
         unet = UNet2DConditionModel(cfg, dtype=dtype)
-        b = 8
         shapes = jax.eval_shape(
             lambda k: unet.init(
                 k, jnp.zeros((1, 256, 16, 8), dtype), jnp.zeros((1,), jnp.int32),
@@ -369,9 +381,9 @@ def run_variant(name):
 
         lat0 = jnp.ones((b, 256, 16, 8), dtype) * 0.1
         ms, cs = chain_ms(eval_fn, lat0)
-        out(exp="unet_eval_b8_r4", variant=name, ms=round(ms, 2), compile_s=round(cs, 1))
+        out(exp="unet_eval_r4", batch=b, variant=name, ms=round(ms, 2), compile_s=round(cs, 1))
     except Exception as e:
-        out(exp="unet_eval_b8_r4", variant=name, error=f"{type(e).__name__}: {e}"[:300])
+        out(exp="unet_eval_r4", batch=b, variant=name, error=f"{type(e).__name__}: {e}"[:300])
     finally:
         unet_mod.multi_head_attention = orig_mha
         unet_mod.group_norm = orig_gn

@@ -8,8 +8,9 @@ DebertaV2Model trunk with two parallel heads —
 
 Unlike the reference (which vendors the whole 1.7k-line DeBERTa file), this
 builds on transformers' maintained DebertaV2Model — only the head is custom.
-Host-side torch (the beat predictor is an autoregressive conditioning model,
-not part of the TPU compute path).
+Torch-side ORACLE ONLY: since the native JAX DeBERTa landed
+(models/deberta.py drives Mustango inference), this module's sole consumer
+is scripts/make_golden.py, which runs it to produce the parity fixture.
 """
 
 from __future__ import annotations

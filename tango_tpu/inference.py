@@ -75,8 +75,6 @@ def main(argv=None):
 
     if args.num_samples > 1 and args.clap_ckpt:
         # CLAP re-ranking of multi-sample outputs (inference.py:105-121)
-        import numpy as np
-
         from tango_tpu.inference_tango2 import load_clap
 
         clap = load_clap(args.clap_ckpt)

@@ -283,7 +283,10 @@ class Clap:
             n = min(len(w48), clip)
             out[i, :n] = w48[:n]
 
-        bs = min(self.audio_batch, max(n_in, 1))
+        # always pad up to audio_batch: ONE compiled tower shape regardless
+        # of dataset / rerank-group size (a per-size compile is minutes on
+        # the relay)
+        bs = self.audio_batch
         embs = []
         for k in range(0, n_in, bs):
             chunk = out[k : k + bs]

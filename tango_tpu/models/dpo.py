@@ -76,6 +76,9 @@ class DPOAudioDiffusion(AudioDiffusion):
             # repeat(2,...) — zeroing text for only the FIRST (winner) half
             # of each dropped pair, not both. Likely unintentional upstream,
             # but it is the conditioning Tango 2 was trained under.
+            # DELIBERATE deviation: the reference also applies this random
+            # dropout during validation; we keep validation deterministic
+            # (same policy as the SFT loss — diffusion.py:90).
             drop = jax.random.uniform(k_uncond, (bsz, 1, 1)) < 0.1
             no_drop = jnp.zeros_like(drop)
             embeds = jnp.where(jnp.concatenate([drop, no_drop], 0), 0.0, embeds)

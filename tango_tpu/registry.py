@@ -65,14 +65,21 @@ def resolve(name: str, download: bool = True) -> str:
     path = meta.get("path")
     if path and os.path.exists(path):
         return path
-    if not download:
-        # honored for every kind — a zero-egress caller gets the actionable
-        # FileNotFoundError instead of a raw HF/urllib network failure
-        raise FileNotFoundError(f"{name} not cached at {path}")
     if meta["kind"].endswith("snapshot"):
         from huggingface_hub import snapshot_download
 
+        if not download:
+            # a fully-cached snapshot still resolves offline; only an actual
+            # fetch is refused
+            try:
+                return snapshot_download(repo_id=name, local_files_only=True)
+            except Exception as e:
+                raise FileNotFoundError(
+                    f"{name} not in the local HF cache (download=False)"
+                ) from e
         return snapshot_download(repo_id=name)
+    if not download:
+        raise FileNotFoundError(f"{name} not cached at {path}")
     url = meta.get("url")
     try:
         import urllib.request

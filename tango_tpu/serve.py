@@ -63,6 +63,8 @@ def main(argv=None):
     p.add_argument("--quant", type=str, default=None, choices=("conv", "dense", "all"),
                    help="int8 W8A8 UNet serving mode (conv is the measured v5e win)")
     args = p.parse_args(argv)
+    if args.samples < 1:
+        p.error("--samples must be >= 1")
 
     from tango_tpu.audio.wav import write_wav
 
@@ -73,12 +75,18 @@ def main(argv=None):
         if args.quant:
             p.error("--quant is not supported with --music (Mustango serves bf16)")
         model = Mustango(args.model)
+        # run the (slow, deterministic) beat/chord predictor ONCE; only the
+        # diffusion sampling differs across samples
+        beats = chords = chords_times = None
+        if model.predictor is not None:
+            beats, chords, chords_times = model.predictor.generate(args.prompt)
         wavs = [
             model.generate(
                 args.prompt, steps=args.steps, guidance=args.guidance,
+                beats=beats, chords=chords, chords_times=chords_times,
                 seed=None if args.seed is None else args.seed + i,
             )
-            for i in range(max(args.samples, 1))
+            for i in range(args.samples)
         ]
     else:
         from tango_tpu.pipeline import Tango

@@ -28,7 +28,9 @@ def sync(tree) -> None:
     if leaves:
         x = leaves[0]
         if hasattr(x, "ravel"):
-            float(np.asarray(jax.device_get(x.ravel()[0:1])))
+            # [0] after the fetch: float() of a shape-(1,) array is
+            # NumPy-deprecated and will raise on future versions
+            float(np.asarray(jax.device_get(x.ravel()[0:1]))[0])
         else:
             jax.block_until_ready(x)
 

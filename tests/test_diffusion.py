@@ -1,15 +1,13 @@
 """AudioDiffusion: end-to-end CFG scan sampler parity + loss behavior."""
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tests.conftest import load_golden
 from tests.test_models_parity import nchw_to_nhwc, nhwc_to_nchw
-from tango_tpu.configs import SchedulerConfig, UNetConfig
+from tango_tpu.configs import UNetConfig
 from tango_tpu.models.diffusion import AudioDiffusion
 from tango_tpu.utils.convert import convert_unet
 
@@ -77,7 +75,8 @@ def test_sampler_jits_and_is_deterministic():
     assert np.abs(np.asarray(a) - np.asarray(c2)).max() > 1e-4
     # changing guidance must NOT retrace (traced scalar)
     _ = f(params, cond, mask, jax.random.PRNGKey(7), 5.0)
-    assert f._cache_size() == 1
+    if hasattr(f, "_cache_size"):  # private jax API; guard across versions
+        assert f._cache_size() == 1
 
 
 def test_loss_runs_and_snr_weighting_changes_value():
@@ -93,20 +92,31 @@ def test_loss_runs_and_snr_weighting_changes_value():
     assert abs(float(l1) - float(l2)) > 1e-8
 
 
-def test_loss_validation_mode_fixed_t():
-    """validation_mode pins t = N/2 (models.py:163-164) -> rng-invariant."""
+def test_loss_validation_mode_fixed_t(monkeypatch):
+    """validation_mode pins t = N/2 (models.py:163-164): the timestep draw
+    (jax.random.randint) must NOT happen; training mode must draw."""
     diff = make_diffusion()
     params = diff.init_params(jax.random.PRNGKey(0))
     lat = jnp.ones((2, 16, 4, 8))
     emb = jnp.ones((2, 5, 24))
     mask = jnp.ones((2, 5), jnp.int32)
 
-    def t_of(rng):
-        # same key -> same noise; validation mode must not draw timesteps
-        return float(diff.loss(params, lat, emb, mask, rng, validation_mode=True))
+    orig_randint = jax.random.randint
+    calls = []
 
-    assert t_of(jax.random.PRNGKey(1)) != t_of(jax.random.PRNGKey(2))  # noise differs
-    # but gradient path is stable and finite
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig_randint(*a, **kw)
+
+    monkeypatch.setattr(jax.random, "randint", spy)
+    val = float(diff.loss(params, lat, emb, mask, jax.random.PRNGKey(1), validation_mode=True))
+    assert np.isfinite(val)
+    assert not calls, "validation mode drew random timesteps"
+    float(diff.loss(params, lat, emb, mask, jax.random.PRNGKey(1)))
+    assert calls, "training mode must draw random timesteps"
+    monkeypatch.undo()
+
+    # gradient path through the fixed-t branch is finite
     g = jax.grad(lambda p: diff.loss(p, lat, emb, mask, jax.random.PRNGKey(1), validation_mode=True))(params)
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)

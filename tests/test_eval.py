@@ -56,7 +56,7 @@ def test_cnn14_parity():
     sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
     params = convert_cnn14(sd)
     model = Cnn14(classes_num=11)
-    logmel = np.transpose(g["logmel"][:, 0], (0, 1, 2))  # (B, T, mel)
+    logmel = g["logmel"][:, 0]  # (B, T, mel)
     out = model.apply({"params": params}, logmel)
     np.testing.assert_allclose(np.asarray(out["2048"]), g["emb"], atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(out["logits"]), g["logits"], atol=2e-4, rtol=1e-3)
@@ -127,10 +127,7 @@ def test_vggish_parity_golden():
     """Full VGGish forward vs the torch oracle (tests/golden/vggish.npz) —
     pins the (H, W, C) flatten order before embeddings.0 (torchvggish
     transposes NCHW->NHWC before view(B, -1))."""
-    import numpy as np
-
     from tango_tpu.eval.vggish import VGGish, convert_vggish
-    from tests.conftest import load_golden
 
     g = load_golden("vggish")
     params = convert_vggish({k[4:]: g[k] for k in g.files if k.startswith("sd::")})

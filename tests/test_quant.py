@@ -5,6 +5,8 @@ be of the same order as bf16-vs-f32 error (the established serving precision)
 — that is the "within noise" standard the int8 mode is held to.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,7 +28,7 @@ TINY = C.UNetConfig(
     attention_head_dim=(2, 4),
     norm_num_groups=8,
 )
-TINY_Q = C.UNetConfig(**{**TINY.__dict__, "quant_int8": True})
+TINY_Q = C.dataclasses.replace(TINY, quant_int8=True)
 
 
 def test_quantize_weight_roundtrip():
@@ -138,9 +140,7 @@ def test_cfg_loop_int8_error_comparable_to_bf16():
 
 def test_pipeline_rejects_unknown_quant_scope():
     """A typo'd quant scope must raise, not silently serve unquantized."""
-    import pytest
-
     from tango_tpu.pipeline import Tango
 
     with pytest.raises(ValueError, match="quant must be"):
-        Tango.__new__(Tango).__init__(name_or_path=None, quant="int8")
+        Tango(None, quant="int8")

@@ -22,7 +22,7 @@ TINY_UNET = C.UNetConfig(
 TINY_VAE = C.VAEConfig(embed_dim=8, z_channels=8, ch=32, ch_mult=(1, 2), num_res_blocks=1)
 
 
-def make_trainer(tmp=False, **cfg_kw):
+def make_trainer(**cfg_kw):
     diffusion = AudioDiffusion(unet_config=TINY_UNET, latent_t_size=8, latent_f_size=4, snr_gamma=5.0)
     vae = AutoencoderKL(TINY_VAE)
     rng = jax.random.PRNGKey(0)

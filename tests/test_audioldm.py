@@ -73,17 +73,29 @@ def test_style_transfer(tiny_audioldm, tmp_path):
 
 
 def test_candidate_ranking_uses_similarity(tiny_audioldm):
-    class BiasedCond(StubClapConditioner):
+    """The re-ranking must actually SELECT by similarity: two conditioners
+    with opposite preferences over the same 3 candidates (same seed) must
+    return different audio."""
+    class PrefersLast(StubClapConditioner):
         def similarity(self, wavs, prompt):
-            return np.arange(len(wavs))[::-1] * -1.0  # prefers the LAST candidate
+            return np.arange(len(wavs), dtype=np.float64)
 
-    tiny_audioldm.conditioner = BiasedCond(dim=32)
-    wavs = text_to_audio(
-        tiny_audioldm, "x", duration=8 / 25.6, ddim_steps=2,
-        batchsize=1, n_candidate_gen_per_text=3, seed=5,
-    )
-    assert wavs.shape[0] == 1
-    tiny_audioldm.conditioner = StubClapConditioner(dim=32)
+    class PrefersFirst(StubClapConditioner):
+        def similarity(self, wavs, prompt):
+            return -np.arange(len(wavs), dtype=np.float64)
+
+    orig = tiny_audioldm.conditioner
+    try:  # restore even on failure — the fixture is module-scoped
+        kw = dict(duration=8 / 25.6, ddim_steps=2, batchsize=1,
+                  n_candidate_gen_per_text=3, seed=5)
+        tiny_audioldm.conditioner = PrefersLast(dim=32)
+        w_last = text_to_audio(tiny_audioldm, "x", **kw)
+        tiny_audioldm.conditioner = PrefersFirst(dim=32)
+        w_first = text_to_audio(tiny_audioldm, "x", **kw)
+    finally:
+        tiny_audioldm.conditioner = orig
+    assert w_last.shape[0] == 1 and w_first.shape[0] == 1
+    assert not np.array_equal(w_last, w_first)
 
 
 def test_inpainting(tiny_audioldm, tmp_path):

@@ -111,6 +111,7 @@ def test_vae_parity():
     )
     ref_mean, ref_logvar = np.split(g["moments"], 2, axis=1)
     np.testing.assert_allclose(nhwc_to_nchw(np.asarray(mean)), ref_mean, atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(nhwc_to_nchw(np.asarray(logvar)), ref_logvar, atol=1e-4, rtol=1e-3)
 
     rec = model.apply({"params": params}, nchw_to_nhwc(g["z"]), method=model.decode)
     np.testing.assert_allclose(nhwc_to_nchw(np.asarray(rec)), g["rec"], atol=1e-4, rtol=1e-3)

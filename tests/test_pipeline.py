@@ -38,7 +38,7 @@ class StubTokenizer:
         ids = np.zeros((len(texts), max_length), np.int32)
         mask = np.zeros((len(texts), max_length), np.int32)
         for i, t in enumerate(texts):
-            toks = [hash(w) % 126 + 2 for w in t.split()][: max_length - 1] + [1]
+            toks = [sum(w.encode()) % 126 + 2 for w in t.split()]  # stable across runs (builtin hash is salted)[: max_length - 1] + [1]
             ids[i, : len(toks)] = toks
             mask[i, : len(toks)] = 1
         return {"input_ids": ids, "attention_mask": mask}
@@ -89,6 +89,7 @@ def test_generate_batch_and_samples(tiny_tango):
     outs = tiny_tango.generate_for_batch(["a", "b", "c"], steps=2, batch_size=2)
     assert len(outs) == 3
     multi = tiny_tango.generate("x", steps=2, samples=2)
+    assert not np.array_equal(multi[0], multi[1])  # per-sample noise differs
     assert len(multi) == 2 and multi[0].shape == multi[1].shape
 
 

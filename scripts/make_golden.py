@@ -940,7 +940,7 @@ def make_htsat_golden():
         x = model.reshape_wav2img(x)
         out = model.forward_features(x)
         proj = torch.nn.Sequential(
-            torch.nn.Linear(model.num_features, 8), torch.nn.ReLU(), torch.nn.Linear(8, 8)
+            torch.nn.Linear(model.num_features, 16), torch.nn.ReLU(), torch.nn.Linear(16, 16)
         )
         emb = torch.nn.functional.normalize(proj(out["embedding"]), dim=-1)
     sd = {f"audio_branch.{k}": v for k, v in model.state_dict().items()
@@ -1005,11 +1005,51 @@ def make_vggish_golden():
     np.savez(OUT / "vggish.npz", **out)
     print("vggish golden:", emb.shape)
 
+def make_pairedmel_golden():
+    """MelPairedDataset.get_mel_from_wav chain (audioldm_eval/datasets/
+    load_mel.py:106-115): clip -> log10 TacotronSTFT(512,160,512,64,16k,50,8k)
+    -> *20-20 -> (+100)/100 -> clip [0,1]. Pins the SpecVQGAN scaling."""
+    # reuse the librosa stubs installed by make_stft_golden
+    if "librosa" not in sys.modules:
+        make_stft_golden()
+    import types as _t
+    import importlib.util
+
+    sys.modules.setdefault("audioldm_eval", _t.ModuleType("audioldm_eval"))
+    pkg = _t.ModuleType("audioldm_eval.audio")
+    sys.modules["audioldm_eval.audio"] = pkg
+    spec_ap = importlib.util.spec_from_file_location(
+        "audioldm_eval.audio.audio_processing",
+        f"{REF}/audioldm_eval/audio/audio_processing.py",
+    )
+    ap = importlib.util.module_from_spec(spec_ap)
+    sys.modules["audioldm_eval.audio.audio_processing"] = ap
+    spec_ap.loader.exec_module(ap)
+    spec_st = importlib.util.spec_from_file_location(
+        "audioldm_eval.audio.stft", f"{REF}/audioldm_eval/audio/stft.py"
+    )
+    st = importlib.util.module_from_spec(spec_st)
+    spec_st.loader.exec_module(st)
+
+    tstft = st.TacotronSTFT(512, 160, 512, 64, 16000, 50, 8000)
+    tstft.eval()
+    rng = np.random.RandomState(11)
+    wav = np.clip(rng.randn(8000).astype(np.float32) * 0.3, -1, 1)
+    audio = torch.clip(torch.FloatTensor(wav).unsqueeze(0), -1, 1)
+    with torch.no_grad():
+        melspec, *_ = tstft.mel_spectrogram(audio, normalize_fun=torch.log10)
+    melspec = (melspec * 20) - 20
+    melspec = (melspec + 100) / 100
+    melspec = torch.clip(melspec, min=0, max=1.0)
+    np.savez(OUT / "pairedmel.npz", wav=wav, mel=melspec.numpy()[0])
+    print("pairedmel:", melspec.shape, float(melspec.mean()))
+
+
 if __name__ == "__main__":
     import sys as _sys
     only = _sys.argv[1:] if len(_sys.argv) > 1 else None
     for fn in [make_scheduler_golden, make_unet_golden, make_vae_golden,
-               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden, make_clap_text_golden, make_htsat_golden, make_deberta_golden, make_t5gen_golden, make_vggish_golden]:
+               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden, make_clap_text_golden, make_htsat_golden, make_deberta_golden, make_t5gen_golden, make_vggish_golden, make_pairedmel_golden]:
         name = fn.__name__.replace("make_", "").replace("_golden", "")
         if only is None or name in only:
             fn()

@@ -270,7 +270,8 @@ class EvaluationHelper:
     def _mel(self, path: str) -> np.ndarray:
         """MelPairedDataset mel (load_mel.py:88-115): mean-subtract (NO peak
         normalization, unlike WaveDataset), clip to [-1, 1], log10 mel, then
-        (mel + 100) / 100 clipped to [0, 1]."""
+        SpecVQGAN scaling (mel * 20 - 20), then (mel + 100) / 100 clipped to
+        [0, 1] (load_mel.py:112-115)."""
         from tango_tpu.audio.wav import read_wav, resample_poly
 
         wav, sr = read_wav(path)
@@ -278,7 +279,11 @@ class EvaluationHelper:
             wav = wav[:, 0]
         wav = wav.astype(np.float32) - float(np.mean(wav))
         wav = resample_poly(wav, sr, self.sampling_rate)
+        return self._mel_from_wav(wav)
+
+    def _mel_from_wav(self, wav: np.ndarray) -> np.ndarray:
+        """16 kHz mono wav -> normalized paired mel (load_mel.py:106-115)."""
         wav = np.clip(wav, -1.0, 1.0)
         mel_ln, _ = self.paired_stft.mel_spectrogram(jnp.asarray(wav[None, :]))
         mel10 = np.asarray(mel_ln)[0] / np.log(10.0)  # ln -> log10
-        return np.clip((mel10 + 100.0) / 100.0, 0.0, 1.0)
+        return np.clip((mel10 * 20.0 - 20.0 + 100.0) / 100.0, 0.0, 1.0)

@@ -46,9 +46,15 @@ class AudioDiffusion:
     latent_f_size: int = 16
     dtype: Any = jnp.float32
     remat: bool = False
+    # sequence parallelism: callable applied to UNet activations at level
+    # boundaries (parallel.mesh.shard_latents_seq bound to a mesh)
+    latent_sharder: Optional[Any] = None
 
     def __post_init__(self):
-        self.unet = UNet2DConditionModel(self.unet_config, dtype=self.dtype, remat=self.remat)
+        self.unet = UNet2DConditionModel(
+            self.unet_config, dtype=self.dtype, remat=self.remat,
+            latent_sharder=self.latent_sharder,
+        )
         self.noise_scheduler = DDPMScheduler.create(self.scheduler_config)
         self.inference_scheduler = DDPMScheduler.create(self.scheduler_config)
 
@@ -184,6 +190,13 @@ class AudioDiffusion:
             # (Mustango embeds tokenized-EMPTY beats/chords with distinct
             # masks — mustango/models.py:668,712); default: reuse cond mask
             um = uncond_extra_masks or extra_masks
+            if extra_masks:
+                # same zip-silently-drops hazard as the contexts above
+                assert len(um) == len(extra_masks), (
+                    "CFG with extra conditioning streams needs one "
+                    "unconditional mask per stream "
+                    f"({len(um)} vs {len(extra_masks)})"
+                )
             extra_m = [
                 jnp.concatenate([u, m], axis=0) for u, m in zip(um, extra_masks)
             ]

@@ -92,6 +92,20 @@ def test_evaluation_helper_end_to_end(tmp_path):
     assert os.path.exists(str(gen) + "_evaluation_results.json")
 
 
+def test_paired_mel_chain_golden():
+    """Pins the MelPairedDataset normalization chain (load_mel.py:106-115):
+    log10 mel -> *20-20 (SpecVQGAN scaling) -> (+100)/100 -> clip [0,1]. The
+    *20-20 step is what keeps paired PSNR/SSIM non-vacuous (advisor r2)."""
+    from tango_tpu.eval.evaluator import EvaluationHelper
+
+    g = load_golden("pairedmel")
+    helper = EvaluationHelper(16000)
+    ours = helper._mel_from_wav(g["wav"])  # (T, M)
+    np.testing.assert_allclose(ours.T, g["mel"], atol=2e-4, rtol=1e-3)
+    # the chain must actually use the scaling: values spread well below 0.9
+    assert ours.min() < 0.6
+
+
 def test_psnr_ssim_identity():
     a = np.random.RandomState(1).randn(64, 64)
     assert M.psnr(a, a) == float("inf")

@@ -158,6 +158,13 @@ def test_vae_decoder_attn_blocks():
     x = jnp.zeros((1, 16, 16, 1))
     params = vae.init(rng, x, rng)["params"]
     names = str(jax.tree_util.tree_structure(params))
-    assert "up_0_attn_0" in names or "up_1_attn_0" in names, names[:500]
+    # resolution bookkeeping pin (modules.py:461-490, 589-641): res starts at
+    # 16, attn fires only once curr_res==8 — i.e. encoder level 1 (after the
+    # level-0 downsample) and decoder level 1 (before the upsample), NOT
+    # level 0 in either coder.
+    assert "down_1_attn_0" in names and "down_0_attn" not in names, names[:500]
+    assert "up_1_attn_0" in names and "up_0_attn" not in names, names[:500]
+    # decoder runs num_res_blocks+1 blocks per level (modules.py:621-631)
+    assert "up_1_attn_1" in names
     rec = vae.apply({"params": params}, jnp.zeros((1, 8, 8, 4)), method=vae.decode)
     assert rec.shape == (1, 16, 16, 1)

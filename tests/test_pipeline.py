@@ -102,8 +102,13 @@ def test_guidance_traced_no_recompile(tiny_tango):
 
 
 def test_no_cfg_when_guidance_leq_1(tiny_tango):
+    tiny_tango._sample_cache.clear()
     wav = tiny_tango.generate("x", steps=2, guidance=1.0)
     assert wav.shape == (16 * 160 + 32,)  # +32: transposed-conv edge (matches torch)
+    # the cfg=False branch must actually be compiled (models.py:214,235: the
+    # reference skips the doubled batch when guidance <= 1) — not the CFG one
+    assert (2, False, None) in tiny_tango._sample_cache
+    assert not any(k[1] for k in tiny_tango._sample_cache)
 
 
 def test_batch_row_matches_single(tiny_tango):

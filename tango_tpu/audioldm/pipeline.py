@@ -15,9 +15,12 @@ cross-attention like Tango):
 Scheduler: the LDM 'linear' schedule == scaled_linear with
 beta in [0.0015, 0.0195], epsilon prediction (audioldm/utils.py:130-132).
 
-CLAP: the conditioner is a small protocol (text_embed/unconditional_embed);
-a torch-backed LAION-CLAP adapter can be plugged in, and tests inject stubs.
-A native JAX CLAP tower is tracked for a later round.
+CLAP: the conditioner is a small protocol (text_embed/unconditional_embed).
+`from_checkpoint` builds the NATIVE JAX CLAP (RoBERTa text tower + HTSAT
+audio tower, models/clap.py + models/htsat.py) from the monolithic ckpt's
+`cond_stage_model.model.*` weights — the same source the reference uses
+(audioldm/pipeline.py:52-92, clap/encoders.py:10-170). The hash-embedding
+stub remains only for ckpts without CLAP weights / tests.
 """
 
 from __future__ import annotations
@@ -86,6 +89,62 @@ class StubClapConditioner(ClapConditioner):
         return np.zeros((batch, self.dim), np.float32)
 
 
+_CLAP_PREFIX = "cond_stage_model.model."
+
+
+def build_clap_conditioner_from_ckpt(
+    sd, text_cfg=None, audio_cfg=None, tokenizer=None, dtype=jnp.float32,
+) -> Optional[ClapConditioner]:
+    """Native CLAP conditioner from a monolithic ckpt's cond_stage_model.*
+    weights (reference: audioldm/pipeline.py:52-92 builds the torch CLAP from
+    the same keys; clap/encoders.py:10-170 is the conditioning semantics —
+    unconditional = the text embedding of "").
+
+    Returns a full `Clap` (RoBERTa text + HTSAT audio, with similarity
+    scoring for candidate re-ranking) when both towers are present, a
+    text-only `ClapTextConditioner` when only the text branch is, and None
+    when the ckpt has no CLAP weights or no tokenizer can be loaded offline.
+    """
+    from tango_tpu.models.clap import (
+        Clap,
+        ClapTextConditioner,
+        ROBERTA_BASE,
+        convert_clap_text,
+    )
+
+    if f"{_CLAP_PREFIX}text_branch.embeddings.word_embeddings.weight" not in sd:
+        return None
+    if tokenizer is None:
+        try:
+            from transformers import RobertaTokenizer
+
+            # local_files_only: in a zero-egress environment the hub client
+            # otherwise retries for minutes before failing
+            tokenizer = RobertaTokenizer.from_pretrained(
+                "roberta-base", local_files_only=True
+            )
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                "ckpt has CLAP weights but no roberta-base tokenizer is "
+                "available offline; falling back to the hash-embedding stub "
+                "conditioner"
+            )
+            return None
+    text_cfg = text_cfg or ROBERTA_BASE
+    text_params = convert_clap_text(sd, prefix=_CLAP_PREFIX)
+    has_audio = any(k.startswith(f"{_CLAP_PREFIX}audio_branch.") for k in sd)
+    if not has_audio:
+        return ClapTextConditioner(text_params, tokenizer, text_cfg, dtype=dtype)
+    from tango_tpu.models.htsat import HTSAT_TINY, convert_clap_audio
+
+    audio_cfg = audio_cfg or HTSAT_TINY
+    audio_params = convert_clap_audio(sd, audio_cfg, prefix=_CLAP_PREFIX)
+    return Clap(text_params, audio_params, tokenizer,
+                text_cfg=text_cfg, audio_cfg=audio_cfg, dtype=dtype)
+
+
 @dataclasses.dataclass
 class AudioLDMPipeline:
     """The LatentDiffusion equivalent, pure-function style."""
@@ -112,8 +171,16 @@ class AudioLDMPipeline:
 
     @classmethod
     def from_checkpoint(cls, ckpt_path: str, conditioner: Optional[ClapConditioner] = None,
-                        dtype=jnp.float32) -> "AudioLDMPipeline":
-        """Load the monolithic audioldm-*-full.ckpt (models.py:27-52 layout)."""
+                        dtype=jnp.float32, clap_text_cfg=None, clap_audio_cfg=None,
+                        tokenizer=None) -> "AudioLDMPipeline":
+        """Load the monolithic audioldm-*-full.ckpt (models.py:27-52 layout).
+
+        When the ckpt carries `cond_stage_model.model.*` weights (every
+        released audioldm-*-full ckpt does), the conditioner is the NATIVE
+        CLAP built from those weights — reference parity with
+        audioldm/pipeline.py:52-92. An explicit `conditioner` overrides; the
+        hash stub is used only when the ckpt has no CLAP weights or no
+        RoBERTa tokenizer is available offline."""
         from tango_tpu.models.audioldm_unet import convert_film_unet
         from tango_tpu.utils import convert as conv
 
@@ -125,6 +192,11 @@ class AudioLDMPipeline:
             if k.startswith("model.diffusion_model.")
         }
         vocoder_sd = {k[len("vocoder."):]: v for k, v in vae_sd.items() if k.startswith("vocoder.")}
+        if conditioner is None:
+            conditioner = build_clap_conditioner_from_ckpt(
+                sd, text_cfg=clap_text_cfg, audio_cfg=clap_audio_cfg,
+                tokenizer=tokenizer, dtype=dtype,
+            )
         self = cls(
             vae_config=dataclasses.replace(VAEConfig(), scale_factor=scale),
             dtype=dtype,

@@ -11,10 +11,11 @@ RoBERTa specifics reproduced:
   * post-LayerNorm transformer blocks, gelu FFN, learned positions
   * pooler = tanh(Linear(hidden_cls))
 
-The audio tower (HTSAT swin transformer) is wrapped behind the
-ClapConditioner protocol for scoring and is tracked for a native port in a
-later round — text conditioning (what AudioLDM's generation path needs) is
-fully TPU-native here.
+Both towers are fully TPU-native: this text tower plus the HTSAT swin audio
+tower (models/htsat.py) and the PANN-14 alternative (models/pann.py). The
+`Clap` wrapper below composes them behind the ClapConditioner protocol;
+audioldm.pipeline.build_clap_conditioner_from_ckpt wires it from the
+monolithic checkpoint's cond_stage_model.* weights.
 """
 
 from __future__ import annotations

@@ -75,13 +75,14 @@ def test_full_clap_similarity():
             out["input_ids"] = np.clip(out["input_ids"], 0, 119)
             return out
 
-    import dataclasses
-
-    # text proj dim 16 vs audio joint 8 mismatch in tiny fixtures; use audio
-    # cfg with joint 8 and check shapes only via audio path; for similarity
-    # give text a projection-compatible clap (slice).
+    # tiny text and audio towers share a 16-d joint space, so the full
+    # similarity / clap_score surface is exercised end-to-end
     clap = Clap(text_params, audio_params, Tok(), TINY_ROBERTA, TINY_HTSAT, max_length=12)
     wavs = np.random.RandomState(0).randn(2, 16000).astype(np.float32) * 0.1
     emb = clap.audio_embed(wavs)
-    assert emb.shape == (2, 8)
+    assert emb.shape == (2, 16)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-4)
+    sims = clap.similarity(wavs, "a drum loop")
+    assert sims.shape == (2,) and np.all(np.abs(sims) <= 1.0 + 1e-5)
+    score = clap.clap_score(wavs, ["a drum loop", "silence"])
+    assert np.isfinite(score) and abs(score) <= 1.0 + 1e-5

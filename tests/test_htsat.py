@@ -17,7 +17,7 @@ from tango_tpu.models.htsat import (
 TINY_HTSAT = HTSATConfig(
     spec_size=64, patch_size=4, patch_stride=(4, 4), num_classes=11,
     embed_dim=24, depths=(1, 1), num_heads=(2, 4), window_size=4,
-    mel_bins=16, joint_embed_dim=8,
+    mel_bins=16, joint_embed_dim=16,
     # tiny audio frontend so clip -> ~126 frames <= spec_size*freq_ratio=256
     sample_rate=8000, clip_samples=16000, stft_window_size=256, hop_size=128,
     fmin=50.0, fmax=4000.0,

@@ -275,38 +275,152 @@ class T5Decoder(nn.Module):
         return getattr(self.cfg, "tie_word_embeddings", False)
 
 
+def _rms(w, x, eps):
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return (w * (x.astype(jnp.float32) * jax.lax.rsqrt(var + eps))).astype(x.dtype)
+
+
 class T5Seq2Seq:
     """Encoder+decoder bundle with an HF-`generate`-compatible beam search.
 
     The Mustango chord predictor is `T5ForConditionalGeneration.generate`
     with num_beams=5, min_length=8, max_length=128, early_stopping=True
-    (reference mustango/mustango.py:110-124). The decode loop runs on host,
-    each step one fixed-shape jitted decoder call over the beam batch —
-    autoregressive conditioning inference, not a throughput path.
+    (reference mustango/mustango.py:110-124, which decodes WITH a KV cache).
+    The beam bookkeeping runs on host (exact HF BeamSearchScorer semantics);
+    device work is O(L): one single-token cached decoder step per generated
+    token (self-attention K/V caches + precomputed cross-attention K/V),
+    instead of the O(L^2) full-buffer re-run per token.
     """
 
     def __init__(self, cfg: T5Config, dtype=jnp.float32):
         self.cfg = cfg
+        self.dtype = dtype
         self.encoder = T5Encoder(cfg, dtype=dtype)
         self.decoder = T5Decoder(cfg, dtype=dtype)
         self._step = None
+        self._step_len = None
+        self._precompute = None
+        self._reorder = None
+        self._bias_cache = {}
 
     def encode(self, params, input_ids, attention_mask):
         return self.encoder.apply({"params": params["encoder"]}, input_ids, attention_mask)
 
+    # ------------------------------------------------------ cached decoding
+    def _self_bias_table(self, max_len: int) -> np.ndarray:
+        """Static (H, max_len, max_len) decoder self-attn bias bucket indices
+        + causal mask, identical to T5Decoder.__call__'s in-graph bias."""
+        if max_len not in self._bias_cache:
+            c = self.cfg
+            pos = np.arange(max_len)
+            buckets = relative_position_bucket(
+                pos[None, :] - pos[:, None],
+                c.relative_attention_num_buckets,
+                c.relative_attention_max_distance,
+                bidirectional=False,
+            )
+            causal = np.tril(np.ones((max_len, max_len), np.float32))
+            self._bias_cache[max_len] = (buckets, (1.0 - causal) * -1e9)
+        return self._bias_cache[max_len]
+
+    def _make_step_fns(self, max_len: int):
+        c = self.cfg
+        L, H, dkv = c.num_layers, c.num_heads, c.d_kv
+        buckets_np, causal_np = self._self_bias_table(max_len)
+        dtype = self.dtype
+
+        def precompute(dparams, enc_hidden, enc_mask):
+            """Cross-attention K/V per layer + full self-bias + encoder bias."""
+            cks, cvs = [], []
+            for i in range(L):
+                p = dparams[f"block_{i}"]["cross_attn"]
+                h = enc_hidden.astype(dtype)
+                b, se, _ = h.shape
+                ck = (h @ p["k"]["kernel"].astype(dtype)).reshape(b, se, H, dkv).transpose(0, 2, 1, 3)
+                cv = (h @ p["v"]["kernel"].astype(dtype)).reshape(b, se, H, dkv).transpose(0, 2, 1, 3)
+                cks.append(ck), cvs.append(cv)
+            rel = dparams["relative_attention_bias"]
+            bias = jnp.take(rel, jnp.asarray(buckets_np), axis=0)  # (max,max,H)
+            bias = bias.transpose(2, 0, 1).astype(jnp.float32) + jnp.asarray(causal_np)[None]
+            enc_bias = (1.0 - enc_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+            return jnp.stack(cks), jnp.stack(cvs), bias, enc_bias
+
+        def step(dparams, tok, pos, kc, vc, ck, cv, self_bias, enc_bias):
+            """One cached decode step.
+
+            tok (B,) int32; pos scalar; kc/vc (L,B,H,max_len,dkv) self caches;
+            ck/cv (L,B,H,S_e,dkv); self_bias (H,max,max); enc_bias
+            (B,1,1,S_e). Returns (logprobs (B,vocab), kc, vc)."""
+            emb = dparams["token_embedding"]
+            x = jnp.take(emb, tok, axis=0).astype(dtype)  # (B, d)
+            b = x.shape[0]
+            bias_row = jax.lax.dynamic_slice(
+                self_bias, (0, pos, 0), (H, 1, max_len)
+            )[None]  # (1,H,1,max)
+            for i in range(L):
+                p = dparams[f"block_{i}"]
+                h = _rms(p["ln_self"]["weight"], x, c.layer_norm_epsilon)
+                q = (h @ p["self_attn"]["q"]["kernel"].astype(dtype)).reshape(b, H, 1, dkv)
+                kn = (h @ p["self_attn"]["k"]["kernel"].astype(dtype)).reshape(b, H, dkv)
+                vn = (h @ p["self_attn"]["v"]["kernel"].astype(dtype)).reshape(b, H, dkv)
+                kc = kc.at[i, :, :, pos].set(kn)
+                vc = vc.at[i, :, :, pos].set(vn)
+                logits = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, kc[i], preferred_element_type=jnp.float32
+                ) + bias_row
+                probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+                att = jnp.einsum("bhqk,bhkd->bhqd", probs, vc[i]).reshape(b, H * dkv)
+                x = x + att @ p["self_attn"]["o"]["kernel"].astype(dtype)
+
+                h = _rms(p["ln_cross"]["weight"], x, c.layer_norm_epsilon)
+                q = (h @ p["cross_attn"]["q"]["kernel"].astype(dtype)).reshape(b, H, 1, dkv)
+                logits = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, ck[i], preferred_element_type=jnp.float32
+                ) + enc_bias
+                probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+                att = jnp.einsum("bhqk,bhkd->bhqd", probs, cv[i]).reshape(b, H * dkv)
+                x = x + att @ p["cross_attn"]["o"]["kernel"].astype(dtype)
+
+                h = _rms(p["ln_ff"]["weight"], x, c.layer_norm_epsilon)
+                ffp = p["ff"]
+                if "wi_0" in ffp:
+                    hg = h @ ffp["wi_0"]["kernel"].astype(dtype)
+                    hl = h @ ffp["wi_1"]["kernel"].astype(dtype)
+                    act = (
+                        jax.nn.gelu(hg, approximate=True)
+                        if c.act.startswith("gelu") else jax.nn.relu(hg)
+                    )
+                    hh = act * hl
+                else:
+                    hh = jax.nn.relu(h @ ffp["wi"]["kernel"].astype(dtype))
+                x = x + hh @ ffp["wo"]["kernel"].astype(dtype)
+
+            x = _rms(dparams["final_layer_norm"]["weight"], x, c.layer_norm_epsilon)
+            if "lm_head" in dparams:
+                head = dparams["lm_head"]
+            else:
+                head = emb
+                x = x * (c.d_model**-0.5)
+            logits = jnp.einsum("bd,vd->bv", x.astype(jnp.float32), head.astype(jnp.float32))
+            return jax.nn.log_softmax(logits, axis=-1), kc, vc
+
+        def reorder(kc, vc, idx):
+            return kc[:, idx], vc[:, idx]
+
+        return jax.jit(precompute), jax.jit(step), jax.jit(reorder)
+
     def _decode_logits(self, params, dec_buf, enc_hidden, enc_mask, idx):
-        """Log-probs of the token at position idx (0-based in dec_buf)."""
-        if self._step is None:
-            dec = self.decoder
+        """Log-probs of the token at position idx via the FULL decoder —
+        the uncached oracle used by tests to pin cached-step parity."""
+        dec = self.decoder
 
-            @functools.partial(jax.jit)
-            def step(dparams, buf, hid, msk, i):
-                logits = dec.apply({"params": dparams}, buf, hid, msk)
-                row = jnp.take(logits, i, axis=1)  # (B, vocab)
-                return jax.nn.log_softmax(row.astype(jnp.float32), axis=-1)
+        @functools.partial(jax.jit)
+        def step(dparams, buf, hid, msk, i):
+            logits = dec.apply({"params": dparams}, buf, hid, msk)
+            row = jnp.take(logits, i, axis=1)  # (B, vocab)
+            return jax.nn.log_softmax(row.astype(jnp.float32), axis=-1)
 
-            self._step = step
-        return self._step(params["decoder"], dec_buf, enc_hidden, enc_mask, idx)
+        return step(params["decoder"], dec_buf, enc_hidden, enc_mask, idx)
 
     def generate(
         self,
@@ -334,6 +448,17 @@ class T5Seq2Seq:
         )
         enc_mask = jnp.broadcast_to(jnp.asarray(attention_mask), (num_beams, attention_mask.shape[1]))
 
+        c = self.cfg
+        if self._step is None or self._step_len != max_length:
+            self._precompute, self._step, self._reorder = self._make_step_fns(max_length)
+            self._step_len = max_length
+        ck, cv, self_bias, enc_bias = self._precompute(
+            params["decoder"], enc_hidden, enc_mask
+        )
+        kc = jnp.zeros((c.num_layers, num_beams, c.num_heads, max_length, c.d_kv), self.dtype)
+        vc = jnp.zeros_like(kc)
+        tok_cur = np.full((num_beams,), decoder_start_token_id, np.int32)
+
         buf = np.full((num_beams, max_length), pad_token_id, np.int32)
         buf[:, 0] = decoder_start_token_id
         beam_scores = np.full((num_beams,), -1e9, np.float64)
@@ -351,12 +476,11 @@ class T5Seq2Seq:
 
         cur_len = 1
         while cur_len < max_length:
-            lp = np.asarray(
-                self._decode_logits(
-                    params, jnp.asarray(buf), enc_hidden, enc_mask, cur_len - 1
-                ),
-                np.float64,
-            )  # (num_beams, vocab)
+            lp_dev, kc, vc = self._step(
+                params["decoder"], jnp.asarray(tok_cur), cur_len - 1,
+                kc, vc, ck, cv, self_bias, enc_bias,
+            )
+            lp = np.asarray(lp_dev, np.float64)  # (num_beams, vocab)
             if cur_len < min_length:  # HF: min_length counts decoder tokens incl. start
                 lp[:, eos_token_id] = -np.inf
             next_scores = beam_scores[:, None] + lp  # (beams, vocab)
@@ -382,6 +506,11 @@ class T5Seq2Seq:
                 new_buf[j, : cur_len + 1] = np.concatenate([buf[beam, :cur_len], [tok]])
                 beam_scores[j] = score
             buf = new_buf
+            # carry the caches of the surviving beams; feed their new tokens
+            order = np.asarray([b for _, b, _ in new_beams], np.int32)
+            if not np.array_equal(order, np.arange(num_beams)):
+                kc, vc = self._reorder(kc, vc, jnp.asarray(order))
+            tok_cur = np.asarray([t for _, _, t in new_beams], np.int32)
             cur_len += 1
             if hyp_done_enough(cur_len):
                 break

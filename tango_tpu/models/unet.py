@@ -29,7 +29,7 @@ TPU-first deviations (none change math):
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -421,14 +421,24 @@ class UNet2DConditionModel(nn.Module):
     `remat=True` rematerializes each down/mid/up block on the backward pass
     (jax.checkpoint) — required to fit full-size training in one chip's HBM
     (866M params + Adam moments leave <3 GB for activations).
+
+    `latent_sharder`: optional callable applied to the activations at every
+    level boundary — sequence parallelism for long-duration audio. Pass
+    `functools.partial(parallel.mesh.shard_latents_seq, mesh=mesh)` to shard
+    the latent time axis over the mesh's 'model' axis; XLA SPMD inserts the
+    halo exchanges the convolutions need (SURVEY.md §5 long-context note).
     """
 
     cfg: UNetConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    latent_sharder: Optional[Callable] = None
 
     def _maybe_remat(self, cls):
         return nn.remat(cls) if self.remat else cls
+
+    def _sp(self, x):
+        return x if self.latent_sharder is None else self.latent_sharder(x)
 
     @nn.compact
     def __call__(
@@ -475,6 +485,7 @@ class UNet2DConditionModel(nn.Module):
         )(sample)
 
         # 3. down
+        sample = self._sp(sample)
         res_stack = [sample]
         for level, block_type in enumerate(cfg.down_block_types):
             out_ch = cfg.block_out_channels[level]
@@ -491,6 +502,7 @@ class UNet2DConditionModel(nn.Module):
                 )(sample, temb)
             else:
                 raise ValueError(f"unknown down block {block_type}")
+            sample = self._sp(sample)
             res_stack.extend(outs)
 
         # 4. mid
@@ -501,6 +513,7 @@ class UNet2DConditionModel(nn.Module):
             )(sample, temb, contexts, biases)
         elif cfg.mid_block_type is not None:
             raise ValueError(f"unknown mid block {cfg.mid_block_type}")
+        sample = self._sp(sample)
 
         # 5. up
         rev_channels = list(reversed(cfg.block_out_channels))
@@ -525,6 +538,7 @@ class UNet2DConditionModel(nn.Module):
                 )(sample, res_states, temb)
             else:
                 raise ValueError(f"unknown up block {block_type}")
+            sample = self._sp(sample)
 
         # 6. post-process
         scale = self.param("conv_norm_out_scale", nn.initializers.ones, (sample.shape[-1],))

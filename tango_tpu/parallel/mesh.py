@@ -121,14 +121,26 @@ def shard_batch(batch, mesh: Mesh):
 def shard_latents_seq(latents: jnp.ndarray, mesh: Optional[Mesh] = None) -> jnp.ndarray:
     """Sequence-parallel constraint: shard the latent time axis over 'model'.
 
-    Use between UNet levels when generating long-duration audio whose latent
-    time dimension exceeds one chip's appetite (SURVEY.md §5 long-context note).
+    Wired into the UNet via `UNet2DConditionModel(latent_sharder=
+    functools.partial(shard_latents_seq, mesh=mesh))` — applied at every
+    level boundary for long-duration audio whose latent time dimension
+    exceeds one chip's appetite (SURVEY.md §5 long-context note). Axis 0 is
+    batch ('data'), axis 1 is latent time ('model'); any trailing axes are
+    replicated. XLA SPMD derives the conv halo exchanges.
     """
     if mesh is None:
         return latents
-    return jax.lax.with_sharding_constraint(
-        latents, NamedSharding(mesh, P("data", "model", None, None))
-    )
+    # drop axes the shape can't honor (e.g. batch-1 init traces, or a level
+    # whose downsampled T no longer divides the 'model' axis) — shapes are
+    # static at trace time, so this is a plain python branch
+    axes = [
+        "data" if latents.shape[0] % mesh.shape["data"] == 0 else None,
+        "model" if latents.shape[1] % mesh.shape["model"] == 0 else None,
+    ]
+    if axes == [None, None]:
+        return latents
+    spec = P(*axes, *([None] * (latents.ndim - 2)))
+    return jax.lax.with_sharding_constraint(latents, NamedSharding(mesh, spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

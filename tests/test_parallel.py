@@ -49,11 +49,22 @@ def test_entry_executes_tiny_config(monkeypatch):
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
 
 
-def test_dp_grads_match_single_device():
-    """Data-parallel sharded loss must equal the single-device loss."""
+def assert_trees_allclose(a, b, rtol=1e-5, atol=1e-7, what="leaf"):
+    """Per-leaf allclose over two pytrees, naming the offending path."""
+    fa = jax.tree_util.tree_flatten_with_path(a)[0]
+    fb = jax.tree_util.tree_leaves(b)
+    assert len(fa) == len(fb)
+    for (path, la), lb in zip(fa, fb):
+        np.testing.assert_allclose(
+            np.asarray(la, np.float32), np.asarray(lb, np.float32),
+            rtol=rtol, atol=atol,
+            err_msg=f"{what} mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def _tiny_diffusion():
     from tango_tpu import configs as C
     from tango_tpu.models.diffusion import AudioDiffusion
-    from tango_tpu.parallel import mesh as pmesh
 
     cfg = C.UNetConfig(
         in_channels=4, out_channels=4,
@@ -62,7 +73,17 @@ def test_dp_grads_match_single_device():
         block_out_channels=(16, 32), layers_per_block=1,
         cross_attention_dim=16, attention_head_dim=(2, 4), norm_num_groups=8,
     )
-    diff = AudioDiffusion(unet_config=cfg, latent_t_size=8, latent_f_size=4)
+    return AudioDiffusion(unet_config=cfg, latent_t_size=8, latent_f_size=4)
+
+
+def test_dp_grads_match_single_device():
+    """DP-sharded loss AND GRADIENTS must equal single-device values per leaf
+    (train.py:372-378 — DDP's contract IS gradient equality; and Pallas
+    custom-VJPs are exactly the class that can diverge under sharding while
+    the loss still matches)."""
+    from tango_tpu.parallel import mesh as pmesh
+
+    diff = _tiny_diffusion()
     params = diff.init_params(jax.random.PRNGKey(0))
     lat = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 4, 4))
     emb = jax.random.normal(jax.random.PRNGKey(2), (8, 5, 16))
@@ -70,22 +91,78 @@ def test_dp_grads_match_single_device():
 
     # validation_mode pins t; the only randomness left is the noise draw,
     # which is identical for identical rng regardless of sharding.
-    loss_single = float(
-        diff.loss(params, lat, emb, msk, jax.random.PRNGKey(3), validation_mode=True)
-    )
+    def loss_fn(p, lat, emb, msk):
+        return diff.loss(p, lat, emb, msk, jax.random.PRNGKey(3), validation_mode=True)
+
+    loss_single, grads_single = jax.value_and_grad(loss_fn)(params, lat, emb, msk)
 
     mesh = pmesh.make_mesh(data=8, model=1)
     params_s = pmesh.shard_params(params, mesh)
     batch = pmesh.shard_batch({"lat": lat, "emb": emb, "msk": msk}, mesh)
     with mesh:
-        loss_sharded = float(
-            jax.jit(
-                lambda p, b: diff.loss(
-                    p, b["lat"], b["emb"], b["msk"], jax.random.PRNGKey(3), validation_mode=True
-                )
-            )(params_s, batch)
+        loss_sharded, grads_sharded = jax.jit(
+            lambda p, b: jax.value_and_grad(loss_fn)(p, b["lat"], b["emb"], b["msk"])
+        )(params_s, batch)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single), rtol=1e-5)
+    assert_trees_allclose(grads_sharded, grads_single, rtol=2e-4, atol=1e-6,
+                          what="DP grad")
+
+
+def test_dp_tp_train_step_matches_meshless():
+    """One full SFT train step (loss + grads + AdamW update) on a DPx TP 2x4
+    mesh must reproduce the meshless step: loss equal, updated params equal
+    per leaf (VERDICT r2 next-round #1b)."""
+    from tango_tpu import configs as C
+    from tango_tpu.configs import TrainConfig
+    from tango_tpu.models.vae import AutoencoderKL
+    from tango_tpu.parallel import mesh as pmesh
+    from tango_tpu.train.sft import SFTTrainer
+
+    diff = _tiny_diffusion()
+    vae_cfg = C.VAEConfig(embed_dim=4, z_channels=4, ch=32, ch_mult=(1, 2),
+                          num_res_blocks=1)
+    vae = AutoencoderKL(vae_cfg)
+    rng = jax.random.PRNGKey(0)
+    vae_params = vae.init(rng, jnp.zeros((1, 16, 8, 1)), rng)["params"]
+
+    batch = {
+        "fbank": jax.random.normal(jax.random.PRNGKey(1), (8, 16, 8)) * 0.1,
+        "text_embeds": jax.random.normal(jax.random.PRNGKey(2), (8, 5, 16)) * 0.02,
+        "text_mask": jnp.ones((8, 5), jnp.int32),
+    }
+    tc = TrainConfig(gradient_accumulation_steps=1)
+
+    def step_loss(params, batch, k_vae, k_loss):
+        mel = batch["fbank"][..., None]
+        lat = jax.lax.stop_gradient(
+            vae.apply({"params": vae_params}, mel, k_vae, method=vae.encode_first_stage)
         )
-    np.testing.assert_allclose(loss_sharded, loss_single, rtol=1e-5)
+        return diff.loss(params, lat, batch["text_embeds"], batch["text_mask"], k_loss)
+
+    k_vae, k_loss = jax.random.split(jax.random.PRNGKey(3))
+
+    ref_trainer = SFTTrainer(diff, vae, vae_params, tc, total_steps=10)
+    ref_state = ref_trainer.init_state(rng)
+    ref_grads = jax.grad(step_loss)(ref_state.params, batch, k_vae, k_loss)
+    ref_state, ref_loss = ref_trainer.train_step(ref_state, batch, jax.random.PRNGKey(3))
+
+    mesh = pmesh.make_mesh(data=2, model=4)
+    vae_params_s = jax.device_put(vae_params, pmesh.replicated(mesh))
+    with mesh:
+        trainer = SFTTrainer(diff, vae, vae_params_s, tc, total_steps=10, mesh=mesh)
+        state = trainer.init_state(rng)
+        batch_s = pmesh.shard_batch(batch, mesh)
+        grads = jax.jit(jax.grad(step_loss))(state.params, batch_s, k_vae, k_loss)
+        state, loss = trainer.train_step(state, batch_s, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    # gradients are the DDP contract — tight per-leaf comparison
+    assert_trees_allclose(grads, ref_grads, rtol=2e-4, atol=1e-5,
+                          what="DPxTP grad")
+    # updated params: Adam's first step is ~ lr * sign(grad) per element, so
+    # reduction-order noise on near-zero grads legitimately moves a
+    # parameter by up to ~2*lr — compare at that amplification bound
+    assert_trees_allclose(state.params, ref_state.params, rtol=1e-3,
+                          atol=2.5 * tc.learning_rate, what="updated param")
 
 
 def test_tp_forward_matches_replicated():
@@ -116,6 +193,53 @@ def test_tp_forward_matches_replicated():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_sp_forward_and_grads_match_meshless():
+    """Sequence parallelism (latent time axis sharded over 'model' at every
+    UNet level boundary) must reproduce the meshless forward AND gradients on
+    a long-latent config (VERDICT r2 weak #4: wire SP or retract)."""
+    import functools
+
+    from tango_tpu import configs as C
+    from tango_tpu.models.unet import UNet2DConditionModel
+    from tango_tpu.parallel import mesh as pmesh
+
+    cfg = C.UNetConfig(
+        in_channels=4, out_channels=4,
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        block_out_channels=(16, 32), layers_per_block=1,
+        cross_attention_dim=16, attention_head_dim=(2, 4), norm_num_groups=8,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 4, 4))  # long T
+    t = jnp.array([5, 500])
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16))
+
+    ref_unet = UNet2DConditionModel(cfg)
+    params = ref_unet.init(jax.random.PRNGKey(2), x, t, c)["params"]
+
+    def ref_loss(p, x):
+        return jnp.mean(jnp.square(ref_unet.apply({"params": p}, x, t, c)))
+
+    ref_out = ref_unet.apply({"params": params}, x, t, c)
+    ref_grads = jax.grad(ref_loss)(params, x)
+
+    mesh = pmesh.make_mesh(data=2, model=4)
+    sp_unet = UNet2DConditionModel(
+        cfg, latent_sharder=functools.partial(pmesh.shard_latents_seq, mesh=mesh)
+    )
+    params_s = pmesh.shard_params(params, mesh)
+    x_s = jax.device_put(x, pmesh.batch_sharding(mesh))
+
+    def sp_loss(p, x):
+        return jnp.mean(jnp.square(sp_unet.apply({"params": p}, x, t, c)))
+
+    with mesh:
+        out = jax.jit(lambda p, x: sp_unet.apply({"params": p}, x, t, c))(params_s, x_s)
+        grads = jax.jit(jax.grad(sp_loss))(params_s, x_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
+    assert_trees_allclose(grads, ref_grads, rtol=2e-4, atol=1e-6, what="SP grad")
+
+
 def test_pipeline_dp_generation():
     """Tango.generate_for_batch sharded over 8 virtual devices matches shapes."""
     import numpy as np
@@ -141,20 +265,32 @@ def test_pipeline_dp_generation():
     hifi = HiFiGANGenerator(TINY_HIFI)
     hifi_params = hifi.init(k, jnp.zeros((1, 8, 8)))["params"]
 
+    kwargs = dict(
+        unet_config=TINY_UNET, vae_config=TINY_VAE,
+        unet_params=unet_params, vae_params=vae_params,
+        t5_config=TINY_T5, t5_params=t5_params,
+        hifigan_config=TINY_HIFI, hifigan_params=hifi_params,
+        tokenizer=StubTokenizer(), latent_t_size=8, latent_f_size=4,
+    )
+    prompts10 = [f"q{i}" for i in range(10)]
+    ref_tango = Tango.from_components(**kwargs)
+    ref10 = ref_tango.generate_for_batch(prompts10, steps=2, batch_size=8, seed=7)
+
     mesh = pmesh.make_mesh(data=8, model=1)
     with mesh:
-        tango = Tango.from_components(
-            unet_config=TINY_UNET, vae_config=TINY_VAE,
-            unet_params=unet_params, vae_params=vae_params,
-            t5_config=TINY_T5, t5_params=t5_params,
-            hifigan_config=TINY_HIFI, hifigan_params=hifi_params,
-            tokenizer=StubTokenizer(), latent_t_size=8, latent_f_size=4,
-            mesh=mesh,
-        )
+        tango = Tango.from_components(**kwargs, mesh=mesh)
         outs = tango.generate_for_batch([f"p{i}" for i in range(8)], steps=2, batch_size=8)
         # non-divisible tail: 10 prompts at batch 8 leaves a 2-prompt chunk
         # that must pad up to the 8-device 'data' axis and discard extras
-        outs10 = tango.generate_for_batch([f"q{i}" for i in range(10)], steps=2, batch_size=8)
+        outs10 = tango.generate_for_batch(prompts10, steps=2, batch_size=8, seed=7)
     assert len(outs) == 8
     assert all(o.dtype == np.int16 for o in outs)
     assert len(outs10) == 10
+    # mesh generation must reproduce meshless WAVEFORMS, including the padded
+    # tail chunk (rows 8-9): counter-based PRNG makes the padded (8,...) draw's
+    # leading rows equal the meshless (2,...) draw (VERDICT r2 weak #3)
+    for i, (a, b) in enumerate(zip(outs10, ref10)):
+        np.testing.assert_allclose(
+            a.astype(np.float32), b.astype(np.float32), atol=2.0,
+            err_msg=f"mesh vs meshless waveform {i}",
+        )

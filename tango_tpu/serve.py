@@ -3,7 +3,10 @@
 Reference equivalents: the Replicate cog predictor (predict.py:29-60) and the
 shell drivers (inference.sh). The Predictor mirrors cog's setup/predict
 lifecycle: weights load once, each predict() call generates one clip and
-writes a wav. The CLI is the quick path:
+writes a wav. `BatchingPredictor` additionally coalesces concurrent
+predict() calls into padded batch-4 generations: the measured v5e batch
+sweep (docs/PERF.md) has B2 p50 (5.84 s) ~= B4 p50 (5.60 s), so a
+single-prompt server wastes ~2.9x free throughput. The CLI is the quick path:
 
     python -m tango_tpu.serve --model <snapshot> --prompt "an audio prompt" \
         --steps 100 --guidance 3 --output out.wav
@@ -13,8 +16,9 @@ from __future__ import annotations
 
 import argparse
 import os
+import threading
 import time
-from typing import Optional
+from typing import List, Optional, Sequence
 
 
 class Predictor:
@@ -48,6 +52,132 @@ class Predictor:
         wav = self.tango.generate(prompt, steps=steps, guidance=guidance, seed=seed)
         write_wav(output_path, wav, 16000)
         return output_path
+
+    def predict_batch(self, prompts: Sequence[str], steps: int = 100,
+                      guidance: float = 3.0, output_paths: Optional[Sequence[str]] = None,
+                      seed: Optional[int] = None, batch_size: int = 4) -> List[str]:
+        """Serve several prompts in ONE padded batch generation.
+
+        Pads the tail chunk up to `batch_size` by cycling prompts so every
+        request shape hits the same compiled program (power-of-2 batches only
+        — odd batches tile badly on the MXU, docs/PERF.md batch sweep)."""
+        from tango_tpu.audio.wav import write_wav
+
+        assert self.tango is not None, "call setup() first"
+        assert batch_size & (batch_size - 1) == 0, "batch_size must be a power of 2"
+        prompts = list(prompts)
+        n = len(prompts)
+        padded = prompts + [prompts[0]] * (-n % batch_size)
+        wavs = self.tango.generate_for_batch(
+            padded, steps=steps, guidance=guidance, batch_size=batch_size, seed=seed,
+        )[:n]
+        output_paths = list(output_paths or [f"output_{i}.wav" for i in range(n)])
+        for path, wav in zip(output_paths, wavs):
+            write_wav(path, wav, 16000)
+        return output_paths
+
+
+class _Request:
+    __slots__ = ("prompt", "steps", "guidance", "output_path", "seed", "done",
+                 "result", "error")
+
+    def __init__(self, prompt, steps, guidance, output_path, seed):
+        self.prompt, self.steps, self.guidance = prompt, steps, guidance
+        self.output_path, self.seed = output_path, seed
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class BatchingPredictor(Predictor):
+    """Predictor that coalesces concurrent predict() calls into batches.
+
+    Requests arriving within `max_wait_ms` of each other that share
+    (steps, guidance) ride one padded batch-`max_batch` generation —
+    saturating the measured B4 throughput point without latency loss
+    (docs/PERF.md: B2 p50 ~= B4 p50 on v5e-1). Seeded requests are served
+    solo: a shared batch draw would change their bit-exact output vs the
+    single-prompt path.
+    """
+
+    def __init__(self, max_batch: int = 4, max_wait_ms: float = 50.0):
+        super().__init__()
+        assert max_batch & (max_batch - 1) == 0, "max_batch must be a power of 2"
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._queue: List[_Request] = []
+        self._lock = threading.Condition()
+        self._worker: Optional[threading.Thread] = None
+        self._shutdown = False
+
+    def setup(self, model: str = "declare-lab/tango", quant: Optional[str] = None):
+        super().setup(model, quant=quant)
+        # warm the batched program too — it is the steady-state server shape
+        self.tango.generate_for_batch(
+            ["warmup"] * self.max_batch, steps=100, batch_size=self.max_batch
+        )
+        self._worker = threading.Thread(target=self._serve_loop, daemon=True)
+        self._worker.start()
+
+    def close(self):
+        with self._lock:
+            self._shutdown = True
+            self._lock.notify_all()
+        if self._worker is not None:
+            self._worker.join(timeout=5)
+
+    def predict(self, prompt: str, steps: int = 100, guidance: float = 3.0,
+                output_path: str = "output.wav", seed: Optional[int] = None) -> str:
+        assert self.tango is not None, "call setup() first"
+        if seed is not None:
+            # bit-exact single-prompt semantics: don't share a batch draw
+            return super().predict(prompt, steps, guidance, output_path, seed)
+        req = _Request(prompt, steps, guidance, output_path, seed)
+        with self._lock:
+            self._queue.append(req)
+            self._lock.notify_all()
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _serve_loop(self):
+        while True:
+            with self._lock:
+                while not self._queue and not self._shutdown:
+                    self._lock.wait()
+                if self._shutdown:
+                    return
+                # batching window: let concurrent requests pile up (a notify
+                # wakes wait() early — keep waiting until the window closes
+                # or the batch is full)
+                deadline = time.monotonic() + self.max_wait_ms / 1000.0
+                while len(self._queue) < self.max_batch and not self._shutdown:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._lock.wait(remaining)
+                if self._shutdown:
+                    return
+                key = (self._queue[0].steps, self._queue[0].guidance)
+                group = [r for r in self._queue if (r.steps, r.guidance) == key]
+                group = group[: self.max_batch]
+                for r in group:
+                    self._queue.remove(r)
+            try:
+                self.predict_batch(
+                    [r.prompt for r in group], steps=key[0], guidance=key[1],
+                    output_paths=[r.output_path for r in group],
+                    batch_size=self.max_batch,
+                )
+                for r in group:
+                    r.result = r.output_path
+            except Exception as e:  # surface to every waiter in the batch
+                for r in group:
+                    r.error = e
+            finally:
+                for r in group:
+                    r.done.set()
 
 
 def main(argv=None):

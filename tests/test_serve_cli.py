@@ -11,11 +11,18 @@ class _StubTango:
     def __init__(self, *a, **kw):
         self.kw = kw
         self.calls = []
+        self.batch_calls = []
 
     def generate(self, prompt, steps=100, guidance=3.0, samples=1, seed=None, **kw):
         self.calls.append((prompt, steps, guidance, samples, seed))
         wav = (np.sin(np.linspace(0, 100, 16000)) * 20000).astype(np.int16)
         return [wav] * samples if samples > 1 else wav
+
+    def generate_for_batch(self, prompts, steps=100, guidance=3.0, batch_size=8,
+                           seed=None, **kw):
+        self.batch_calls.append((list(prompts), steps, guidance, batch_size, seed))
+        wav = (np.sin(np.linspace(0, 100, 16000)) * 20000).astype(np.int16)
+        return [wav.copy() for _ in prompts]
 
 
 def test_serve_cli_writes_wav(tmp_path, monkeypatch):
@@ -65,3 +72,68 @@ def test_predictor_lifecycle(tmp_path, monkeypatch):
     p.setup(model="stub")
     out = p.predict("hello", steps=3, output_path=str(tmp_path / "p.wav"))
     assert os.path.exists(out)
+
+
+def test_predict_batch_pads_to_power_of_two(tmp_path, monkeypatch):
+    import tango_tpu.pipeline as pipeline_mod
+    from tango_tpu.serve import Predictor
+
+    stub = {}
+
+    def factory(name, **kw):
+        stub["t"] = _StubTango(name, **kw)
+        return stub["t"]
+
+    monkeypatch.setattr(pipeline_mod, "Tango", factory)
+    p = Predictor()
+    p.setup(model="stub")
+    paths = [str(tmp_path / f"b{i}.wav") for i in range(3)]
+    out = p.predict_batch(["a", "b", "c"], steps=3, output_paths=paths)
+    assert out == paths and all(os.path.exists(x) for x in paths)
+    # 3 prompts padded to the compiled batch-4 shape (docs/PERF.md sweep:
+    # odd batches tile badly; B4 ~= B2 latency)
+    prompts, steps, guidance, bs, seed = stub["t"].batch_calls[-1]
+    assert len(prompts) == 4 and prompts[:3] == ["a", "b", "c"] and bs == 4
+
+
+def test_batching_predictor_coalesces_concurrent_requests(tmp_path, monkeypatch):
+    """3 concurrent seedless predict() calls share ONE padded batch-4
+    generation; a seeded call is served solo for bit-exact parity."""
+    import threading
+
+    import tango_tpu.pipeline as pipeline_mod
+    from tango_tpu.serve import BatchingPredictor
+
+    stub = {}
+
+    def factory(name, **kw):
+        stub["t"] = _StubTango(name, **kw)
+        return stub["t"]
+
+    monkeypatch.setattr(pipeline_mod, "Tango", factory)
+    p = BatchingPredictor(max_batch=4, max_wait_ms=200)
+    p.setup(model="stub")
+    n_warm = len(stub["t"].batch_calls)  # setup warms the batch program
+
+    results = {}
+
+    def call(i):
+        results[i] = p.predict(f"req {i}", steps=3,
+                               output_path=str(tmp_path / f"c{i}.wav"))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert len(results) == 3 and all(os.path.exists(v) for v in results.values())
+    served = stub["t"].batch_calls[n_warm:]
+    assert len(served) == 1, served  # ONE coalesced batch, not 3 solo runs
+    assert len(served[0][0]) == 4  # padded to the batch-4 program
+
+    # seeded request: solo single-prompt path (deterministic parity)
+    out = p.predict("seeded", steps=3, seed=7, output_path=str(tmp_path / "s.wav"))
+    assert os.path.exists(out)
+    assert stub["t"].calls[-1] == ("seeded", 3, 3.0, 1, 7)
+    assert len(stub["t"].batch_calls[n_warm:]) == 1  # still just the one batch
+    p.close()

@@ -1,0 +1,66 @@
+"""Geometry Score: witness-complex H1 persistence sanity + Algorithm 2.
+
+The reference gs package (audioldm_eval/metrics/gs/) delegates to gudhi
+(uninstallable offline), so parity is pinned on the published TOPOLOGICAL
+invariants instead (the paper's own sanity experiments, top_utils.py:
+circle vs planar): a noisy circle carries one persistent 1-cycle, a filled
+planar blob carries none."""
+
+import numpy as np
+import pytest
+
+from tango_tpu.eval.gs import geom_score, relative, rlt, rlts
+
+
+def _circle(n, rng):
+    phi = 2 * np.pi * rng.rand(n)
+    return np.stack([np.sin(phi), np.cos(phi)], 1) + 0.05 * rng.randn(n, 2)
+
+
+def test_rlt_circle_finds_one_hole():
+    rng = np.random.RandomState(0)
+    r = rlt(_circle(512, rng), L_0=32, gamma=1 / 8, rng=np.random.RandomState(1))
+    assert r.shape == (100,)
+    np.testing.assert_allclose(r.sum(), 1.0, atol=1e-9)  # RLT is a distribution
+    assert r[1] > 0.7, r[:4]  # beta_1 = 1 dominates on a circle
+
+
+def test_rlt_planar_finds_no_hole():
+    rng = np.random.RandomState(0)
+    planar = rng.rand(512, 2) * 2 - 1
+    r = rlt(planar, L_0=32, gamma=1 / 8, rng=np.random.RandomState(1))
+    assert r[0] > max(r[1:]), r[:4]  # beta_1 = 0 dominates on a blob
+
+
+def test_geom_score_separates_topologies():
+    rng = np.random.RandomState(0)
+    c1 = _circle(512, rng)
+    c2 = _circle(512, rng)
+    planar = rng.rand(512, 2) * 2 - 1
+    kw = dict(L_0=32, gamma=1 / 8, n=8)
+    same = geom_score(rlts(c1, seed=3, **kw), rlts(c2, seed=4, **kw))
+    diff = geom_score(rlts(c1, seed=3, **kw), rlts(planar, seed=5, **kw))
+    assert diff > 50 * same, (same, diff)
+
+
+def test_relative_matches_reference_formula():
+    """utils.relative semantics on hand-computable intervals."""
+    # one interval covering [0, alpha_max): beta_1 == 1 always
+    r = relative([[0.0, np.inf]], alpha_max=2.0, i_max=5)
+    np.testing.assert_allclose(r, [0, 1, 0, 0, 0])
+    # half the time one hole, half no holes
+    r = relative([[0.0, 1.0]], alpha_max=2.0, i_max=5)
+    np.testing.assert_allclose(r, [0.5, 0.5, 0, 0, 0])
+    # empty diagram: all mass at 0
+    r = relative([], alpha_max=2.0, i_max=5)
+    np.testing.assert_allclose(r, [1, 0, 0, 0, 0])
+    # overlapping intervals stack
+    r = relative([[0.0, 2.0], [1.0, 2.0]], alpha_max=2.0, i_max=5)
+    np.testing.assert_allclose(r, [0, 0.5, 0.5, 0, 0])
+
+
+def test_rlt_input_validation():
+    with pytest.raises(ValueError):
+        rlt([[1, 2]])
+    with pytest.raises(ValueError):
+        rlt(np.zeros((4, 4, 4)))

@@ -1,0 +1,299 @@
+"""Round-5 perf (r3 of the build): the two unmeasured attention candidates
+from VERDICT r2 + small-batch grid pipelining.
+
+Methodology: in-graph ablation of the full jitted 866M UNet CFG eval
+(docs/PERF.md — microbenchmarks lie on the relay; only whole-eval deltas are
+truthful). Variants swap tango_tpu.models.unet.multi_head_attention.
+
+  base             current kernels (fresh baseline, this process)
+  attn_shift       tracked-shift exp2: NO per-row max reduction; a static
+                   shift + elementwise clamp (fuses into the exp2 pass)
+                   keeps overflow finite. Parity-safe when the calibrated
+                   shift is within ~100 of the true row max (f32 exp2
+                   dynamic range); serving-mode calibration like int8 quant.
+  attn_int8qk      int8 QK^T INSIDE the flash kernel: per-row |q| and
+                   per-tensor |k| dynamic quantization, int8 MXU dot with
+                   i32 accumulation, scales folded into the (single) exp2
+                   elementwise pass. PV stays bf16.
+  attn_int8qk_shift  both of the above
+  attn_2heads      two heads per grid program (under-shaped small-batch
+                   grids: B2 has only 2*2*heads programs at L0) — measure at
+                   b2_ prefix; B8 for neutrality.
+  parity           kernel-vs-XLA max abs error on random tensors (all
+                   variants), plus the quantization error class of int8qk.
+
+python scripts/perf_r5.py [names...]   (default: parity base attn_shift
+                                        attn_int8qk attn_int8qk_shift
+                                        attn_2heads b2_base b2_attn_2heads)
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LOG2_E = 1.4426950408889634
+
+
+def out(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def chain_ms(fn, x0, iters=8, reps=3):
+    @jax.jit
+    def run(x):
+        y, _ = jax.lax.scan(lambda c, _: (fn(c), None), x, None, length=iters)
+        return y
+
+    def sync(y):
+        float(jnp.ravel(y)[0])
+
+    t0 = time.perf_counter()
+    sync(run(x0))
+    cs = time.perf_counter() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(run(x0))
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts)) * 1e3, cs
+
+
+# ------------------------------------------------------------------ kernels
+
+
+def _attn_shift_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, shift: float,
+                       clamp: float):
+    """No max reduction: p = exp2(min(logits - shift, clamp)).
+
+    The min() is elementwise and fuses into the exp2 pass — the (BQ, Skv)
+    max REDUCTION pass (measured 1.8 ms/eval) disappears. Overflow-safe:
+    p <= 2^clamp and denom <= Skv * 2^clamp stay finite in f32. Underflow-
+    safe when rowmax(logits) - shift > -100 or so (f32 exp2 range)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    qs = (q.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype)
+    logits = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp2(jnp.minimum(logits - shift, clamp))
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+
+def _attn_int8qk_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                        shift: float | None, clamp: float):
+    """int8 QK^T: per-row |q| scale (folds into the exp2 pass), per-tensor
+    |k| scale (scalar, folds the same way). PV stays bf16. shift=None keeps
+    the exact per-row max pass; a float shift removes it (tracked-shift)."""
+    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
+    k = k_ref[0].astype(jnp.float32)  # (S, D)
+    v = v_ref[0]
+    amax_q = jnp.maximum(jnp.max(jnp.abs(q), axis=-1, keepdims=True), 1e-6)  # (BQ,1)
+    amax_k = jnp.maximum(jnp.max(jnp.abs(k)), 1e-6)  # scalar
+    qi = jnp.round(q * (127.0 / amax_q)).astype(jnp.int8)
+    ki = jnp.round(k * (127.0 / amax_k)).astype(jnp.int8)
+    acc_i = jax.lax.dot_general(
+        qi, ki, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # (BQ, S) i32
+    row_scale = amax_q * (amax_k / (127.0 * 127.0) * scale * LOG2_E)  # (BQ,1)
+    logits = acc_i.astype(jnp.float32) * row_scale
+    if shift is None:
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp2(logits - m)
+    else:
+        p = jnp.exp2(jnp.minimum(logits - shift, clamp))
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+
+def _attn_2head_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Two heads per grid program (same math as ops.flash_attention v1)."""
+    q = q_ref[...]  # (2, BQ, D)
+    k = k_ref[...]  # (2, S, D)
+    v = v_ref[...]
+    qs = (q.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype)
+    logits = jax.lax.dot_general(
+        qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (2, BQ, S)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp2(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (acc / denom).astype(o_ref.dtype)
+
+
+def flash_v1(q, k, v, *, scale, kernel, heads_per_prog=1):
+    from tango_tpu.ops import flash_attention as fa
+
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bq = fa._block_q(sq)
+    hp = heads_per_prog
+    assert (b * h) % hp == 0
+
+    def reshape3(x):
+        return x.reshape(b * h, x.shape[2], d)
+
+    q3, k3, v3 = reshape3(q), reshape3(k), reshape3(v)
+    out3 = pl.pallas_call(
+        functools.partial(kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
+        grid=(b * h // hp, sq // bq),
+        in_specs=[
+            pl.BlockSpec((hp, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, skv, d), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, skv, d), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((hp, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * sq * skv * d,
+            bytes_accessed=(q3.size * 2 + k3.size + v3.size) * q.dtype.itemsize,
+            transcendentals=b * h * sq * skv,
+        ),
+    )(q3, k3, v3)
+    return out3.reshape(b, h, sq, d)
+
+
+def make_mha(attn_impl):
+    from tango_tpu.ops.attention import _xla_attention
+
+    def mha(q, k, v, *, heads, bias=None, upcast=True, use_flash=None):
+        b, sq, inner = q.shape
+        skv = k.shape[1]
+        d = inner // heads
+        scale = d**-0.5
+        if bias is not None and bias.ndim == 2:
+            bias = bias[:, None, None, :]
+        elif bias is not None and bias.ndim == 3:
+            bias = bias[:, None, :, :]
+        if bias is not None:
+            bias = bias.astype(jnp.float32)
+        qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+        if bias is None and skv >= 256 and sq % 128 == 0:
+            o = attn_impl(qh, kh, vh, scale=scale)
+        else:
+            o = _xla_attention(qh, kh, vh, bias=bias, scale=scale, upcast=upcast)
+        return o.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+
+    return mha
+
+
+VARIANT_IMPLS = {
+    # shift=0 with clamp 30: representative of a calibrated serving shift
+    "attn_shift": lambda q, k, v, *, scale: flash_v1(
+        q, k, v, scale=scale,
+        kernel=functools.partial(_attn_shift_kernel, shift=0.0, clamp=30.0)),
+    "attn_int8qk": lambda q, k, v, *, scale: flash_v1(
+        q, k, v, scale=scale,
+        kernel=functools.partial(_attn_int8qk_kernel, shift=None, clamp=30.0)),
+    "attn_int8qk_shift": lambda q, k, v, *, scale: flash_v1(
+        q, k, v, scale=scale,
+        kernel=functools.partial(_attn_int8qk_kernel, shift=0.0, clamp=30.0)),
+    "attn_2heads": lambda q, k, v, *, scale: flash_v1(
+        q, k, v, scale=scale, kernel=_attn_2head_kernel, heads_per_prog=2),
+}
+
+
+def run_parity():
+    """Max abs error vs XLA reference at UNet L0 shapes (B=2,H=5,S=4096,D=64)."""
+    from tango_tpu.ops.attention import _xla_attention
+
+    rng = np.random.RandomState(0)
+    b, h, s, d = 2, 5, 1024, 64
+    q = jnp.asarray(rng.randn(b, h, s, d), jnp.bfloat16) * 0.5
+    k = jnp.asarray(rng.randn(b, h, s, d), jnp.bfloat16) * 0.5
+    v = jnp.asarray(rng.randn(b, h, s, d), jnp.bfloat16)
+    scale = d**-0.5
+    ref = np.asarray(_xla_attention(q, k, v, bias=None, scale=scale, upcast=True),
+                     np.float32)
+    for name, impl in VARIANT_IMPLS.items():
+        got = np.asarray(impl(q, k, v, scale=scale), np.float32)
+        err = float(np.max(np.abs(got - ref)))
+        out(exp="parity_r5", variant=name, max_abs_err=round(err, 6))
+
+
+def run_variant(name):
+    import tango_tpu.models.unet as unet_mod
+    from tango_tpu import configs as C
+    from tango_tpu.models.unet import UNet2DConditionModel
+
+    b = 8
+    if name.startswith("b2_"):
+        b = 2
+        name = name[3:]
+
+    orig_mha = unet_mod.multi_head_attention
+    if name in VARIANT_IMPLS:
+        unet_mod.multi_head_attention = make_mha(VARIANT_IMPLS[name])
+
+    try:
+        dtype = jnp.bfloat16
+        cfg = C.TANGO_UNET
+        unet = UNet2DConditionModel(cfg, dtype=dtype)
+        shapes = jax.eval_shape(
+            lambda kk: unet.init(
+                kk, jnp.zeros((1, 256, 16, 8), dtype), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 2, cfg.cross_attention_dim), dtype),
+            )["params"],
+            jax.random.PRNGKey(0),
+        )
+
+        @jax.jit
+        def make():
+            return jax.tree_util.tree_map(
+                lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
+                    dtype if s.dtype == jnp.float32 else s.dtype
+                ),
+                shapes,
+            )
+
+        params = make()
+        ctx = jnp.ones((b, 64, cfg.cross_attention_dim), dtype) * 0.1
+        mask = jnp.ones((b, 64), jnp.int32)
+        t = jnp.full((b,), 500, jnp.int32)
+
+        def eval_fn(lat):
+            o = unet.apply({"params": params}, lat, t, ctx, encoder_attention_mask=mask)
+            return o.astype(lat.dtype)
+
+        lat0 = jnp.ones((b, 256, 16, 8), dtype) * 0.1
+        ms, cs = chain_ms(eval_fn, lat0)
+        out(exp="unet_eval_r5", batch=b, variant=name, ms=round(ms, 2), compile_s=round(cs, 1))
+    except Exception as e:
+        out(exp="unet_eval_r5", batch=b, variant=name, error=f"{type(e).__name__}: {e}"[:300])
+    finally:
+        unet_mod.multi_head_attention = orig_mha
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or [
+        "parity", "base", "attn_shift", "attn_int8qk", "attn_int8qk_shift",
+        "attn_2heads", "b2_base", "b2_attn_2heads",
+    ]
+    for n in names:
+        if n == "parity":
+            run_parity()
+        else:
+            run_variant(n)

@@ -26,16 +26,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 LOG2_E = 1.4426950408889634
 
+# Static-shift softmax (r3, in-graph 59.64 -> 58.06 ms/eval at CFG B8): the
+# per-row max REDUCTION pass over the (BQ, Skv) f32 logits is replaced by an
+# elementwise shift+clamp that fuses into the exp2 pass. Softmax is
+# shift-invariant, so any shift gives the exact same result as long as
+# nothing overflows or underflows:
+#   * overflow-safe BY CONSTRUCTION: p = exp2(min(l2 - SHIFT, CLAMP))
+#     <= 2^96; denom <= Skv * 2^96 < 2^109; acc <= Skv * 2^96 * max|v|
+#     — all finite in f32 (max 2^128).
+#   * exact (clamp never engages) while max base-2 logit <= SHIFT + CLAMP
+#     = 128, i.e. natural-units logit <= 88.7. Trained attention logits are
+#     O(10); the margin is ~2^70. Beyond it the clamp flattens only the
+#     entries above 2^128 — argmax is preserved.
+#   * underflow-irrelevant: a row with max l2 = m has p_max = 2^(m-32);
+#     entries more than ~90 doublings below their row max flush to zero in
+#     bf16 exactly like the max-subtracted softmax drops them (exp(-62) is
+#     zero weight either way).
+_SOFTMAX_SHIFT = 32.0  # base-2 units
+_SOFTMAX_CLAMP = 96.0
+
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    # Two (BQ, Skv) f32 elementwise passes removed from the hot loop
-    # (in-graph: 62.8 -> 61.9 -> 59.7 ms/eval at CFG batch 8 — docs/PERF.md):
-    #  * deferred division — unnormalized p (values in (0, 1]) feeds the MXU
-    #    in bf16; only the (BQ, D) output rows divide by the softmax denom.
+    # Three (BQ, Skv) f32 passes removed from the hot loop
+    # (in-graph: 62.8 -> 61.9 -> 59.7 -> 58.1 ms/eval at CFG batch 8 —
+    # docs/PERF.md):
+    #  * deferred division — unnormalized p feeds the MXU in bf16; only the
+    #    (BQ, D) output rows divide by the softmax denom.
     #  * scale * log2(e) folded into the (BQ, D) q block + exp2 softmax
     #    (exp2(x*log2e) == exp(x); the base change is exact in real
     #    arithmetic, the q prescale is exact in f32 and sub-ulp noise at
     #    bf16 — the same precision class as the bf16 inputs themselves).
+    #  * static-shift softmax (see _SOFTMAX_SHIFT above) — no max reduction.
     q = q_ref[0]  # (BQ, D)
     k = k_ref[0]  # (S, D)
     v = v_ref[0]  # (S, D)
@@ -43,8 +64,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     logits = jax.lax.dot_general(
         qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp2(logits - m)
+    p = jnp.exp2(jnp.minimum(logits - _SOFTMAX_SHIFT, _SOFTMAX_CLAMP))
     denom = jnp.sum(p, axis=-1, keepdims=True)
     acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0] = (acc / denom).astype(o_ref.dtype)

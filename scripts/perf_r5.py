@@ -165,6 +165,7 @@ def flash_v1(q, k, v, *, scale, kernel, heads_per_prog=1):
             pl.BlockSpec((hp, skv, d), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((hp, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * h * sq * skv * d,
             bytes_accessed=(q3.size * 2 + k3.size + v3.size) * q.dtype.itemsize,
@@ -217,21 +218,29 @@ VARIANT_IMPLS = {
 
 
 def run_parity():
-    """Max abs error vs XLA reference at UNet L0 shapes (B=2,H=5,S=4096,D=64)."""
+    """Max abs error vs XLA reference at the UNet L0 self-attention shape
+    (B=2, H=5, S=4096, D=64) — where flash dispatch actually fires."""
     from tango_tpu.ops.attention import _xla_attention
 
     rng = np.random.RandomState(0)
-    b, h, s, d = 2, 5, 1024, 64
+    b, h, s, d = 2, 5, 4096, 64
     q = jnp.asarray(rng.randn(b, h, s, d), jnp.bfloat16) * 0.5
     k = jnp.asarray(rng.randn(b, h, s, d), jnp.bfloat16) * 0.5
     v = jnp.asarray(rng.randn(b, h, s, d), jnp.bfloat16)
     scale = d**-0.5
     ref = np.asarray(_xla_attention(q, k, v, bias=None, scale=scale, upcast=True),
                      np.float32)
-    for name, impl in VARIANT_IMPLS.items():
-        got = np.asarray(impl(q, k, v, scale=scale), np.float32)
-        err = float(np.max(np.abs(got - ref)))
-        out(exp="parity_r5", variant=name, max_abs_err=round(err, 6))
+    from tango_tpu.ops.flash_attention import flash_attention as prod_flash
+
+    impls = dict(VARIANT_IMPLS)
+    impls["production"] = lambda q, k, v, *, scale: prod_flash(q, k, v, scale=scale)
+    for name, impl in impls.items():
+        try:
+            got = np.asarray(impl(q, k, v, scale=scale), np.float32)
+            err = float(np.max(np.abs(got - ref)))
+            out(exp="parity_r5", variant=name, max_abs_err=round(err, 6))
+        except Exception as e:
+            out(exp="parity_r5", variant=name, error=f"{type(e).__name__}: {e}"[:200])
 
 
 def run_variant(name):

@@ -56,9 +56,10 @@ def _witness_filtrations(D: np.ndarray, alpha_max: float):
     n_l = D.shape[1]
     m = np.min(D, axis=1)  # d_min(w)
 
-    # edges: alpha(i, j) = min_w max(D[w,i], D[w,j]) - m(w)
-    pair_max = np.maximum(D[:, :, None], D[:, None, :]) - m[:, None, None]
-    edge_alpha = np.min(pair_max, axis=0)  # (L, L)
+    # edges: alpha(i, j) = min_w max(D[w,i], D[w,j]) - m(w); pm is reused by
+    # the triangle loop below (the (W, L, L) broadcast dominates cost/memory)
+    pm = np.maximum(D[:, :, None], D[:, None, :])
+    edge_alpha = np.min(pm - m[:, None, None], axis=0)  # (L, L)
     np.fill_diagonal(edge_alpha, np.inf)
     edge_alpha = np.maximum(edge_alpha, 0.0)
 
@@ -70,7 +71,6 @@ def _witness_filtrations(D: np.ndarray, alpha_max: float):
     # triangles: alpha(i, j, k) = min_w [max3 - m(w)], computed per third
     # vertex to keep memory at (W, L, L)
     triangles = []
-    pm = np.maximum(D[:, :, None], D[:, None, :])  # (W, L, L) pair max
     for k in range(2, n_l):
         # triangle (i, j, k), i < j < k: max3 = max(pairmax(i, j), D[:, k])
         tri = np.min(

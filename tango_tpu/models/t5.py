@@ -301,6 +301,7 @@ class T5Seq2Seq:
         self._step_len = None
         self._precompute = None
         self._reorder = None
+        self._full_step = None
         self._bias_cache = {}
 
     def encode(self, params, input_ids, attention_mask):
@@ -412,15 +413,17 @@ class T5Seq2Seq:
     def _decode_logits(self, params, dec_buf, enc_hidden, enc_mask, idx):
         """Log-probs of the token at position idx via the FULL decoder —
         the uncached oracle used by tests to pin cached-step parity."""
-        dec = self.decoder
+        if self._full_step is None:
+            dec = self.decoder
 
-        @functools.partial(jax.jit)
-        def step(dparams, buf, hid, msk, i):
-            logits = dec.apply({"params": dparams}, buf, hid, msk)
-            row = jnp.take(logits, i, axis=1)  # (B, vocab)
-            return jax.nn.log_softmax(row.astype(jnp.float32), axis=-1)
+            @jax.jit
+            def step(dparams, buf, hid, msk, i):
+                logits = dec.apply({"params": dparams}, buf, hid, msk)
+                row = jnp.take(logits, i, axis=1)  # (B, vocab)
+                return jax.nn.log_softmax(row.astype(jnp.float32), axis=-1)
 
-        return step(params["decoder"], dec_buf, enc_hidden, enc_mask, idx)
+            self._full_step = step
+        return self._full_step(params["decoder"], dec_buf, enc_hidden, enc_mask, idx)
 
     def generate(
         self,

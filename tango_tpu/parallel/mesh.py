@@ -130,16 +130,20 @@ def shard_latents_seq(latents: jnp.ndarray, mesh: Optional[Mesh] = None) -> jnp.
     """
     if mesh is None:
         return latents
-    # drop axes the shape can't honor (e.g. batch-1 init traces, or a level
-    # whose downsampled T no longer divides the 'model' axis) — shapes are
-    # static at trace time, so this is a plain python branch
+    # Constrain only the axes the shape can honor (batch-1 init traces, or a
+    # level whose downsampled T no longer divides 'model', must not fail) —
+    # shapes are static at trace time, so this is a plain python branch.
+    # Unconstrained axes stay UNCONSTRAINED, not None: P(None) is a hard
+    # REPLICATE constraint that would all-gather a DP-sharded batch at every
+    # level boundary.
+    U = P.UNCONSTRAINED
     axes = [
-        "data" if latents.shape[0] % mesh.shape["data"] == 0 else None,
-        "model" if latents.shape[1] % mesh.shape["model"] == 0 else None,
+        "data" if latents.shape[0] % mesh.shape["data"] == 0 else U,
+        "model" if latents.shape[1] % mesh.shape["model"] == 0 else U,
     ]
-    if axes == [None, None]:
+    if axes == [U, U]:
         return latents
-    spec = P(*axes, *([None] * (latents.ndim - 2)))
+    spec = P(*axes, *([U] * (latents.ndim - 2)))
     return jax.lax.with_sharding_constraint(latents, NamedSharding(mesh, spec))
 
 

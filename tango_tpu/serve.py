@@ -58,9 +58,10 @@ class Predictor:
                       seed: Optional[int] = None, batch_size: int = 4) -> List[str]:
         """Serve several prompts in ONE padded batch generation.
 
-        Pads the tail chunk up to `batch_size` by cycling prompts so every
-        request shape hits the same compiled program (power-of-2 batches only
-        — odd batches tile badly on the MXU, docs/PERF.md batch sweep)."""
+        Pads the tail chunk up to `batch_size` by repeating the first prompt
+        (extras are discarded) so every request shape hits the same compiled
+        program (power-of-2 batches only — odd batches tile badly on the
+        MXU, docs/PERF.md batch sweep)."""
         from tango_tpu.audio.wav import write_wav
 
         assert self.tango is not None, "call setup() first"
@@ -122,6 +123,11 @@ class BatchingPredictor(Predictor):
     def close(self):
         with self._lock:
             self._shutdown = True
+            # fail pending requests instead of hanging their callers
+            for r in self._queue:
+                r.error = RuntimeError("BatchingPredictor closed")
+                r.done.set()
+            self._queue.clear()
             self._lock.notify_all()
         if self._worker is not None:
             self._worker.join(timeout=5)

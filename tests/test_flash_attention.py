@@ -28,6 +28,31 @@ def test_flash_matches_xla(b, h, sq, skv, d):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("sign", [1.0, -1.0])
+def test_flash_static_shift_extreme_logits(sign):
+    """The static-shift softmax (no max pass) must stay exact across its
+    documented window: row maxes around natural +-55 (base-2 +-79), far
+    beyond trained-network logits but well inside the (-78, +80) window
+    (ops/flash_attention.py header)."""
+    rng = np.random.RandomState(0)
+    b, h, sq, skv, d = 1, 1, 128, 256, 64
+    scale = d**-0.5
+    # unit direction u: q rows ~ c*u, k rows ~ sign*|g|*u (+noise) so every
+    # logit is ~ sign*large with an O(1) spread inside each row
+    u = rng.randn(d)
+    u /= np.linalg.norm(u)
+    cq = 2.0 + 0.2 * rng.rand(sq, 1)
+    ck = 220.0 + 8.0 * rng.rand(skv, 1)  # logits ~ sign * 55..63 natural
+    q = jnp.asarray(cq * u[None, :] + 0.01 * rng.randn(sq, d), jnp.float32)[None, None]
+    k = jnp.asarray(sign * ck * u[None, :] + 0.01 * rng.randn(skv, d), jnp.float32)[None, None]
+    v = jnp.asarray(rng.randn(1, 1, skv, d), jnp.float32)
+    ref = _xla_attention(q, k, v, bias=None, scale=scale, upcast=True)
+    out = flash_attention(q, k, v, scale=scale, interpret=True)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert np.abs(np.asarray(out)).max() > 1e-3  # no flushed-to-zero rows
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-3)
+
+
 @pytest.mark.parametrize("bias_q", [1, 256])
 def test_flash_with_bias(bias_q):
     b, h, sq, skv, d = 2, 3, 256, 64, 64

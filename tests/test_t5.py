@@ -107,6 +107,25 @@ def test_t5_beam_generate_matches_hf():
     g, model, params = _t5gen()
     out = model.generate(
         params, g["ids"], g["mask"], num_beams=5, min_length=3, max_length=12,
-        early_stopping=True,
+        early_stopping=True, device_loop=False,
     )
     np.testing.assert_array_equal(out, g["generated"])
+
+
+def test_t5_device_beam_loop_matches_hf():
+    """The single-dispatch lax.while_loop beam search must be token-for-token
+    identical to the HF golden AND the host loop (both early_stopping modes,
+    two max_lengths — exercising finalize-open-beams and min_length mask)."""
+    g, model, params = _t5gen()
+    out = model.generate(
+        params, g["ids"], g["mask"], num_beams=5, min_length=3, max_length=12,
+        early_stopping=True, device_loop=True,
+    )
+    np.testing.assert_array_equal(out, g["generated"])
+    for kw in (
+        dict(num_beams=3, min_length=2, max_length=8, early_stopping=False),
+        dict(num_beams=5, min_length=6, max_length=10, early_stopping=True),
+    ):
+        host = model.generate(params, g["ids"], g["mask"], device_loop=False, **kw)
+        dev = model.generate(params, g["ids"], g["mask"], device_loop=True, **kw)
+        np.testing.assert_array_equal(dev, host, err_msg=str(kw))

@@ -465,6 +465,18 @@ def make_t5gen_golden():
             min_length=3, max_length=12, num_beams=5,
             early_stopping=True, num_return_sequences=1,
         )
+        # stress the BeamHypotheses normalization (generated_len off-by-one),
+        # the early_stopping=False is_done heuristic, and finalize-open-beams
+        gen_esf = model.generate(
+            input_ids=ids, attention_mask=mask,
+            min_length=2, max_length=14, num_beams=4,
+            early_stopping=False, length_penalty=2.0, num_return_sequences=1,
+        )
+        gen_longmin = model.generate(
+            input_ids=ids, attention_mask=mask,
+            min_length=10, max_length=14, num_beams=3,
+            early_stopping=True, length_penalty=0.5, num_return_sequences=1,
+        )
     np.savez(
         OUT / "t5gen_tiny.npz",
         ids=ids.numpy(),
@@ -472,9 +484,12 @@ def make_t5gen_golden():
         dec_ids=dec_ids.numpy(),
         logits=logits.numpy(),
         generated=gen[0].numpy(),
+        generated_esf=gen_esf[0].numpy(),
+        generated_longmin=gen_longmin[0].numpy(),
         **state_to_numpy(model.state_dict()),
     )
-    print("t5gen_tiny:", logits.shape, "gen:", gen[0].tolist())
+    print("t5gen_tiny:", logits.shape, "gen:", gen[0].tolist(),
+          "esf:", gen_esf[0].tolist(), "longmin:", gen_longmin[0].tolist())
 
 
 def make_sampling_golden():

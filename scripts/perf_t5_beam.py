@@ -1,0 +1,63 @@
+"""Measure the Mustango chord-predictor decode cost on the axon relay:
+host-driven KV-cached beam loop (one dispatch per token) vs the on-device
+lax.while_loop beam search (one dispatch per prompt).
+
+Full FLAN-T5-Large geometry, random weights (zero-egress env; decode cost is
+weight-agnostic). Prints one JSON line per mode.
+
+python scripts/perf_t5_beam.py [max_length]
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tango_tpu.models.t5 import FLAN_T5_LARGE, T5Seq2Seq
+
+
+def main():
+    max_length = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    model = T5Seq2Seq(FLAN_T5_LARGE, dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    S = 512  # pipeline_music pads prompts to a fixed 512
+    ids = jax.random.randint(rng, (1, S), 3, 32000)
+    mask = jnp.ones((1, S), jnp.int32)
+
+    k1, k2 = jax.random.split(rng)
+    enc_params = model.encoder.init(k1, ids, mask)["params"]
+    dec_ids = jnp.zeros((1, 4), jnp.int32)
+    enc_stub = jnp.zeros((1, S, FLAN_T5_LARGE.d_model), jnp.bfloat16)
+    dec_params = model.decoder.init(k2, dec_ids, enc_stub, mask)["params"]
+    params = {"encoder": enc_params, "decoder": dec_params}
+
+    kw = dict(num_beams=5, min_length=8, max_length=max_length, early_stopping=True)
+    for mode, device_loop in (("device_loop", True), ("host_loop", False)):
+        t0 = time.perf_counter()
+        out = model.generate(params, ids, mask, device_loop=device_loop, **kw)
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = model.generate(params, ids, mask, device_loop=device_loop, **kw)
+            ts.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "exp": "t5_beam_decode", "mode": mode, "max_length": max_length,
+            "tokens": int(len(out)), "p50_s": round(float(np.median(ts)), 3),
+            "compile_s": round(compile_s, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -410,8 +410,8 @@ class T5Seq2Seq:
         def reorder(kc, vc, idx):
             return kc[:, idx], vc[:, idx]
 
-        self._raw_step = step  # unjitted: reused inside the on-device loop
-        return jax.jit(precompute), jax.jit(step), jax.jit(reorder)
+        # raw (unjitted) step is reused inside the on-device beam loop
+        return jax.jit(precompute), jax.jit(step), jax.jit(reorder), step
 
     def _device_beam_search(self, num_beams, min_length, max_length,
                             early_stopping, length_penalty, eos_token_id,
@@ -419,14 +419,14 @@ class T5Seq2Seq:
                             dparams, ck, cv, self_bias, enc_bias):
         """The whole beam search as one traced lax.while_loop.
 
-        Mirrors the host loop below statement-for-statement, with two
-        bounded-store changes that keep semantics HF-exact: finished
-        hypotheses live in a fixed num_beams-slot array with
-        replace-the-worst insertion (exactly transformers
-        BeamHypotheses.add — the host loop's unbounded list differs from HF
-        only in its early_stopping=False stop check), and beam selection is
-        a 2*num_beams-candidate fori_loop. Scores are f32 (the host loop
-        accumulates in f64; logits are f32 either way)."""
+        Mirrors the host loop below statement-for-statement (both implement
+        transformers BeamSearchScorer/BeamHypotheses exactly: bounded
+        replace-the-worst hypothesis store, generated_len counting the eos
+        consumed at finish, is_done fed the top-1 of the 2K candidates,
+        finalize gated on `not done`). Beam selection is a
+        2*num_beams-candidate fori_loop. Scores are f32 (the host loop
+        accumulates in f64; logits are f32 either way — tie-breaking matches
+        torch.topk: lowest flat index first)."""
         c = self.cfg
         K, L, V = num_beams, max_length, c.vocab_size
         step = self._raw_step
@@ -444,12 +444,8 @@ class T5Seq2Seq:
             n_hyps = jnp.where(do, jnp.minimum(n_hyps + 1, K), n_hyps)
             return hyps_score, hyps_tok, hyps_len, n_hyps
 
-        def cond(s):
-            cur_len, done = s[0], s[1]
-            return (cur_len < L) & ~done
-
         def body(s):
-            (cur_len, done, tok_cur, buf, scores, kc, vc,
+            (cur_len, done, hf_done, tok_cur, buf, scores, kc, vc,
              hyps_score, hyps_tok, hyps_len, n_hyps) = s
             lp, kc, vc = step(dparams, tok_cur, cur_len - 1, kc, vc, ck, cv,
                               self_bias, enc_bias)  # (K, V) f32
@@ -462,7 +458,9 @@ class T5Seq2Seq:
             top_vals, top_idx = jax.lax.top_k(flat, 2 * K)
             top_beams = top_idx // V
             top_toks = top_idx % V
-            norm_div = jnp.float32(cur_len) ** length_penalty
+            # HF BeamHypotheses.add: generated_len counts the eos consumed
+            # this step = cur_len + 1
+            norm_div = jnp.float32(cur_len + 1) ** length_penalty
 
             def rank_body(r, carry):
                 (hs, ht, hl, nh, sel_scores, sel_beams, sel_toks, n_sel) = carry
@@ -502,19 +500,22 @@ class T5Seq2Seq:
 
             kept_min = jnp.min(
                 jnp.where(jnp.arange(K) < n_hyps, hyps_score, jnp.inf))
-            best_possible = jnp.max(scores) / (
+            # is_done numerator: TOP-1 of the 2K candidates INCLUDING eos
+            # (HF passes next_scores.max() — beam_search.py:312)
+            best_possible = top_vals[0] / (
                 jnp.float32(cur_len) ** length_penalty)
-            hyp_done = (n_hyps >= K) & (
+            is_done = (n_hyps >= K) & (
                 True if early_stopping else (kept_min >= best_possible))
-            done = no_beams | hyp_done
-            return (cur_len, done, tok_cur, buf, scores, kc, vc,
+            hf_done = hf_done | is_done
+            done = no_beams | is_done
+            return (cur_len, done, hf_done, tok_cur, buf, scores, kc, vc,
                     hyps_score, hyps_tok, hyps_len, n_hyps)
 
         B = K
         buf0 = jnp.full((B, L), pad_token_id, jnp.int32).at[:, 0].set(
             decoder_start_token_id)
         state = (
-            jnp.int32(1), jnp.bool_(False),
+            jnp.int32(1), jnp.bool_(False), jnp.bool_(False),
             jnp.full((B,), decoder_start_token_id, jnp.int32), buf0,
             jnp.full((B,), -1e9, jnp.float32).at[0].set(0.0), kc_init := jnp.zeros(
                 (c.num_layers, B, c.num_heads, L, c.d_kv), self.dtype),
@@ -522,11 +523,16 @@ class T5Seq2Seq:
             jnp.full((K,), NEG), jnp.full((K, L), pad_token_id, jnp.int32),
             jnp.zeros((K,), jnp.int32), jnp.int32(0),
         )
-        (cur_len, _, _, buf, scores, _, _,
-         hyps_score, hyps_tok, hyps_len, n_hyps) = jax.lax.while_loop(
-            cond, body, state)
 
-        # finalize open beams (host loop parity: only when hyps not full)
+        def cond2(s):
+            return (s[0] < L) & ~s[1]
+
+        (cur_len, _, hf_done, _, buf, scores, _, _,
+         hyps_score, hyps_tok, hyps_len, n_hyps) = jax.lax.while_loop(
+            cond2, body, state)
+
+        # finalize: HF adds ALL open beams unless is_done fired
+        # (BeamSearchScorer.finalize gates on `not self._done`)
         def fin_body(j, carry):
             hs, ht, hl, nh = carry
             norm = scores[j] / (jnp.float32(cur_len) ** length_penalty)
@@ -535,9 +541,8 @@ class T5Seq2Seq:
             return (jnp.where(live, hs2, hs), jnp.where(live, ht2, ht),
                     jnp.where(live, hl2, hl), jnp.where(live, nh2, nh))
 
-        need_fin = n_hyps < K
         hyps_score, hyps_tok, hyps_len, n_hyps = jax.lax.cond(
-            need_fin,
+            ~hf_done,
             lambda c_: jax.lax.fori_loop(0, K, fin_body, c_),
             lambda c_: c_,
             (hyps_score, hyps_tok, hyps_len, n_hyps),
@@ -605,8 +610,10 @@ class T5Seq2Seq:
 
         c = self.cfg
         if self._step is None or self._step_len != max_length:
-            self._precompute, self._step, self._reorder = self._make_step_fns(max_length)
+            (self._precompute, self._step, self._reorder,
+             self._raw_step) = self._make_step_fns(max_length)
             self._step_len = max_length
+            self._device_loop_cache.clear()  # loops close over _raw_step
         ck, cv, self_bias, enc_bias = self._precompute(
             params["decoder"], enc_hidden, enc_mask
         )
@@ -632,18 +639,28 @@ class T5Seq2Seq:
         buf[:, 0] = decoder_start_token_id
         beam_scores = np.full((num_beams,), -1e9, np.float64)
         beam_scores[0] = 0.0  # all beams start identical; keep one live
-        hyps: list = []  # (norm_score, tokens)
+        hyps: list = []  # (norm_score, tokens) — HF BeamHypotheses semantics:
+        # bounded at num_beams with replace-the-worst insertion
 
-        def hyp_done_enough(cur_len):
+        def add_hyp(norm, toks):
+            if len(hyps) < num_beams or norm > min(h[0] for h in hyps):
+                hyps.append((norm, toks))
+                if len(hyps) > num_beams:
+                    hyps.remove(min(hyps, key=lambda h: h[0]))
+
+        def hyp_done(cur_len_next, step_best):
+            """BeamHypotheses.is_done: best_sum_logprobs is the TOP-1 of the
+            top-2K candidates (incl. eos candidates), cur_len the length
+            including the token chosen this step."""
             if len(hyps) < num_beams:
                 return False
             if early_stopping:
                 return True
-            # HF BeamHypotheses.is_done: best_sum_logprobs / cur_len**penalty
-            best_possible = max(beam_scores) / (cur_len**length_penalty)
-            return min(h[0] for h in hyps) >= best_possible  # worst kept >= best reachable
+            best_possible = step_best / (cur_len_next**length_penalty)
+            return min(h[0] for h in hyps) >= best_possible
 
         cur_len = 1
+        stopped = False
         while cur_len < max_length:
             lp_dev, kc, vc = self._step(
                 params["decoder"], jnp.asarray(tok_cur), cur_len - 1,
@@ -654,7 +671,7 @@ class T5Seq2Seq:
                 lp[:, eos_token_id] = -np.inf
             next_scores = beam_scores[:, None] + lp  # (beams, vocab)
             flat = next_scores.reshape(-1)
-            top = np.argsort(flat)[::-1][: 2 * num_beams]
+            top = np.argsort(-flat, kind="stable")[: 2 * num_beams]  # ties: lowest index first (torch.topk)
 
             new_beams = []
             for rank, fidx in enumerate(top):
@@ -663,7 +680,10 @@ class T5Seq2Seq:
                 if tok == eos_token_id:
                     if rank >= num_beams:
                         continue  # HF: eos beyond top-num_beams is dropped
-                    hyps.append((score / (cur_len**length_penalty), buf[beam, :cur_len].copy()))
+                    # HF BeamHypotheses.add: generated_len counts the eos
+                    # token being consumed this step (cur_len + 1)
+                    add_hyp(score / ((cur_len + 1) ** length_penalty),
+                            buf[beam, :cur_len].copy())
                 else:
                     new_beams.append((score, beam, tok))
                 if len(new_beams) == num_beams:
@@ -681,14 +701,17 @@ class T5Seq2Seq:
                 kc, vc = self._reorder(kc, vc, jnp.asarray(order))
             tok_cur = np.asarray([t for _, _, t in new_beams], np.int32)
             cur_len += 1
-            if hyp_done_enough(cur_len):
+            if hyp_done(cur_len, float(flat[top[0]])):
+                stopped = True
                 break
 
-        # finalize open beams (HF adds all live beams when max_length reached)
-        if len(hyps) < num_beams:
+        # finalize: HF BeamSearchScorer.finalize adds ALL open beams unless
+        # is_done fired (gate is `not self._done`, NOT the hyps count)
+        if not stopped:
             for j in range(num_beams):
                 if beam_scores[j] > -1e8:
-                    hyps.append((beam_scores[j] / (cur_len**length_penalty), buf[j, :cur_len].copy()))
+                    add_hyp(beam_scores[j] / (cur_len**length_penalty),
+                            buf[j, :cur_len].copy())
         best = max(hyps, key=lambda h: h[0])[1]
         out = list(best)
         if len(out) < max_length:

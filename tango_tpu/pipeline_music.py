@@ -76,8 +76,13 @@ class MusicFeaturePredictor:
         chords_params = convert_t5_seq2seq(chords_sd)
 
         def beats_fn(prompt: str):
+            # padding="max_length": ONE compiled shape for any prompt (the
+            # jitted apply — and below, the whole-beam-search device loop —
+            # would otherwise recompile per unique prompt length; minutes
+            # per length on the axon relay)
             tok = self.beats_tokenizer(
-                prompt, max_length=512, padding=True, truncation=True, return_tensors="np"
+                prompt, max_length=512, padding="max_length", truncation=True,
+                return_tensors="np",
             )
             logits, values = beats_apply(
                 jnp.asarray(tok["input_ids"]), jnp.asarray(tok["attention_mask"])
@@ -87,7 +92,8 @@ class MusicFeaturePredictor:
 
         def chords_fn(cprompt: str):
             tok = self.chords_tokenizer(
-                cprompt, max_length=512, padding=True, truncation=True, return_tensors="np"
+                cprompt, max_length=512, padding="max_length", truncation=True,
+                return_tensors="np",
             )
             out = chords_model.generate(
                 chords_params, tok["input_ids"], tok["attention_mask"],

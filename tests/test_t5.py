@@ -80,7 +80,7 @@ def test_t5_cached_step_matches_full_decoder():
     b, s = dec_ids.shape
     c = model.cfg
 
-    pre, step, reorder = model._make_step_fns(s)
+    pre, step, reorder, _ = model._make_step_fns(s)
     ck, cv, self_bias, enc_bias = pre(params["decoder"], enc, jnp.asarray(g["mask"]))
     kc = jnp.zeros((c.num_layers, b, c.num_heads, s, c.d_kv), model.dtype)
     vc = jnp.zeros_like(kc)
@@ -103,25 +103,33 @@ def test_t5_cached_step_matches_full_decoder():
         np.testing.assert_allclose(np.asarray(kc2[:, 0]), np.asarray(kc[:, 1]), atol=0)
 
 
+GOLDEN_GEN_CASES = [
+    ("generated", dict(num_beams=5, min_length=3, max_length=12,
+                       early_stopping=True)),
+    # stresses generated_len normalization (+1 for the consumed eos), the
+    # early_stopping=False is_done heuristic, and finalize-open-beams
+    ("generated_esf", dict(num_beams=4, min_length=2, max_length=14,
+                           early_stopping=False, length_penalty=2.0)),
+    ("generated_longmin", dict(num_beams=3, min_length=10, max_length=14,
+                               early_stopping=True, length_penalty=0.5)),
+]
+
+
 def test_t5_beam_generate_matches_hf():
     g, model, params = _t5gen()
-    out = model.generate(
-        params, g["ids"], g["mask"], num_beams=5, min_length=3, max_length=12,
-        early_stopping=True, device_loop=False,
-    )
-    np.testing.assert_array_equal(out, g["generated"])
+    for key, kw in GOLDEN_GEN_CASES:
+        out = model.generate(params, g["ids"], g["mask"], device_loop=False, **kw)
+        np.testing.assert_array_equal(out, g[key], err_msg=key)
 
 
 def test_t5_device_beam_loop_matches_hf():
     """The single-dispatch lax.while_loop beam search must be token-for-token
-    identical to the HF golden AND the host loop (both early_stopping modes,
-    two max_lengths — exercising finalize-open-beams and min_length mask)."""
+    identical to ALL HF goldens, and to the host loop on further configs
+    (exercising finalize-open-beams and the min_length mask)."""
     g, model, params = _t5gen()
-    out = model.generate(
-        params, g["ids"], g["mask"], num_beams=5, min_length=3, max_length=12,
-        early_stopping=True, device_loop=True,
-    )
-    np.testing.assert_array_equal(out, g["generated"])
+    for key, kw in GOLDEN_GEN_CASES:
+        out = model.generate(params, g["ids"], g["mask"], device_loop=True, **kw)
+        np.testing.assert_array_equal(out, g[key], err_msg=key)
     for kw in (
         dict(num_beams=3, min_length=2, max_length=8, early_stopping=False),
         dict(num_beams=5, min_length=6, max_length=10, early_stopping=True),

@@ -805,16 +805,19 @@ def make_film_unet_golden():
     om = load("openaimodel")
 
     torch.manual_seed(44)
+    # in/out 4 == the tiny VAE's z_channels, film dim 16 == the tiny CLAP
+    # projection: the tiny goldens COMPOSE into a full monolithic-ckpt
+    # pipeline (test_from_checkpoint_monolithic_ckpt_e2e)
     unet = om.UNetModel(
         image_size=16,
-        in_channels=8,
-        out_channels=8,
+        in_channels=4,
+        out_channels=4,
         model_channels=32,
         num_res_blocks=1,
         attention_resolutions=[2],
         channel_mult=(1, 2),
         num_head_channels=16,
-        extra_film_condition_dim=24,
+        extra_film_condition_dim=16,
         extra_film_use_concat=True,
         use_spatial_transformer=True,
     )
@@ -823,9 +826,9 @@ def make_film_unet_golden():
     unet.out[2].weight.data.normal_(0, 0.05)
     unet.out[2].bias.data.normal_(0, 0.05)
     unet.eval()
-    x = torch.randn(2, 8, 16, 4)
+    x = torch.randn(2, 4, 16, 4)
     t = torch.tensor([10, 700])
-    film = torch.randn(2, 24)
+    film = torch.randn(2, 16)
     with torch.no_grad():
         out = unet(x, t, y=film)
     np.savez(

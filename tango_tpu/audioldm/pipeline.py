@@ -172,7 +172,11 @@ class AudioLDMPipeline:
     @classmethod
     def from_checkpoint(cls, ckpt_path: str, conditioner: Optional[ClapConditioner] = None,
                         dtype=jnp.float32, clap_text_cfg=None, clap_audio_cfg=None,
-                        tokenizer=None) -> "AudioLDMPipeline":
+                        tokenizer=None, unet_config: FilmUNetConfig = AUDIOLDM_S_UNET,
+                        vae_config: Optional[VAEConfig] = None,
+                        hifigan_config: Optional[C.HiFiGANConfig] = None,
+                        stft_config: Optional[C.StftConfig] = None,
+                        latent_f_size: int = 16) -> "AudioLDMPipeline":
         """Load the monolithic audioldm-*-full.ckpt (models.py:27-52 layout).
 
         When the ckpt carries `cond_stage_model.model.*` weights (every
@@ -198,9 +202,13 @@ class AudioLDMPipeline:
                 tokenizer=tokenizer, dtype=dtype,
             )
         self = cls(
-            vae_config=dataclasses.replace(VAEConfig(), scale_factor=scale),
+            unet_config=unet_config,
+            vae_config=dataclasses.replace(vae_config or VAEConfig(), scale_factor=scale),
+            hifigan_config=hifigan_config or C.HiFiGANConfig(),
+            stft_config=stft_config or C.StftConfig(),
+            latent_f_size=latent_f_size,
             dtype=dtype,
-            unet_params=convert_film_unet(unet_sd),
+            unet_params=convert_film_unet(unet_sd, unet_config),
             vae_params=conv.convert_vae(vae_sd),
             hifigan_params=conv.convert_hifigan(vocoder_sd) if vocoder_sd else None,
             conditioner=conditioner or StubClapConditioner(),

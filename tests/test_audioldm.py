@@ -138,6 +138,72 @@ def test_clap_conditioner_wired_from_ckpt():
     assert isinstance(cond_t, ClapTextConditioner)
 
 
+def test_from_checkpoint_monolithic_ckpt_e2e(tmp_path):
+    """The FULL monolithic-ckpt path: torch.save a tiny audioldm-*-full-style
+    state dict assembled from the reference-generated goldens (FiLM UNet +
+    first_stage VAE + weight-normed vocoder + cond_stage CLAP + scale_factor),
+    load with from_checkpoint, and generate end-to-end on the NATIVE CLAP
+    conditioner (reference build_model: audioldm/pipeline.py:52-92)."""
+    import torch
+
+    from tests.conftest import load_golden
+    from tests.test_clap import TINY_ROBERTA
+    from tests.test_htsat import TINY_HTSAT
+    from tests.test_pipeline import StubTokenizer
+    from tango_tpu.models.audioldm_unet import FilmUNetConfig
+    from tango_tpu.models.clap import Clap
+
+    sd = {}
+    gf = load_golden("film_unet_tiny")
+    for k in gf.files:
+        if k.startswith("sd::"):
+            sd["model.diffusion_model." + k[4:]] = torch.from_numpy(gf[k])
+    gv = load_golden("vae_tiny")
+    for k in gv.files:
+        if k.startswith("sd::"):
+            sd["first_stage_model." + k[4:]] = torch.from_numpy(gv[k])
+    gh = load_golden("hifigan_tiny")  # weight-NORMED: exercises the fold
+    for k in gh.files:
+        if k.startswith("sd::"):
+            sd["first_stage_model.vocoder." + k[4:]] = torch.from_numpy(gh[k])
+    clap_sd, _, _ = _tiny_monolithic_clap_sd()
+    sd.update({k: torch.from_numpy(np.asarray(v)) for k, v in clap_sd.items()})
+    sd["scale_factor"] = torch.tensor(0.87)
+    path = str(tmp_path / "tiny-audioldm-full.ckpt")
+    torch.save({"state_dict": sd}, path)
+
+    class Tok(StubTokenizer):
+        def __call__(self, texts, max_length=12, **kw):
+            out = super().__call__(texts, max_length=12)
+            out["input_ids"] = np.clip(out["input_ids"], 0, 119)
+            return out
+
+    film_cfg = FilmUNetConfig(
+        image_size=16, in_channels=4, out_channels=4, model_channels=32,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_head_channels=16, extra_film_condition_dim=16,
+        extra_film_use_concat=True,
+    )
+    vae_cfg = C.VAEConfig(embed_dim=4, z_channels=4, ch=32, ch_mult=(1, 2),
+                          num_res_blocks=1, resolution=32)
+    pipe = AudioLDMPipeline.from_checkpoint(
+        path, unet_config=film_cfg, vae_config=vae_cfg,
+        hifigan_config=C.HiFiGANConfig(num_mels=8, upsample_initial_channel=64),
+        stft_config=C.StftConfig(n_mel_channels=8), latent_f_size=4,
+        clap_text_cfg=TINY_ROBERTA, clap_audio_cfg=TINY_HTSAT, tokenizer=Tok(),
+    )
+    # the ckpt's cond_stage weights became the native CLAP (not the stub)
+    assert isinstance(pipe.conditioner, Clap)
+    assert pipe.vae_config.scale_factor == pytest.approx(0.87)
+    pipe.conditioner.audio_batch = 4
+    wavs = text_to_audio(
+        pipe, "wind chimes", duration=8 / 25.6, ddim_steps=2,
+        batchsize=1, n_candidate_gen_per_text=2,
+    )
+    assert wavs.shape[0] == 1 and wavs.dtype == np.int16
+    assert np.abs(wavs).max() > 0
+
+
 def test_text_to_audio_native_clap_rerank():
     """text_to_audio end-to-end on the NATIVE CLAP towers: conditioning AND
     candidate re-ranking run through the JAX RoBERTa + HTSAT stack."""

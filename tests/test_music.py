@@ -141,10 +141,13 @@ def test_film_unet_parity():
     from tango_tpu.models.audioldm_unet import FilmUNet, FilmUNetConfig, convert_film_unet
 
     g = load_golden("film_unet_tiny")
+    # in/out 4 and film dim 16 so the tiny goldens COMPOSE into a monolithic
+    # ckpt (tiny VAE z=4, tiny CLAP projection 16 — see
+    # test_audioldm.test_from_checkpoint_monolithic_ckpt_e2e)
     cfg = FilmUNetConfig(
-        image_size=16, in_channels=8, out_channels=8, model_channels=32,
+        image_size=16, in_channels=4, out_channels=4, model_channels=32,
         num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
-        num_head_channels=16, extra_film_condition_dim=24, extra_film_use_concat=True,
+        num_head_channels=16, extra_film_condition_dim=16, extra_film_use_concat=True,
     )
     sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
     params = convert_film_unet(sd, cfg)

@@ -1,0 +1,94 @@
+"""Stress-sweep the T5 beam search against real HF generate.
+
+Targets the early_stopping=False is_done heuristic corner (an eos candidate
+outranking every running beam): tiny vocabularies make eos land in the top-2K
+often, and a logit bias on eos makes the corner common rather than rare.
+Compares token-for-token across seeds x beams x length penalties x
+early_stopping x min_length, host loop AND device loop.
+
+Usage: python scripts/beam_hf_sweep.py [n_models]
+"""
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import sys
+
+import numpy as np
+import torch
+
+from transformers import T5Config as HFT5Config, T5ForConditionalGeneration
+
+from tango_tpu.models.t5 import T5Config, T5Seq2Seq, convert_t5_seq2seq
+
+
+def build(seed, vocab, eos_bias):
+    cfg = HFT5Config(
+        vocab_size=vocab, d_model=16, d_kv=4, d_ff=24, num_layers=1,
+        num_decoder_layers=1, num_heads=2, relative_attention_num_buckets=4,
+        relative_attention_max_distance=8, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, tie_word_embeddings=False, decoder_start_token_id=0,
+    )
+    torch.manual_seed(seed)
+    model = T5ForConditionalGeneration(cfg)
+    # bias eos upward so it regularly enters the top-2K candidates and
+    # sometimes outranks every running beam (the heuristic corner)
+    with torch.no_grad():
+        model.lm_head.weight[1] += eos_bias * model.lm_head.weight[1].std()
+    model.eval()
+    jcfg = T5Config(
+        vocab_size=vocab, d_model=16, d_kv=4, d_ff=24, num_layers=1,
+        num_heads=2, relative_attention_num_buckets=4,
+        relative_attention_max_distance=8,
+    )
+    seq = T5Seq2Seq(jcfg)
+    params = convert_t5_seq2seq(
+        {k: v.numpy() for k, v in model.state_dict().items()})
+    return model, seq, params
+
+
+def main():
+    n_models = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    total = fail = 0
+    corner_hits = 0
+    for m in range(n_models):
+        vocab = [12, 16, 24][m % 3]
+        eos_bias = [1.5, 2.5, 0.5][m % 3]
+        model, seq, params = build(100 + m, vocab, eos_bias)
+        torch.manual_seed(500 + m)
+        ids = torch.randint(2, vocab, (1, 7))
+        mask = torch.ones(1, 7, dtype=torch.long)
+        for num_beams in (2, 3, 4):
+            for lpen in (-1.0, 0.5, 1.0, 2.0):
+                for es in (False, True):
+                    for min_length in (1, 4):
+                        with torch.no_grad():
+                            ref = model.generate(
+                                input_ids=ids, attention_mask=mask,
+                                min_length=min_length, max_length=12,
+                                num_beams=num_beams, early_stopping=es,
+                                length_penalty=lpen, num_return_sequences=1,
+                            )[0].numpy()
+                        # device loop recompiles per beam-config: subset it
+                        devs = (False, True) if min_length == 1 else (False,)
+                        for dev in devs:
+                            got = seq.generate(
+                                params, ids.numpy(), mask.numpy(),
+                                num_beams=num_beams, min_length=min_length,
+                                max_length=12, early_stopping=es,
+                                length_penalty=lpen, device_loop=dev,
+                            )
+                            total += 1
+                            if not np.array_equal(got, ref):
+                                fail += 1
+                                print(f"MISMATCH m={m} beams={num_beams} "
+                                      f"lpen={lpen} es={es} min={min_length} "
+                                      f"dev={dev}: hf={ref.tolist()} "
+                                      f"got={got.tolist()}")
+        print(f"model {m} done ({total} cases so far, {fail} fail)")
+    print(f"SWEEP {total - fail}/{total} match ({corner_hits} corner hits)")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -477,6 +477,24 @@ def make_t5gen_golden():
             min_length=10, max_length=14, num_beams=3,
             early_stopping=True, length_penalty=0.5, num_return_sequences=1,
         )
+        # eos-biased head: eos regularly enters the top-2K, making the
+        # final-step top-K finishing (max-length candidates finish regardless
+        # of eos) and the norm-length off-by-one observable — the class a
+        # 432-config HF sweep (scripts/beam_hf_sweep.py) caught in r3
+        orig_lm_head = model.lm_head.weight.detach().clone()
+        model.lm_head.weight.data[1] += 2.0 * float(orig_lm_head[1].std())
+        biased_lm_head = model.lm_head.weight.detach().clone()
+        gen_eosbias_final = model.generate(
+            input_ids=ids, attention_mask=mask,
+            min_length=4, max_length=12, num_beams=3,
+            early_stopping=True, length_penalty=0.5, num_return_sequences=1,
+        )
+        gen_eosbias_esf = model.generate(
+            input_ids=ids, attention_mask=mask,
+            min_length=1, max_length=12, num_beams=4,
+            early_stopping=False, length_penalty=2.0, num_return_sequences=1,
+        )
+        model.lm_head.weight.data.copy_(orig_lm_head)
     np.savez(
         OUT / "t5gen_tiny.npz",
         ids=ids.numpy(),
@@ -486,6 +504,9 @@ def make_t5gen_golden():
         generated=gen[0].numpy(),
         generated_esf=gen_esf[0].numpy(),
         generated_longmin=gen_longmin[0].numpy(),
+        generated_eosbias_final=gen_eosbias_final[0].numpy(),
+        generated_eosbias_esf=gen_eosbias_esf[0].numpy(),
+        biased_lm_head=biased_lm_head.numpy(),
         **state_to_numpy(model.state_dict()),
     )
     print("t5gen_tiny:", logits.shape, "gen:", gen[0].tolist(),

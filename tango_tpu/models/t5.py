@@ -420,15 +420,16 @@ class T5Seq2Seq:
         """The whole beam search as one traced lax.while_loop.
 
         Mirrors the host loop below statement-for-statement (both implement
-        transformers BeamSearchScorer/BeamHypotheses exactly: bounded
-        replace-the-worst hypothesis store, generated_len counting the eos
-        consumed at finish, is_done fed the top-1 of the 2K candidates,
-        finalize gated on `not done`). Beam selection is a
+        transformers 4.57's vectorized _beam_search exactly: bounded
+        replace-the-worst hypothesis store, norm length = generated tokens
+        incl. the finishing token excl. decoder start, is_done fed the best
+        running beam after selection, final-step top-K finishing regardless
+        of eos — no post-loop finalize). Beam selection is a
         2*num_beams-candidate fori_loop. Scores are f32 (the host loop
         accumulates in f64; logits are f32 either way — tie-breaking matches
         torch.topk: lowest flat index first)."""
         c = self.cfg
-        K, L, V = num_beams, max_length, c.vocab_size
+        K, L = num_beams, max_length
         step = self._raw_step
         NEG = jnp.float32(-1e9)
 
@@ -445,10 +446,14 @@ class T5Seq2Seq:
             return hyps_score, hyps_tok, hyps_len, n_hyps
 
         def body(s):
-            (cur_len, done, hf_done, tok_cur, buf, scores, kc, vc,
+            (cur_len, done, tok_cur, buf, scores, kc, vc,
              hyps_score, hyps_tok, hyps_len, n_hyps) = s
             lp, kc, vc = step(dparams, tok_cur, cur_len - 1, kc, vc, ck, cv,
                               self_bias, enc_bias)  # (K, V) f32
+            # actual logits width, NOT cfg.vocab_size: a params/config
+            # mismatch must not corrupt the flat-index decode (host loop
+            # uses lp.shape[1] the same way)
+            V = lp.shape[1]
             lp = jnp.where(
                 (cur_len < min_length)
                 & (jnp.arange(V)[None, :] == eos_token_id),
@@ -458,18 +463,30 @@ class T5Seq2Seq:
             top_vals, top_idx = jax.lax.top_k(flat, 2 * K)
             top_beams = top_idx // V
             top_toks = top_idx % V
-            # HF BeamHypotheses.add: generated_len counts the eos consumed
-            # this step = cur_len + 1
-            norm_div = jnp.float32(cur_len + 1) ** length_penalty
+            # HF norm length = generated tokens INCLUDING the eos consumed
+            # this step, EXCLUDING decoder start: buf holds cur_len tokens
+            # (start + cur_len-1 generated), +1 for the eos = cur_len
+            # (_update_finished_beams: cur_len + 1 - decoder_prompt_len,
+            # utils.py:3087, pre-increment cur_len)
+            norm_div = jnp.float32(cur_len) ** length_penalty
+
+            # Final step: candidates reach max_length so ALL hit the stopping
+            # criteria — HF finishes the top-K candidates of this step
+            # whether or not they end in eos (utils.py:3084); non-eos
+            # finishes keep the token consumed this step.
+            is_final = cur_len == L - 1
 
             def rank_body(r, carry):
                 (hs, ht, hl, nh, sel_scores, sel_beams, sel_toks, n_sel) = carry
                 beam, tok, val = top_beams[r], top_toks[r], top_vals[r]
                 is_eos = tok == eos_token_id
-                # eos at rank < K finishes a hypothesis; eos beyond is dropped
-                push = is_eos & (r < K)
+                # rank < K finishes a hypothesis on eos (any step) or on the
+                # final step; candidates beyond rank K are dropped
+                push = (is_eos | is_final) & (r < K)
+                row = jnp.where(is_eos, buf[beam], buf[beam].at[cur_len].set(tok))
+                row_len = jnp.where(is_eos, cur_len, cur_len + 1)
                 hs2, ht2, hl2, nh2 = insert_hyp(
-                    hs, ht, hl, nh, val / norm_div, buf[beam], cur_len)
+                    hs, ht, hl, nh, val / norm_div, row, row_len)
                 hs = jnp.where(push, hs2, hs)
                 ht = jnp.where(push, ht2, ht)
                 hl = jnp.where(push, hl2, hl)
@@ -500,22 +517,23 @@ class T5Seq2Seq:
 
             kept_min = jnp.min(
                 jnp.where(jnp.arange(K) < n_hyps, hyps_score, jnp.inf))
-            # is_done numerator: TOP-1 of the 2K candidates INCLUDING eos
-            # (HF passes next_scores.max() — beam_search.py:312)
-            best_possible = top_vals[0] / (
-                jnp.float32(cur_len) ** length_penalty)
+            # is_done numerator: best RUNNING (non-eos) beam after selection,
+            # normalized by generated length excl. decoder start — HF 4.57
+            # _check_early_stop_heuristic reads running_beam_scores[:, :1]
+            # / (cur_len - decoder_prompt_len)**penalty (utils.py:2949-2957)
+            best_possible = sel_scores[0] / (
+                jnp.float32(cur_len - 1) ** length_penalty)
             is_done = (n_hyps >= K) & (
                 True if early_stopping else (kept_min >= best_possible))
-            hf_done = hf_done | is_done
             done = no_beams | is_done
-            return (cur_len, done, hf_done, tok_cur, buf, scores, kc, vc,
+            return (cur_len, done, tok_cur, buf, scores, kc, vc,
                     hyps_score, hyps_tok, hyps_len, n_hyps)
 
         B = K
         buf0 = jnp.full((B, L), pad_token_id, jnp.int32).at[:, 0].set(
             decoder_start_token_id)
         state = (
-            jnp.int32(1), jnp.bool_(False), jnp.bool_(False),
+            jnp.int32(1), jnp.bool_(False),
             jnp.full((B,), decoder_start_token_id, jnp.int32), buf0,
             jnp.full((B,), -1e9, jnp.float32).at[0].set(0.0), kc_init := jnp.zeros(
                 (c.num_layers, B, c.num_heads, L, c.d_kv), self.dtype),
@@ -527,26 +545,10 @@ class T5Seq2Seq:
         def cond2(s):
             return (s[0] < L) & ~s[1]
 
-        (cur_len, _, hf_done, _, buf, scores, _, _,
+        (cur_len, _, _, buf, scores, _, _,
          hyps_score, hyps_tok, hyps_len, n_hyps) = jax.lax.while_loop(
             cond2, body, state)
 
-        # finalize: HF adds ALL open beams unless is_done fired
-        # (BeamSearchScorer.finalize gates on `not self._done`)
-        def fin_body(j, carry):
-            hs, ht, hl, nh = carry
-            norm = scores[j] / (jnp.float32(cur_len) ** length_penalty)
-            hs2, ht2, hl2, nh2 = insert_hyp(hs, ht, hl, nh, norm, buf[j], cur_len)
-            live = scores[j] > -1e8
-            return (jnp.where(live, hs2, hs), jnp.where(live, ht2, ht),
-                    jnp.where(live, hl2, hl), jnp.where(live, nh2, nh))
-
-        hyps_score, hyps_tok, hyps_len, n_hyps = jax.lax.cond(
-            ~hf_done,
-            lambda c_: jax.lax.fori_loop(0, K, fin_body, c_),
-            lambda c_: c_,
-            (hyps_score, hyps_tok, hyps_len, n_hyps),
-        )
         best = jnp.argmax(
             jnp.where(jnp.arange(K) < n_hyps, hyps_score, -jnp.inf))
         tokens = hyps_tok[best]
@@ -648,19 +650,21 @@ class T5Seq2Seq:
                 if len(hyps) > num_beams:
                     hyps.remove(min(hyps, key=lambda h: h[0]))
 
-        def hyp_done(cur_len_next, step_best):
-            """BeamHypotheses.is_done: best_sum_logprobs is the TOP-1 of the
-            top-2K candidates (incl. eos candidates), cur_len the length
-            including the token chosen this step."""
+        def hyp_done(cur_len_next, best_running):
+            """HF 4.57 _check_early_stop_heuristic: numerator is the best
+            RUNNING (non-eos) beam after selection, normalized by the
+            generated length excluding the decoder start token
+            (running_beam_scores[:, :1] / (cur_len - decoder_prompt_len),
+            utils.py:2949-2957); fires only once all num_beams finished
+            slots are filled."""
             if len(hyps) < num_beams:
                 return False
             if early_stopping:
                 return True
-            best_possible = step_best / (cur_len_next**length_penalty)
+            best_possible = best_running / ((cur_len_next - 1) ** length_penalty)
             return min(h[0] for h in hyps) >= best_possible
 
         cur_len = 1
-        stopped = False
         while cur_len < max_length:
             lp_dev, kc, vc = self._step(
                 params["decoder"], jnp.asarray(tok_cur), cur_len - 1,
@@ -673,17 +677,26 @@ class T5Seq2Seq:
             flat = next_scores.reshape(-1)
             top = np.argsort(-flat, kind="stable")[: 2 * num_beams]  # ties: lowest index first (torch.topk)
 
+            # Final step: candidates reach max_length, so ALL hit the
+            # stopping criteria — HF finishes the top-num_beams candidates
+            # of this step WHETHER OR NOT they end in eos
+            # (_update_finished_beams: next_token_hits_stopping_criteria &
+            # top_num_beam_mask, utils.py:3084), then the loop ends.
+            is_final = cur_len + 1 == max_length
             new_beams = []
             for rank, fidx in enumerate(top):
                 beam, tok = divmod(int(fidx), lp.shape[1])
                 score = flat[fidx]
-                if tok == eos_token_id:
+                if tok == eos_token_id or is_final:
                     if rank >= num_beams:
-                        continue  # HF: eos beyond top-num_beams is dropped
-                    # HF BeamHypotheses.add: generated_len counts the eos
-                    # token being consumed this step (cur_len + 1)
-                    add_hyp(score / ((cur_len + 1) ** length_penalty),
-                            buf[beam, :cur_len].copy())
+                        continue  # HF: finishes beyond top-num_beams dropped
+                    # HF norm length = generated incl. the token consumed this
+                    # step, excl. start = cur_len (utils.py:3087
+                    # cur_len + 1 - decoder_prompt_len, pre-increment)
+                    toks = buf[beam, :cur_len].copy()
+                    if tok != eos_token_id:  # keep the non-eos token; eos is
+                        toks = np.append(toks, tok)  # re-appended at return
+                    add_hyp(score / (cur_len**length_penalty), toks)
                 else:
                     new_beams.append((score, beam, tok))
                 if len(new_beams) == num_beams:
@@ -701,17 +714,9 @@ class T5Seq2Seq:
                 kc, vc = self._reorder(kc, vc, jnp.asarray(order))
             tok_cur = np.asarray([t for _, _, t in new_beams], np.int32)
             cur_len += 1
-            if hyp_done(cur_len, float(flat[top[0]])):
-                stopped = True
+            if hyp_done(cur_len, float(new_beams[0][0])):
                 break
 
-        # finalize: HF BeamSearchScorer.finalize adds ALL open beams unless
-        # is_done fired (gate is `not self._done`, NOT the hyps count)
-        if not stopped:
-            for j in range(num_beams):
-                if beam_scores[j] > -1e8:
-                    add_hyp(beam_scores[j] / (cur_len**length_penalty),
-                            buf[j, :cur_len].copy())
         best = max(hyps, key=lambda h: h[0])[1]
         out = list(best)
         if len(out) < max_length:

@@ -106,13 +106,47 @@ def test_t5_cached_step_matches_full_decoder():
 GOLDEN_GEN_CASES = [
     ("generated", dict(num_beams=5, min_length=3, max_length=12,
                        early_stopping=True)),
-    # stresses generated_len normalization (+1 for the consumed eos), the
-    # early_stopping=False is_done heuristic, and finalize-open-beams
+    # stresses the finish normalization (generated length incl. the consumed
+    # eos), the early_stopping=False is_done heuristic, and final-step
+    # finishing
     ("generated_esf", dict(num_beams=4, min_length=2, max_length=14,
                            early_stopping=False, length_penalty=2.0)),
     ("generated_longmin", dict(num_beams=3, min_length=10, max_length=14,
                                early_stopping=True, length_penalty=0.5)),
 ]
+
+# generated with an eos-biased lm_head (g["biased_lm_head"]): eos regularly
+# enters the top-2K, pinning the final-step top-K finishing (max-length
+# candidates finish regardless of eos) and the norm-length semantics — the
+# divergence class a 432-config HF sweep caught in r3
+# (scripts/beam_hf_sweep.py)
+GOLDEN_GEN_CASES_EOSBIAS = [
+    ("generated_eosbias_final", dict(num_beams=3, min_length=4, max_length=12,
+                                     early_stopping=True, length_penalty=0.5)),
+    ("generated_eosbias_esf", dict(num_beams=4, min_length=1, max_length=12,
+                                   early_stopping=False, length_penalty=2.0)),
+]
+
+
+def _with_biased_head(g, params):
+    import copy
+
+    p = copy.deepcopy(params)
+    p["decoder"]["lm_head"] = np.asarray(g["biased_lm_head"])
+    return p
+
+
+def test_t5_beam_generate_eosbias_matches_hf():
+    """Host AND device beam loops vs HF goldens generated under an eos-biased
+    lm_head — the configuration class where the r3 HF sweep caught the old
+    finalize/norm-length semantics diverging."""
+    g, model, params = _t5gen()
+    p = _with_biased_head(g, params)
+    for key, kw in GOLDEN_GEN_CASES_EOSBIAS:
+        for dev in (False, True):
+            out = model.generate(p, g["ids"], g["mask"], device_loop=dev, **kw)
+            np.testing.assert_array_equal(
+                out, g[key], err_msg=f"{key} device_loop={dev}")
 
 
 def test_t5_beam_generate_matches_hf():

@@ -12,7 +12,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import torch
@@ -50,7 +53,9 @@ def build(seed, vocab, eos_bias):
 def main():
     n_models = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     total = fail = 0
-    corner_hits = 0
+    early_finish_hits = 0  # winner is eos-terminated before max_length:
+    # the observable consequence of a finished hypothesis outranking the
+    # running beams (the heuristic corner this sweep exists to exercise)
     for m in range(n_models):
         vocab = [12, 16, 24][m % 3]
         eos_bias = [1.5, 2.5, 0.5][m % 3]
@@ -79,6 +84,8 @@ def main():
                                 length_penalty=lpen, device_loop=dev,
                             )
                             total += 1
+                            if len(ref) < 12 and ref[-1] == 1:
+                                early_finish_hits += 1
                             if not np.array_equal(got, ref):
                                 fail += 1
                                 print(f"MISMATCH m={m} beams={num_beams} "
@@ -86,7 +93,8 @@ def main():
                                       f"dev={dev}: hf={ref.tolist()} "
                                       f"got={got.tolist()}")
         print(f"model {m} done ({total} cases so far, {fail} fail)")
-    print(f"SWEEP {total - fail}/{total} match ({corner_hits} corner hits)")
+    print(f"SWEEP {total - fail}/{total} match "
+          f"({early_finish_hits} early eos-finish winners)")
     sys.exit(1 if fail else 0)
 
 

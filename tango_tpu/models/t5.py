@@ -604,6 +604,10 @@ class T5Seq2Seq:
         implementation; both are pinned token-for-token against the HF
         generate golden."""
         assert input_ids.shape[0] == 1, "beam generate handles one prompt at a time"
+        if max_length <= 1:
+            # HF: the decode loop never runs (cur_len=1 is not < max_length);
+            # generate returns just the decoder start token.
+            return np.asarray([decoder_start_token_id], np.int32)
         enc_hidden = self.encode(params, jnp.asarray(input_ids), jnp.asarray(attention_mask))
         enc_hidden = jnp.broadcast_to(
             enc_hidden, (num_beams, *enc_hidden.shape[1:])

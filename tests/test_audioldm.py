@@ -150,7 +150,6 @@ def test_from_checkpoint_monolithic_ckpt_e2e(tmp_path):
     from tests.test_clap import TINY_ROBERTA
     from tests.test_htsat import TINY_HTSAT
     from tests.test_pipeline import StubTokenizer
-    from tango_tpu.models.audioldm_unet import FilmUNetConfig
     from tango_tpu.models.clap import Clap
 
     sd = {}

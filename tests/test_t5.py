@@ -171,3 +171,15 @@ def test_t5_device_beam_loop_matches_hf():
         host = model.generate(params, g["ids"], g["mask"], device_loop=False, **kw)
         dev = model.generate(params, g["ids"], g["mask"], device_loop=True, **kw)
         np.testing.assert_array_equal(dev, host, err_msg=str(kw))
+
+
+def test_t5_beam_generate_max_length_one():
+    """max_length=1: HF's decode loop never runs and generate returns just the
+    decoder start token — both loops (host loop used to crash on an empty
+    hypothesis list; device loop used to return [eos])."""
+    g, model, params = _t5gen()
+    for dev in (False, True):
+        out = model.generate(
+            params, g["ids"], g["mask"], num_beams=3, min_length=1,
+            max_length=1, device_loop=dev)
+        np.testing.assert_array_equal(out, np.asarray([0], np.int32))

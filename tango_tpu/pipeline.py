@@ -324,6 +324,15 @@ class Tango:
         for ci, k in enumerate(range(0, len(prompts), batch_size)):
             chunk = list(prompts[k : k + batch_size])
             n_real = len(chunk)
+            # a short tail chunk pads up to batch_size whenever a full chunk
+            # exists: the full-batch executable is already compiled, while a
+            # one-off odd shape costs minutes of XLA compile (and odd batches
+            # tile poorly on the MXU) for ~1 s of wasted rows. Counter-based
+            # PRNG keeps the padded draw's leading rows identical to the
+            # short draw, so real-row outputs are unchanged.
+            if len(prompts) > batch_size:
+                while len(chunk) < batch_size:
+                    chunk.append(chunk[len(chunk) % n_real])
             # mesh batches must divide the 'data' axis: pad the tail chunk by
             # cycling prompts (independent samples; extras are discarded below)
             while (len(chunk) * samples) % n_data:

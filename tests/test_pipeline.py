@@ -221,6 +221,35 @@ def test_generate_duration_override(tiny_tango):
     assert wav.shape == (24 * 160 + 32,)
 
 
+def test_tail_chunk_pads_to_full_batch(tiny_tango, monkeypatch):
+    """A short tail chunk pads up to batch_size when a full chunk exists, so
+    the already-compiled full-batch executable is reused (a one-off odd shape
+    costs a fresh XLA compile and tiles poorly on the MXU); real-row outputs
+    are unchanged (counter-based PRNG leading-row equality) and the padded
+    extras are discarded."""
+    seen = []
+    orig = tiny_tango._generate_batch
+
+    def spy(prompts, *a, **kw):
+        seen.append(len(prompts))
+        return orig(prompts, *a, **kw)
+
+    monkeypatch.setattr(tiny_tango, "_generate_batch", spy)
+    outs = tiny_tango.generate_for_batch(
+        [f"p{i}" for i in range(5)], steps=2, batch_size=4, seed=3)
+    assert seen == [4, 4]  # tail chunk of 1 padded to the compiled shape
+    assert len(outs) == 5
+    # row 4 equals running the tail chunk UNPADDED with the same folded key
+    key = jax.random.fold_in(jax.random.PRNGKey(3), 1)
+    ref = orig(["p4"], 2, 3.0, 1, rng_key=key)
+    np.testing.assert_allclose(outs[4].astype(np.float32),
+                               ref[0].astype(np.float32), atol=2.0)
+    # a single short call (no full chunk) keeps the caller's exact shape
+    seen.clear()
+    tiny_tango.generate_for_batch(["a", "b", "c"], steps=2, batch_size=8)
+    assert seen == [3]
+
+
 def test_generate_for_batch_seed_varies_across_chunks(tiny_tango):
     """A fixed seed must give each chunk DISTINCT noise (the reference
     consumes one torch generator sequentially across batches): the same

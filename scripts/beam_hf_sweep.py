@@ -74,6 +74,8 @@ def main():
                                 num_beams=num_beams, early_stopping=es,
                                 length_penalty=lpen, num_return_sequences=1,
                             )[0].numpy()
+                        if len(ref) < 12 and ref[-1] == 1:
+                            early_finish_hits += 1
                         # device loop recompiles per beam-config: subset it
                         devs = (False, True) if min_length == 1 else (False,)
                         for dev in devs:
@@ -84,8 +86,6 @@ def main():
                                 length_penalty=lpen, device_loop=dev,
                             )
                             total += 1
-                            if len(ref) < 12 and ref[-1] == 1:
-                                early_finish_hits += 1
                             if not np.array_equal(got, ref):
                                 fail += 1
                                 print(f"MISMATCH m={m} beams={num_beams} "

@@ -325,17 +325,14 @@ class Tango:
             chunk = list(prompts[k : k + batch_size])
             n_real = len(chunk)
             # a short tail chunk pads up to batch_size whenever a full chunk
-            # exists: the full-batch executable is already compiled, while a
-            # one-off odd shape costs minutes of XLA compile (and odd batches
-            # tile poorly on the MXU) for ~1 s of wasted rows. Counter-based
-            # PRNG keeps the padded draw's leading rows identical to the
-            # short draw, so real-row outputs are unchanged.
-            if len(prompts) > batch_size:
-                while len(chunk) < batch_size:
-                    chunk.append(chunk[len(chunk) % n_real])
-            # mesh batches must divide the 'data' axis: pad the tail chunk by
-            # cycling prompts (independent samples; extras are discarded below)
-            while (len(chunk) * samples) % n_data:
+            # exists (the full-batch executable is already compiled, while a
+            # one-off odd shape costs minutes of XLA compile and tiles poorly
+            # on the MXU), and mesh batches must additionally divide the
+            # 'data' axis. Pad by cycling prompts: counter-based PRNG keeps
+            # the padded draw's leading rows identical to the short draw, so
+            # real-row outputs are unchanged (extras are discarded below).
+            target = batch_size if len(prompts) > batch_size else n_real
+            while len(chunk) < target or (len(chunk) * samples) % n_data:
                 chunk.append(chunk[len(chunk) % n_real])
             # chunk 0 keeps the unfolded key so batch row 0 == the single-
             # prompt generation at the same seed (batch-consistency test)

@@ -52,12 +52,16 @@ def main():
     # stays off. Quality held to bf16-noise through the full CFG loop
     # (tests/test_quant.py). --no-quant reverts to pure bf16.
     quant = "--no-quant" not in sys.argv
+    # --xl: the second released config (diffusion_model_xl_config.json,
+    # cross_attention_dim 2048 for FLAN-T5-XL conditioning); one-off receipt
+    # mode — the driver's headline metric stays the base config.
+    base_cfg = C.TANGO_UNET_XL if "--xl" in sys.argv else C.TANGO_UNET
     audio_sec_per_clip = 10.24  # 256 latent frames (models.py:260)
 
     unet_cfg = (
-        dataclasses.replace(C.TANGO_UNET, quant_int8=True, quant_scope="conv")
+        dataclasses.replace(base_cfg, quant_int8=True, quant_scope="conv")
         if quant
-        else C.TANGO_UNET
+        else base_cfg
     )
     diffusion = AudioDiffusion(unet_config=unet_cfg, dtype=dtype)
     vae = AutoencoderKL(C.TANGO_VAE, dtype=dtype)
@@ -99,7 +103,7 @@ def main():
     print(f"# params materialized in {time.time()-t0:.1f}s", file=sys.stderr)
 
     seq = 64
-    cond = jnp.ones((batch, seq, C.TANGO_UNET.cross_attention_dim), dtype) * 0.1
+    cond = jnp.ones((batch, seq, unet_cfg.cross_attention_dim), dtype) * 0.1
     mask = jnp.ones((batch, seq), jnp.int32)
     uncond = jnp.zeros_like(cond)
 

@@ -1,0 +1,137 @@
+"""Full-size Mustango music-UNet serving receipt (v5e-1).
+
+The music UNet is the 866M-class Tango backbone with TWO extra sequential
+cross-attention streams per transformer block (beats + chords — reference
+unet_2d_blocks.py:1194-1260), so each of the 100 CFG evals carries ~3x the
+cross-attention work of Tango. Measures the end-to-end Mustango generate
+compute path (music-conditioned CFG sampling + VAE decode + vocoder) at
+batch 1 (Mustango serves single prompts; the chord/beat predictors are
+timed separately in docs/PERF.md, ~0.6 s on-device beam).
+
+python scripts/perf_mustango.py [batch]
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tango_tpu.utils.profiling import setup_compilation_cache
+
+setup_compilation_cache(
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+)
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from tango_tpu import configs as C
+    from tango_tpu.models.hifigan import HiFiGANGenerator
+    from tango_tpu.models.music import MusicAudioDiffusion
+    from tango_tpu.models.vae import AutoencoderKL
+    from tango_tpu.utils.profiling import sync as _sync
+
+    dtype = jnp.bfloat16
+    steps, guidance = 100, 3.0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = int(args[0]) if args else 1
+    audio_sec_per_clip = 10.24
+
+    unet_cfg = dataclasses.replace(
+        C.TANGO_UNET,
+        extra_cond_streams=2,
+        extra_cond_dims=(C.TANGO_UNET.cross_attention_dim,) * 2,
+        quant_int8=True,
+        quant_scope="conv",
+    )
+    diffusion = MusicAudioDiffusion(unet_config=unet_cfg, dtype=dtype)
+    vae = AutoencoderKL(C.TANGO_VAE, dtype=dtype)
+    vocoder = HiFiGANGenerator(C.TANGO_HIFIGAN, dtype=dtype)
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.time()
+    unet_shapes = jax.eval_shape(lambda k: diffusion.init_params(k), rng)
+    vae_shapes = jax.eval_shape(
+        lambda k: vae.init(k, jnp.zeros((1, 1024, 64, 1), dtype), k)["params"], rng
+    )
+    voc_shapes = jax.eval_shape(
+        lambda k: vocoder.init(k, jnp.zeros((1, 1024, 64), dtype))["params"], rng
+    )
+
+    @jax.jit
+    def make_params():
+        f = lambda s: (
+            jnp.ones(s.shape, jnp.int8)
+            if s.dtype == jnp.int8
+            else (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
+                dtype if s.dtype == jnp.float32 else s.dtype
+            )
+        )
+        fb = lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(dtype)
+        return (
+            jax.tree_util.tree_map(f, unet_shapes),
+            jax.tree_util.tree_map(fb, vae_shapes),
+            jax.tree_util.tree_map(fb, voc_shapes),
+        )
+
+    unet_params, vae_params, voc_params = make_params()
+    print(f"# params materialized in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    seq = 64
+    d = unet_cfg.cross_attention_dim
+    cond = jnp.ones((batch, seq, d), dtype) * 0.1
+    mask = jnp.ones((batch, seq), jnp.int32)
+    uncond = jnp.zeros_like(cond)
+    beat = jnp.ones((batch, diffusion.beat_len, d), dtype) * 0.1
+    beat_mask = jnp.ones((batch, diffusion.beat_len), jnp.int32)
+    chord = jnp.ones((batch, diffusion.chord_len, d), dtype) * 0.1
+    chord_mask = jnp.ones((batch, diffusion.chord_len), jnp.int32)
+
+    @jax.jit
+    def generate(unet_params, vae_params, voc_params, rng, g):
+        lat = diffusion.sample(
+            unet_params, cond, mask, rng,
+            num_steps=steps, guidance_scale=g,
+            uncond_embeds=uncond, uncond_mask=mask,
+            extra_contexts=(beat, chord),
+            extra_masks=(beat_mask, chord_mask),
+            uncond_extra_contexts=(jnp.zeros_like(beat), jnp.zeros_like(chord)),
+            uncond_extra_masks=(beat_mask, chord_mask),
+        )
+        mel = vae.apply({"params": vae_params}, lat.astype(dtype), method=vae.decode_first_stage)
+        wav = vocoder.apply({"params": voc_params}, mel[..., 0])
+        return wav
+
+    t0 = time.time()
+    wav = generate(unet_params, vae_params, voc_params, rng, guidance)
+    _sync(wav)
+    print(f"# first call (compile+run): {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        wav = generate(unet_params, vae_params, voc_params, jax.random.PRNGKey(i), guidance)
+        _sync(wav)
+        times.append(time.time() - t0)
+    p50 = float(np.median(times))
+    print(json.dumps({
+        "exp": "mustango_generate",
+        "batch": batch,
+        "p50_s": round(p50, 3),
+        "x_realtime": round(batch * audio_sec_per_clip / p50, 3),
+        "steps": steps,
+    }))
+
+
+if __name__ == "__main__":
+    print(json.dumps({"exp": "env", "devices": [str(d) for d in jax.devices()]}),
+          file=sys.stderr)
+    main()

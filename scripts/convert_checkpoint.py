@@ -14,6 +14,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize overrides the env var — jax.config.update is
+    # the only way to actually force CPU (CLAUDE.md); conversion is pure
+    # host work and must not depend on the TPU relay being reachable
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     kind, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]

@@ -609,10 +609,7 @@ class T5Seq2Seq:
             # generate returns just the decoder start token.
             return np.asarray([decoder_start_token_id], np.int32)
         enc_hidden = self.encode(params, jnp.asarray(input_ids), jnp.asarray(attention_mask))
-        enc_hidden = jnp.broadcast_to(
-            enc_hidden, (num_beams, *enc_hidden.shape[1:])
-        )
-        enc_mask = jnp.broadcast_to(jnp.asarray(attention_mask), (num_beams, attention_mask.shape[1]))
+        enc_mask = jnp.asarray(attention_mask)
 
         c = self.cfg
         if self._step is None or self._step_len != max_length:
@@ -620,9 +617,16 @@ class T5Seq2Seq:
              self._raw_step) = self._make_step_fns(max_length)
             self._step_len = max_length
             self._device_loop_cache.clear()  # loops close over _raw_step
+        # Cross K/V rows are identical across beams: project once at batch 1,
+        # then broadcast to num_beams — saves (num_beams-1)/num_beams of the
+        # per-prompt encoder-side GEMM work (24-layer FLAN-T5-Large at beam 5:
+        # ~4/5 of ~260 GFLOP) with bitwise-identical per-row results.
         ck, cv, self_bias, enc_bias = self._precompute(
             params["decoder"], enc_hidden, enc_mask
         )
+        ck = jnp.broadcast_to(ck, (ck.shape[0], num_beams, *ck.shape[2:]))
+        cv = jnp.broadcast_to(cv, (cv.shape[0], num_beams, *cv.shape[2:]))
+        enc_bias = jnp.broadcast_to(enc_bias, (num_beams, *enc_bias.shape[1:]))
         if device_loop is None:
             device_loop = jax.default_backend() != "cpu"
         if device_loop:

@@ -40,6 +40,9 @@ LOG2_E = 1.4426950408889634
 #     the PV matmul (flushes below ~2^-133): exact while m > SHIFT - 133
 #     = -113 (natural -78). Below it the whole row flushes to zero (the
 #     max-subtracted kernel normalizes p_max to 1 and has no such edge).
+#     Far below (m < ~-129) even the f32 p row underflows and denom == 0;
+#     the kernel selects denom 1 for exactly that case, so the row is a
+#     zero row rather than 0/0 = NaN.
 #   * entries far below their own row max flush to zero in bf16 exactly
 #     like the max-subtracted softmax drops them (weight exp2(-90) = 0
 #     either way).
@@ -71,7 +74,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     p = jnp.exp2(jnp.minimum(logits - _SOFTMAX_SHIFT, _SOFTMAX_CLAMP))
     denom = jnp.sum(p, axis=-1, keepdims=True)
     acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+    # a row whose max base-2 logit sits below ~-129 underflows every p entry
+    # to f32 zero -> denom == 0 -> 0/0 NaN; the select turns exactly that
+    # case into a zero row (the same graceful class as the bf16 lower edge)
+    # and is a bitwise no-op for every row with denom > 0
+    o_ref[0] = (acc / jnp.where(denom == 0.0, 1.0, denom)).astype(o_ref.dtype)
 
 
 def _attn_kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):

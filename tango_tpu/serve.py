@@ -67,6 +67,8 @@ class Predictor:
         assert self.tango is not None, "call setup() first"
         assert batch_size & (batch_size - 1) == 0, "batch_size must be a power of 2"
         prompts = list(prompts)
+        if not prompts:
+            return []
         n = len(prompts)
         padded = prompts + [prompts[0]] * (-n % batch_size)
         wavs = self.tango.generate_for_batch(
@@ -140,6 +142,11 @@ class BatchingPredictor(Predictor):
             return super().predict(prompt, steps, guidance, output_path, seed)
         req = _Request(prompt, steps, guidance, output_path, seed)
         with self._lock:
+            # _shutdown is set under this same lock in close(): either we see
+            # it here, or we enqueue before close() drains and get its error —
+            # never an enqueue-to-a-dead-worker hang
+            if self._shutdown:
+                raise RuntimeError("BatchingPredictor closed")
             self._queue.append(req)
             self._lock.notify_all()
         req.done.wait()

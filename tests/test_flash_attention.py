@@ -53,6 +53,25 @@ def test_flash_static_shift_extreme_logits(sign):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-3)
 
 
+def test_flash_static_shift_underflow_row_is_zero_not_nan():
+    """A row whose max logit sits below the f32 underflow edge (base-2
+    m < ~-129) has denom == 0; the kernel's select must emit a zero row,
+    never 0/0 = NaN (ops/flash_attention.py lower-edge note)."""
+    rng = np.random.RandomState(1)
+    b, h, sq, skv, d = 1, 1, 128, 256, 64
+    scale = d**-0.5
+    u = rng.randn(d)
+    u /= np.linalg.norm(u)
+    cq = 2.0 + 0.2 * rng.rand(sq, 1)
+    ck = 480.0 + 8.0 * rng.rand(skv, 1)  # logits ~ -120..-122 natural, -174 base-2
+    q = jnp.asarray(cq * u[None, :] + 0.01 * rng.randn(sq, d), jnp.float32)[None, None]
+    k = jnp.asarray(-ck * u[None, :] + 0.01 * rng.randn(skv, d), jnp.float32)[None, None]
+    v = jnp.asarray(rng.randn(1, 1, skv, d), jnp.float32)
+    out = np.asarray(flash_attention(q, k, v, scale=scale, interpret=True))
+    assert np.all(np.isfinite(out))
+    assert np.abs(out).max() == 0.0  # graceful zero rows
+
+
 @pytest.mark.parametrize("bias_q", [1, 256])
 def test_flash_with_bias(bias_q):
     b, h, sq, skv, d = 2, 3, 256, 64, 64

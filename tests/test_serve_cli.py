@@ -137,3 +137,27 @@ def test_batching_predictor_coalesces_concurrent_requests(tmp_path, monkeypatch)
     assert stub["t"].calls[-1] == ("seeded", 3, 3.0, 1, 7)
     assert len(stub["t"].batch_calls[n_warm:]) == 1  # still just the one batch
     p.close()
+
+
+def test_predict_batch_empty_returns_empty(monkeypatch):
+    import tango_tpu.pipeline as pipeline_mod
+    from tango_tpu.serve import Predictor
+
+    monkeypatch.setattr(pipeline_mod, "Tango", lambda name, **kw: _StubTango(name, **kw))
+    p = Predictor()
+    p.setup(model="stub")
+    assert p.predict_batch([]) == []  # not IndexError on prompts[0]
+
+
+def test_batching_predictor_predict_after_close_raises(tmp_path, monkeypatch):
+    """predict() entering after close() must error, not enqueue to the dead
+    worker and block forever on req.done."""
+    import tango_tpu.pipeline as pipeline_mod
+    from tango_tpu.serve import BatchingPredictor
+
+    monkeypatch.setattr(pipeline_mod, "Tango", lambda name, **kw: _StubTango(name, **kw))
+    p = BatchingPredictor(max_batch=4, max_wait_ms=10)
+    p.setup(model="stub")
+    p.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        p.predict("late", steps=3, output_path=str(tmp_path / "late.wav"))

@@ -135,14 +135,19 @@ def build_clap_conditioner_from_ckpt(
     text_cfg = text_cfg or ROBERTA_BASE
     text_params = convert_clap_text(sd, prefix=_CLAP_PREFIX)
     has_audio = any(k.startswith(f"{_CLAP_PREFIX}audio_branch.") for k in sd)
+    # the vendored-CLAP conditioning path tokenizes at max_length=512
+    # (encoders.py:162-167), NOT the laion_clap library's 77 (which
+    # Clap keeps as its default for clap_score parity)
     if not has_audio:
-        return ClapTextConditioner(text_params, tokenizer, text_cfg, dtype=dtype)
+        return ClapTextConditioner(text_params, tokenizer, text_cfg,
+                                   max_length=512, dtype=dtype)
     from tango_tpu.models.htsat import HTSAT_TINY, convert_clap_audio
 
     audio_cfg = audio_cfg or HTSAT_TINY
     audio_params = convert_clap_audio(sd, audio_cfg, prefix=_CLAP_PREFIX)
     return Clap(text_params, audio_params, tokenizer,
-                text_cfg=text_cfg, audio_cfg=audio_cfg, dtype=dtype)
+                text_cfg=text_cfg, audio_cfg=audio_cfg, max_length=512,
+                dtype=dtype)
 
 
 @dataclasses.dataclass
@@ -168,6 +173,10 @@ class AudioLDMPipeline:
         self.vocoder = HiFiGANGenerator(self.hifigan_config, dtype=self.dtype)
         self.scheduler = DDIMScheduler.create(self.scheduler_config)
         self.stft = MelSpectrogram(self.stft_config)
+        # cached jitted programs (the Tango-pipeline pattern): without them
+        # every call dispatches op-by-op over the axon relay (~1 s/op,
+        # CLAUDE.md) and re-traces the UNet scan body per call
+        self._fns = {}
 
     @classmethod
     def from_checkpoint(cls, ckpt_path: str, conditioner: Optional[ClapConditioner] = None,
@@ -225,38 +234,47 @@ class AudioLDMPipeline:
         eta defaults to 1.0 (stochastic DDIM) — the reference samples with
         ddim_eta=1.0 in generation, masked generation and style transfer
         (ldm.py:639,728; pipeline.py:212)."""
-        sched = self.scheduler
-        all_ts = sched.timesteps(ddim_steps)
+        all_ts = self.scheduler.timesteps(ddim_steps)
         if t_start is not None:
             all_ts = all_ts[all_ts <= t_start]
-        timesteps = jnp.asarray(all_ts)
         b = film_cond.shape[0]
         shape = (b, latent_t_size, self.latent_f_size, self.unet_config.in_channels)
+        has_init = init_latents is not None
+        key = ("sample", len(all_ts), ddim_steps, eta, has_init, shape)
+        if key not in self._fns:
 
-        k_init, k_loop = jax.random.split(rng)
-        if init_latents is None:
-            latents = jax.random.normal(k_init, shape, jnp.float32)
-        else:
-            latents = init_latents
+            def run(unet_params, film_cond, film_uncond, rng, timesteps,
+                    guidance_scale, init_latents):
+                k_init, k_loop = jax.random.split(rng)
+                latents = (
+                    init_latents if has_init
+                    else jax.random.normal(k_init, shape, jnp.float32)
+                )
+                film = jnp.concatenate([film_uncond, film_cond], axis=0)
 
-        film = jnp.concatenate([film_uncond, film_cond], axis=0)
+                def body(carry, t):
+                    lat, k = carry
+                    k, k_var = jax.random.split(k)
+                    lat_in = jnp.concatenate([lat, lat], axis=0)
+                    t_b = jnp.full((2 * b,), t, jnp.int32)
+                    pred = self.unet.apply(
+                        {"params": unet_params}, lat_in.astype(self.dtype), t_b, film
+                    ).astype(jnp.float32)
+                    pu, pc = jnp.split(pred, 2, axis=0)
+                    pred = pu + guidance_scale * (pc - pu)
+                    noise = jax.random.normal(k_var, lat.shape, jnp.float32)
+                    lat, _ = self.scheduler.step(pred, t, lat, noise, ddim_steps, eta=eta)
+                    return (lat, k), None
 
-        def body(carry, t):
-            lat, key = carry
-            key, k_var = jax.random.split(key)
-            lat_in = jnp.concatenate([lat, lat], axis=0)
-            t_b = jnp.full((2 * b,), t, jnp.int32)
-            pred = self.unet.apply(
-                {"params": self.unet_params}, lat_in.astype(self.dtype), t_b, film
-            ).astype(jnp.float32)
-            pu, pc = jnp.split(pred, 2, axis=0)
-            pred = pu + guidance_scale * (pc - pu)
-            noise = jax.random.normal(k_var, lat.shape, jnp.float32)
-            lat, _ = self.scheduler.step(pred, t, lat, noise, ddim_steps, eta=eta)
-            return (lat, key), None
+                (latents, _), _ = jax.lax.scan(body, (latents, k_loop), timesteps)
+                return latents
 
-        (latents, _), _ = jax.lax.scan(body, (latents, k_loop), timesteps)
-        return latents
+            self._fns[key] = jax.jit(run)
+        return self._fns[key](
+            self.unet_params, film_cond, film_uncond, rng, jnp.asarray(all_ts),
+            guidance_scale,
+            init_latents if has_init else jnp.zeros((), jnp.float32),
+        )
 
     def p_sample_loop(self, film_cond, film_uncond, rng, *, latent_t_size: int,
                       guidance_scale: float = 1.0,
@@ -283,39 +301,75 @@ class AudioLDMPipeline:
 
         b = film_cond.shape[0]
         shape = (b, latent_t_size, self.latent_f_size, self.unet_config.in_channels)
-        k_init, k_loop = jax.random.split(rng)
-        latents = jax.random.normal(k_init, shape, jnp.float32)
         cfg = film_uncond is not None and guidance_scale != 1.0
-        film = jnp.concatenate([film_uncond, film_cond], axis=0) if cfg else film_cond
+        fkey = ("psample", shape, cfg, float(guidance_scale), clip_denoised)
+        if fkey not in self._fns:
 
-        def body(carry, t):
-            lat, key = carry
-            key, k_noise = jax.random.split(key)
-            lat_in = jnp.concatenate([lat, lat], axis=0) if cfg else lat
-            t_b = jnp.full((lat_in.shape[0],), t, jnp.int32)
-            eps = self.unet.apply(
-                {"params": self.unet_params}, lat_in.astype(self.dtype), t_b, film
-            ).astype(jnp.float32)
-            if cfg:
-                eu, ec = jnp.split(eps, 2, axis=0)
-                eps = eu + guidance_scale * (ec - eu)
-            x0 = (lat - jnp.sqrt(1.0 - ac[t]) * eps) / jnp.sqrt(ac[t])
-            if clip_denoised:
-                x0 = jnp.clip(x0, -1.0, 1.0)
-            mean = coef1[t] * x0 + coef2[t] * lat
-            noise = jax.random.normal(k_noise, lat.shape, jnp.float32)
-            nonzero = (t > 0).astype(jnp.float32)
-            lat = mean + nonzero * jnp.exp(0.5 * post_logvar[t]) * noise
-            return (lat, key), None
+            def run(unet_params, film_cond, film_uncond, rng):
+                k_init, k_loop = jax.random.split(rng)
+                latents = jax.random.normal(k_init, shape, jnp.float32)
+                film = (
+                    jnp.concatenate([film_uncond, film_cond], axis=0)
+                    if cfg else film_cond
+                )
 
-        ts = jnp.arange(n - 1, -1, -1)
-        (latents, _), _ = jax.lax.scan(body, (latents, k_loop), ts)
-        return latents
+                def body(carry, t):
+                    lat, key = carry
+                    key, k_noise = jax.random.split(key)
+                    lat_in = jnp.concatenate([lat, lat], axis=0) if cfg else lat
+                    t_b = jnp.full((lat_in.shape[0],), t, jnp.int32)
+                    eps = self.unet.apply(
+                        {"params": unet_params}, lat_in.astype(self.dtype), t_b, film
+                    ).astype(jnp.float32)
+                    if cfg:
+                        eu, ec = jnp.split(eps, 2, axis=0)
+                        eps = eu + guidance_scale * (ec - eu)
+                    x0 = (lat - jnp.sqrt(1.0 - ac[t]) * eps) / jnp.sqrt(ac[t])
+                    if clip_denoised:
+                        x0 = jnp.clip(x0, -1.0, 1.0)
+                    mean = coef1[t] * x0 + coef2[t] * lat
+                    noise = jax.random.normal(k_noise, lat.shape, jnp.float32)
+                    nonzero = (t > 0).astype(jnp.float32)
+                    lat = mean + nonzero * jnp.exp(0.5 * post_logvar[t]) * noise
+                    return (lat, key), None
+
+                ts = jnp.arange(n - 1, -1, -1)
+                (latents, _), _ = jax.lax.scan(body, (latents, k_loop), ts)
+                return latents
+
+            self._fns[fkey] = jax.jit(run)
+        return self._fns[fkey](
+            self.unet_params, film_cond,
+            film_uncond if cfg else film_cond, rng,
+        )
 
     def decode(self, latents) -> np.ndarray:
-        mel = self.vae.apply({"params": self.vae_params}, latents, method=self.vae.decode_first_stage)
-        wav = self.vocoder.apply({"params": self.hifigan_params}, mel[..., 0])
-        return waveform_to_int16(np.asarray(wav.astype(jnp.float32)))
+        key = ("decode", latents.shape)
+        if key not in self._fns:
+
+            def run(vae_params, voc_params, lat):
+                mel = self.vae.apply(
+                    {"params": vae_params}, lat, method=self.vae.decode_first_stage
+                )
+                return self.vocoder.apply(
+                    {"params": voc_params}, mel[..., 0]
+                ).astype(jnp.float32)
+
+            self._fns[key] = jax.jit(run)
+        return waveform_to_int16(
+            np.asarray(self._fns[key](self.vae_params, self.hifigan_params, latents))
+        )
+
+    def encode_first_stage(self, mel, rng) -> jnp.ndarray:
+        """Jit-cached VAE encode (style transfer / inpainting source path)."""
+        key = ("encode", mel.shape)
+        if key not in self._fns:
+            self._fns[key] = jax.jit(
+                lambda p, m, k: self.vae.apply(
+                    {"params": p}, m, k, method=self.vae.encode_first_stage
+                ).astype(jnp.float32)
+            )
+        return self._fns[key](self.vae_params, mel, rng)
 
 
 def build_model(ckpt_path: str, conditioner=None, **kw) -> AudioLDMPipeline:
@@ -363,12 +417,36 @@ def text_to_audio(
         latent_t_size=duration_to_latent_t_size(duration),
         ddim_steps=ddim_steps, guidance_scale=guidance_scale,
     )
+    # extreme-latent guard (ldm.py:699-701: unclipped decode "Will result
+    # in Nan in output"); plain clip would change in-range latents' grads,
+    # so gate on the same max|latent| > 1e2 condition
+    if float(jnp.max(jnp.abs(latents))) > 1e2:
+        latents = jnp.clip(latents, -10.0, 10.0)
     wavs = pipeline.decode(latents)
     if n_candidate_gen_per_text > 1:
-        sims = cond.similarity(wavs.astype(np.float32) / 32768.0, text)
-        order = np.argsort(-np.asarray(sims))
-        wavs = wavs[order]
+        # reference selection (ldm.py:710-718): best-of-candidates PER SLOT
+        # in slot order (candidates of slot i sit at i::batchsize), not a
+        # global similarity top-k
+        sims = np.asarray(cond.similarity(wavs.astype(np.float32) / 32768.0, text))
+        best = [i + int(np.argmax(sims[i::batchsize])) * batchsize
+                for i in range(batchsize)]
+        return wavs[best]
     return wavs[:batchsize]
+
+
+def stochastic_encode_timesteps(all_ts_desc, t_enc: int) -> Tuple[int, int]:
+    """(noising timestep, first-denoise timestep) for style transfer.
+
+    Reference ddim.py:246-262: stochastic_encode noises at ASCENDING ddim
+    index t_enc (alpha of ddim_timesteps[t_enc]) and decode then runs
+    flip(ddim_timesteps[:t_enc]) — every denoise step strictly BELOW the
+    noising timestep. `all_ts_desc` is the descending sampler schedule.
+    For t_enc >= len (strength >= 1.0, where the reference indexes past
+    ddim_alphas and crashes) both saturate at the top of the schedule."""
+    n_ts = len(all_ts_desc)
+    if t_enc < n_ts:
+        return int(all_ts_desc[n_ts - t_enc - 1]), int(all_ts_desc[n_ts - t_enc])
+    return int(all_ts_desc[0]), int(all_ts_desc[0])
 
 
 def style_transfer(
@@ -393,9 +471,10 @@ def style_transfer(
 
     rng = jax.random.PRNGKey(seed)
     k_enc, k_noise, k_samp = jax.random.split(rng, 3)
-    z0 = pipeline.vae.apply(
-        {"params": pipeline.vae_params}, mel, k_enc, method=pipeline.vae.encode_first_stage
-    )
+    z0 = pipeline.encode_first_stage(mel, k_enc)
+    # extreme-latent guard after encode (reference pipeline.py:209-210)
+    if float(jnp.max(jnp.abs(z0))) > 1e2:
+        z0 = jnp.clip(z0, -10.0, 10.0)
     z0 = jnp.repeat(z0, batchsize, axis=0)
 
     t_start_idx = int(transfer_strength * ddim_steps)
@@ -404,10 +483,12 @@ def style_transfer(
         # sampler runs 0 steps and returns the (un-noised) source latent
         latents = z0.astype(jnp.float32)
     else:
-        all_ts = pipeline.scheduler.timesteps(ddim_steps)
-        t0 = int(all_ts[len(all_ts) - t_start_idx] if t_start_idx < len(all_ts) else all_ts[0])
+        all_ts = pipeline.scheduler.timesteps(ddim_steps)  # descending
+        t_noise, t_denoise = stochastic_encode_timesteps(all_ts, t_start_idx)
         noise = jax.random.normal(k_noise, z0.shape, jnp.float32)
-        noisy = pipeline.scheduler.add_noise(z0.astype(jnp.float32), noise, jnp.full((z0.shape[0],), t0))
+        noisy = pipeline.scheduler.add_noise(
+            z0.astype(jnp.float32), noise, jnp.full((z0.shape[0],), t_noise)
+        )
 
         cond = pipeline.conditioner
         film_cond = jnp.asarray(np.repeat(cond.text_embed([text]), batchsize, axis=0))
@@ -415,7 +496,7 @@ def style_transfer(
         latents = pipeline.sample_latents(
             film_cond, film_uncond, k_samp,
             latent_t_size=z0.shape[1], ddim_steps=ddim_steps,
-            guidance_scale=guidance_scale, init_latents=noisy, t_start=t0,
+            guidance_scale=guidance_scale, init_latents=noisy, t_start=t_denoise,
         )
     # the reference trims the last 3 latent time-frames before decoding
     # (pipeline.py:240-241: decode_first_stage(samples[:, :, :-3, :]))
@@ -451,9 +532,7 @@ def super_resolution_and_inpainting(
 
     rng = jax.random.PRNGKey(seed)
     k_enc, k_init, k_step = jax.random.split(rng, 3)
-    z0 = pipeline.vae.apply(
-        {"params": pipeline.vae_params}, mel, k_enc, method=pipeline.vae.encode_first_stage
-    ).astype(jnp.float32)
+    z0 = pipeline.encode_first_stage(mel, k_enc)
 
     b, lt, lf, lc = z0.shape
     t_idx = np.arange(lt) / lt
@@ -472,31 +551,47 @@ def super_resolution_and_inpainting(
 
     sched = pipeline.scheduler
     timesteps = jnp.asarray(sched.timesteps(ddim_steps))
-    latents = jax.random.normal(k_init, z0.shape, jnp.float32)
 
-    def body(carry, t):
-        lat, key = carry
-        key, k_n, k_var = jax.random.split(key, 3)
-        lat_in = jnp.concatenate([lat, lat], axis=0)
-        t_b = jnp.full((2 * b,), t, jnp.int32)
-        pred = pipeline.unet.apply(
-            {"params": pipeline.unet_params}, lat_in.astype(pipeline.dtype), t_b, film
-        ).astype(jnp.float32)
-        pu, pc = jnp.split(pred, 2, axis=0)
-        pred = pu + guidance_scale * (pc - pu)
-        # stochastic DDIM: the reference samples masked generation with
-        # ddim_eta=1.0 (ldm.py:728)
-        lat, _ = sched.step(
-            pred, t, lat, jax.random.normal(k_var, lat.shape, jnp.float32),
-            ddim_steps, eta=1.0,
-        )
-        # pin the kept region to the source, re-noised to the current level
-        prev_t = jnp.maximum(t - sched.config.num_train_timesteps // ddim_steps, 0)
-        known = sched.add_noise(z0, jax.random.normal(k_n, z0.shape), jnp.full((b,), prev_t))
-        lat = mask * lat + (1.0 - mask) * known
-        return (lat, key), None
+    fkey = ("masked", ddim_steps, z0.shape)
+    if fkey not in pipeline._fns:
 
-    (latents, _), _ = jax.lax.scan(body, (latents, k_step), timesteps)
-    # final hard blend with the clean source outside the mask
-    latents = mask * latents + (1.0 - mask) * z0
+        def run(unet_params, z0, film, mask, ts, guidance_scale, k_init, k_step):
+            nb = z0.shape[0]
+            latents = jax.random.normal(k_init, z0.shape, jnp.float32)
+
+            def body(carry, t):
+                lat, key = carry
+                key, k_n, k_var = jax.random.split(key, 3)
+                lat_in = jnp.concatenate([lat, lat], axis=0)
+                t_b = jnp.full((2 * nb,), t, jnp.int32)
+                pred = pipeline.unet.apply(
+                    {"params": unet_params}, lat_in.astype(pipeline.dtype), t_b, film
+                ).astype(jnp.float32)
+                pu, pc = jnp.split(pred, 2, axis=0)
+                pred = pu + guidance_scale * (pc - pu)
+                # stochastic DDIM: the reference samples masked generation
+                # with ddim_eta=1.0 (ldm.py:728)
+                lat, _ = sched.step(
+                    pred, t, lat, jax.random.normal(k_var, lat.shape, jnp.float32),
+                    ddim_steps, eta=1.0,
+                )
+                # pin the kept region to the source, re-noised to the
+                # current level
+                prev_t = jnp.maximum(t - sched.config.num_train_timesteps // ddim_steps, 0)
+                known = sched.add_noise(
+                    z0, jax.random.normal(k_n, z0.shape), jnp.full((nb,), prev_t)
+                )
+                lat = mask * lat + (1.0 - mask) * known
+                return (lat, key), None
+
+            (latents, _), _ = jax.lax.scan(body, (latents, k_step), ts)
+            # final hard blend with the clean source outside the mask
+            return mask * latents + (1.0 - mask) * z0
+
+        pipeline._fns[fkey] = jax.jit(run)
+
+    latents = pipeline._fns[fkey](
+        pipeline.unet_params, z0, film, mask, timesteps, guidance_scale,
+        k_init, k_step,
+    )
     return pipeline.decode(latents)

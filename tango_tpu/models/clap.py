@@ -281,8 +281,17 @@ class Clap:
         out = np.zeros((n_in, clip), np.float32)
         for i, w in enumerate(np.asarray(waveforms_16k, np.float32)):
             w48 = resample_poly(w, 16000, self.audio_cfg.sample_rate)
-            n = min(len(w48), clip)
-            out[i, :n] = w48[:n]
+            n = len(w48)
+            if 0 < n < clip:
+                # reference data_filling="repeatpad" (training/data.py:534-541):
+                # tile the whole waveform int(max/len) times, zero-pad the rest
+                # — zero-padding alone feeds the tower mostly-silence mels
+                tiled = np.tile(w48, int(clip / n))
+                out[i, : len(tiled)] = tiled
+            else:
+                # longer than a clip: the reference random-crops; we take the
+                # deterministic leading window for reproducible scores
+                out[i] = w48[:clip]
 
         # always pad up to audio_batch: ONE compiled tower shape regardless
         # of dataset / rerank-group size (a per-size compile is minutes on

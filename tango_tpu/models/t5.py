@@ -399,11 +399,15 @@ class T5Seq2Seq:
                 x = x + hh @ ffp["wo"]["kernel"].astype(dtype)
 
             x = _rms(dparams["final_layer_norm"]["weight"], x, c.layer_norm_epsilon)
-            if "lm_head" in dparams:
-                head = dparams["lm_head"]
-            else:
+            # same predicate as T5Decoder.__call__ (config flag, NOT param
+            # presence): a tied ckpt that ships a duplicate lm_head must take
+            # the scaled-embedding branch on both decode paths, and an untied
+            # config with a missing lm_head must fail loudly on both
+            if getattr(c, "tie_word_embeddings", False):
                 head = emb
                 x = x * (c.d_model**-0.5)
+            else:
+                head = dparams["lm_head"]
             logits = jnp.einsum("bd,vd->bv", x.astype(jnp.float32), head.astype(jnp.float32))
             return jax.nn.log_softmax(logits, axis=-1), kc, vc
 
@@ -656,7 +660,11 @@ class T5Seq2Seq:
             if len(hyps) < num_beams or norm > min(h[0] for h in hyps):
                 hyps.append((norm, toks))
                 if len(hyps) > num_beams:
-                    hyps.remove(min(hyps, key=lambda h: h[0]))
+                    # drop the earliest-added worst BY INDEX (HF sorts
+                    # (score, idx) and deletes beams[argmin]); remove-by-value
+                    # would compare (float, ndarray) tuples and can raise on
+                    # exact score ties
+                    del hyps[min(range(len(hyps)), key=lambda i: hyps[i][0])]
 
         def hyp_done(cur_len_next, best_running):
             """HF 4.57 _check_early_stop_heuristic: numerator is the best
@@ -776,7 +784,12 @@ def convert_t5_decoder(sd, prefix: str = "decoder.") -> dict:
 
 def convert_t5_seq2seq(sd) -> dict:
     """HF T5ForConditionalGeneration state dict -> {'encoder':..., 'decoder':...}."""
-    return {"encoder": convert_t5_encoder(sd), "decoder": convert_t5_decoder(sd)}
+    out = {"encoder": convert_t5_encoder(sd), "decoder": convert_t5_decoder(sd)}
+    # shared.weight is ONE tensor in the checkpoint — alias the host array
+    # instead of holding two converted copies (~132 MB f32 for flan-t5-large;
+    # the two leaves still become separate device buffers on transfer)
+    out["decoder"]["token_embedding"] = out["encoder"]["token_embedding"]
+    return out
 
 
 def convert_t5_encoder(sd) -> dict:

@@ -66,17 +66,12 @@ _TP_RULES = [
 def _spec_for(path: str, ndim: int) -> P:
     for pat, spec in _TP_RULES:
         if re.search(pat, path):
+            # guard: the TP rules describe 2D matmul kernels only — any
+            # same-named non-2D leaf (e.g. a conv kernel) replicates
+            if any(a is not None for a in spec) and ndim != 2:
+                return P()
             return spec
     return P()  # replicate (convs, norms, biases, embeddings)
-
-
-def _tree_paths(tree, prefix=""):
-    for k, v in tree.items():
-        p = f"{prefix}{k}"
-        if isinstance(v, dict):
-            yield from _tree_paths(v, p + "/")
-        else:
-            yield p, v
 
 
 def param_shardings(params, mesh: Mesh):
@@ -89,11 +84,7 @@ def param_shardings(params, mesh: Mesh):
             if isinstance(v, dict):
                 out[k] = walk(v, p + "/")
             else:
-                spec = _spec_for(p, np.ndim(v))
-                # guard: only apply 2D specs to 2D kernels
-                if len([a for a in spec if a is not None]) and np.ndim(v) != 2:
-                    spec = P()
-                out[k] = NamedSharding(mesh, spec)
+                out[k] = NamedSharding(mesh, _spec_for(p, np.ndim(v)))
         return out
 
     return walk(params)

@@ -294,6 +294,13 @@ class Tango:
     ) -> np.ndarray:
         """Single prompt -> int16 waveform(s). (reference tango.py:43-49)
 
+        Deliberate deviation: with samples > 1 this returns ALL sample
+        waveforms (the reference generates `samples` latents but still
+        returns only wave[0], tango.py:49 — its multi-sample CLAP re-ranking
+        bypasses the Tango class entirely, inference.py:105-121; here the
+        re-ranking drivers consume this API directly). samples=1 matches
+        the reference exactly: a single (T,) int16 waveform.
+
         `duration` (seconds) overrides the fixed 10.24 s clip: latent frames =
         duration * 25.6 (the AudioLDM mapping, pipeline.py:94-95), rounded to
         a multiple of the UNet's downsampling factor."""

@@ -111,7 +111,11 @@ class MusicFeaturePredictor:
     def postprocess_beats(logits_first_token: np.ndarray, intervals: np.ndarray):
         """(num_classes,), (L,) -> (max_beat, beat_times, beats) (mustango.py:60-90)."""
         max_beat = int(1 + np.argmax(logits_first_token))
-        cums = np.cumsum(np.round(intervals.astype(np.float32), 4))
+        # the reference rounds in float32 but accumulates in float64
+        # (mustango.py:64-73: .astype("float32").round(4).tolist() -> Python
+        # floats -> np.cumsum); f32 accumulation can flip round(t, 2) or the
+        # t >= 10 cutoff at boundaries over 100+ beats
+        cums = np.cumsum(np.round(intervals.astype(np.float32), 4).astype(np.float64))
         # the reference BREAKS at the first cumulative time >= 10 (not a
         # filter): negative predicted intervals can dip the cumsum back
         # under 10 and those later beats must NOT be kept (mustango.py:74-79)
@@ -136,9 +140,13 @@ class MusicFeaturePredictor:
     def parse_chords(decoded: str) -> Tuple[List[str], List[float]]:
         chords, times = [], []
         for item in decoded.split(" n "):
-            if " at " not in item:
+            # free-form decode: skip malformed items (zero or multiple
+            # " at " separators, non-numeric time) instead of crashing like
+            # the reference's bare 2-tuple unpack (mustango.py:127-130)
+            parts = item.split(" at ")
+            if len(parts) != 2:
                 continue
-            c, ct = item.split(" at ")
+            c, ct = parts
             try:
                 times.append(float(ct))
             except ValueError:
@@ -255,14 +263,56 @@ class Mustango:
         self.hifigan_params = hifigan_params
         self._rng = jax.random.PRNGKey(0)
 
-    def encode_text(self, prompts, max_length=128):
+    def _tokenize_text(self, prompts, max_length=128):
         batch = self.tokenizer(
             list(prompts), max_length=max_length, padding="max_length",
             truncation=True, return_tensors="np",
         )
-        ids = jnp.asarray(batch["input_ids"])
-        mask = jnp.asarray(batch["attention_mask"])
-        return self.t5.apply({"params": self.t5_params}, ids, mask), mask
+        return jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])
+
+    def encode_text(self, prompts, max_length=128):
+        ids, mask = self._tokenize_text(prompts, max_length)
+        if "t5" not in self._fns:
+            self._fns["t5"] = jax.jit(
+                lambda p, i, m: self.t5.apply({"params": p}, i, m)
+            )
+        return self._fns["t5"](self.t5_params, ids, mask), mask
+
+    def _generate_fn(self, steps: int):
+        """ONE jitted program per step count: T5 encode (cond + uncond),
+        music-conditioner embed, CFG sampling scan, VAE decode, vocoder.
+        Without this every generate dispatches op-by-op over the axon relay
+        (~1 s/op — CLAUDE.md) and re-traces the 1.4B UNet scan per call.
+        All device shapes are fixed (text padded to 128, beats/chords padded
+        to beat_len/chord_len), so the compile is reused across prompts;
+        guidance stays a traced scalar (no recompile on change)."""
+        key = ("gen", steps)
+        if key not in self._fns:
+            def run(unet_params, cond_params, vae_params, voc_params, t5_params,
+                    ids, mask, uids, umask,
+                    b_ids, b_times, b_mask, c_roots, c_types, c_invs, c_times,
+                    c_mask, rng, guidance):
+                cond = self.t5.apply({"params": t5_params}, ids, mask)
+                uncond = self.t5.apply({"params": t5_params}, uids, umask)
+                beat_emb, chord_emb = self.model.conditioner.apply(
+                    {"params": cond_params},
+                    b_ids, b_times, c_roots, c_types, c_invs, c_times,
+                )
+                lat = self.model.music_sample(
+                    unet_params, cond, mask, rng,
+                    beat_emb, b_mask, chord_emb, c_mask,
+                    num_steps=steps, guidance_scale=guidance,
+                    uncond_embeds=uncond, uncond_mask=umask,
+                    cond_params=cond_params,
+                )
+                mel = self.vae.apply(
+                    {"params": vae_params}, lat, method=self.vae.decode_first_stage
+                )
+                wav = self.vocoder.apply({"params": voc_params}, mel[..., 0])
+                return wav.astype(jnp.float32)
+
+            self._fns[key] = jax.jit(run)
+        return self._fns[key]
 
     def generate(self, prompt: str, steps: int = 100, guidance: float = 3.0,
                  samples: int = 1, disable_progress: bool = True,
@@ -272,21 +322,23 @@ class Mustango:
             assert self.predictor is not None, "no music predictor; pass beats/chords"
             beats, chords, chords_times = self.predictor.generate(prompt)
 
-        beat_emb, beat_mask, chord_emb, chord_mask = self.model.encode_music(
-            self.conditioner_params, beats if beats and beats[0] else [[[], []]],
-            [chords], [chords_times],
+        from tango_tpu.models.music import batch_tokenize_beats, batch_tokenize_chords
+
+        b_ids, b_times, b_mask = batch_tokenize_beats(
+            beats if beats and beats[0] else [[[], []]], self.model.beat_len
         )
-        cond, cond_mask = self.encode_text([prompt])
-        uncond, uncond_mask = self.encode_text([""])
+        c_roots, c_types, c_invs, c_times, c_mask = batch_tokenize_chords(
+            [chords], [chords_times], self.model.chord_len
+        )
+        ids, mask = self._tokenize_text([prompt])
+        uids, umask = self._tokenize_text([""])
         self._rng, sub = jax.random.split(self._rng)
         rng = jax.random.PRNGKey(seed) if seed is not None else sub
-        latents = self.model.music_sample(
-            self.unet_params, cond, cond_mask, rng,
-            beat_emb, beat_mask, chord_emb, chord_mask,
-            num_steps=steps, guidance_scale=guidance,
-            uncond_embeds=uncond, uncond_mask=uncond_mask,
-            cond_params=self.conditioner_params,
+        wav = self._generate_fn(steps)(
+            self.unet_params, self.conditioner_params, self.vae_params,
+            self.hifigan_params, self.t5_params, ids, mask, uids, umask,
+            jnp.asarray(b_ids), jnp.asarray(b_times), jnp.asarray(b_mask),
+            jnp.asarray(c_roots), jnp.asarray(c_types), jnp.asarray(c_invs),
+            jnp.asarray(c_times), jnp.asarray(c_mask), rng, guidance,
         )
-        mel = self.vae.apply({"params": self.vae_params}, latents, method=self.vae.decode_first_stage)
-        wav = self.vocoder.apply({"params": self.hifigan_params}, mel[..., 0])
-        return waveform_to_int16(np.asarray(wav.astype(jnp.float32)))[0]
+        return waveform_to_int16(np.asarray(wav))[0]

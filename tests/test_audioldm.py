@@ -271,6 +271,55 @@ def test_candidate_ranking_uses_similarity(tiny_audioldm):
     assert not np.array_equal(w_last, w_first)
 
 
+def test_candidate_ranking_is_per_slot(tiny_audioldm, monkeypatch):
+    """Reference selection (ldm.py:710-718): best-of-candidates PER SLOT in
+    slot order — slot i's candidates sit at i::batchsize. A global top-k
+    would return rows [1, 2] here; the reference rule returns [2, 1]."""
+    from tango_tpu.audioldm import pipeline as pl
+
+    class Crafted(StubClapConditioner):
+        def similarity(self, wavs, prompt):
+            # slot 0 candidates (rows 0, 2): best is row 2
+            # slot 1 candidates (rows 1, 3): best is row 1
+            return np.asarray([0.1, 0.9, 0.8, 0.2])
+
+    # identify rows by value: decode returns row index as the "waveform"
+    monkeypatch.setattr(
+        type(tiny_audioldm), "decode",
+        lambda self, lat: np.arange(lat.shape[0], dtype=np.int16)[:, None],
+    )
+    orig = tiny_audioldm.conditioner
+    try:
+        tiny_audioldm.conditioner = Crafted(dim=32)
+        wavs = pl.text_to_audio(
+            tiny_audioldm, "x", duration=8 / 25.6, ddim_steps=2,
+            batchsize=2, n_candidate_gen_per_text=2, seed=0,
+        )
+    finally:
+        tiny_audioldm.conditioner = orig
+    np.testing.assert_array_equal(wavs[:, 0], [2, 1])
+
+
+def test_stochastic_encode_timesteps_match_reference_indices():
+    """Style transfer noise/denoise levels vs the reference formula:
+    stochastic_encode noises at alpha of ASCENDING ddim_timesteps[t_enc]
+    (ddim.py:246-262) and decode runs flip(ddim_timesteps[:t_enc])
+    (ddim.py:264-290) — first denoise step = ddim_timesteps[t_enc-1]."""
+    from tango_tpu.audioldm.pipeline import stochastic_encode_timesteps
+
+    ddim_steps = 200
+    # the reference ddim schedule: range(0, 1000, 5) + 1, ascending
+    asc = np.arange(0, 1000, 1000 // ddim_steps) + 1
+    desc = asc[::-1]
+    for strength in (0.1, 0.5, 0.75):
+        t_enc = int(strength * ddim_steps)
+        t_noise, t_denoise = stochastic_encode_timesteps(desc, t_enc)
+        assert t_noise == asc[t_enc]
+        assert t_denoise == asc[t_enc - 1]
+    # strength 1.0: reference indexes past ddim_alphas (crash); we saturate
+    assert stochastic_encode_timesteps(desc, ddim_steps) == (996, 996)
+
+
 def test_inpainting(tiny_audioldm, tmp_path):
     from tango_tpu.audio.wav import write_wav
     from tango_tpu.audioldm.pipeline import super_resolution_and_inpainting

@@ -86,3 +86,29 @@ def test_full_clap_similarity():
     assert sims.shape == (2,) and np.all(np.abs(sims) <= 1.0 + 1e-5)
     score = clap.clap_score(wavs, ["a drum loop", "silence"])
     assert np.isfinite(score) and abs(score) <= 1.0 + 1e-5
+
+
+def test_audio_embed_repeatpad_short_clips():
+    """Short clips fill by repeating the waveform then zero-padding
+    (reference data_filling="repeatpad", clap/training/data.py:534-541) —
+    zero-padding alone would feed the tower mostly-silence mels."""
+    from types import SimpleNamespace
+
+    from tango_tpu.models.clap import Clap
+
+    captured = {}
+    ns = SimpleNamespace(
+        audio_cfg=SimpleNamespace(clip_samples=10, sample_rate=16000),
+        _logmel=lambda w: w,
+        _audio_apply=lambda p, mel: np.asarray(mel),
+        audio_params=None,
+        audio_batch=4,
+        dim=10,
+    )
+    w = np.asarray([[1.0, 2.0, 3.0, 4.0]], np.float32)  # len 4 < clip 10
+    out = Clap.audio_embed(ns, w)
+    # int(10/4) = 2 whole repeats, remainder zero-padded
+    np.testing.assert_array_equal(out[0], [1, 2, 3, 4, 1, 2, 3, 4, 0, 0])
+    # a clip-length waveform passes through untouched
+    full = np.arange(10, dtype=np.float32)[None] + 1
+    np.testing.assert_array_equal(Clap.audio_embed(ns, full)[0], full[0])

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 
 def test_eight_devices_available():
@@ -242,7 +241,6 @@ def test_sp_forward_and_grads_match_meshless():
 
 def test_pipeline_dp_generation():
     """Tango.generate_for_batch sharded over 8 virtual devices matches shapes."""
-    import numpy as np
     from tango_tpu.parallel import mesh as pmesh
     from tests.test_pipeline import (
         StubTokenizer, TINY_HIFI, TINY_T5, TINY_UNET, TINY_VAE,

@@ -53,6 +53,10 @@ def test_predictor_postprocess():
 def test_parse_chords_malformed():
     chords, times = MusicFeaturePredictor.parse_chords("Gm at 0.5 n garbage n C at x n D at 2.0")
     assert chords == ["Gm", "D"] and times == [0.5, 2.0]
+    # multiple " at " separators in one item must be skipped, not crash the
+    # 2-tuple unpack (reference mustango.py:127-130 would raise ValueError)
+    chords, times = MusicFeaturePredictor.parse_chords("Gm at 1.0 at 2.0 n C at 3.0")
+    assert chords == ["C"] and times == [3.0]
 
 
 def test_mustango_generate():

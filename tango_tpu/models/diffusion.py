@@ -22,12 +22,10 @@ Tango passes one (text), Mustango subclasses pass three (text, beats, chords).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tango_tpu.configs import SchedulerConfig, UNetConfig
 from tango_tpu.models.unet import UNet2DConditionModel
@@ -94,9 +92,14 @@ class AudioDiffusion:
             timesteps = jax.random.randint(k_t, (bsz,), 0, n)
 
         if self.uncondition and not validation_mode:
-            # zero the text embeddings for ~10% of samples (models.py:156-159)
+            # zero the conditioning embeddings for ~10% of samples — the SAME
+            # samples across every stream: Mustango zeroes text, chords and
+            # beats together (mustango/models.py:481-486); plain Tango has no
+            # extra streams (models.py:156-159). Masks stay untouched, as in
+            # the reference.
             drop = jax.random.uniform(k_uncond, (bsz, 1, 1)) < 0.1
             text_embeds = jnp.where(drop, 0.0, text_embeds)
+            extra_contexts = [jnp.where(drop, 0.0, c) for c in extra_contexts]
 
         noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
         noisy = sched.add_noise(latents.astype(jnp.float32), noise, timesteps)
@@ -109,6 +112,14 @@ class AudioDiffusion:
         else:
             raise ValueError(f"Unknown prediction type {p}")
 
+        # extra streams must bring their own masks — otherwise the UNet would
+        # silently replicate the TEXT padding mask onto beat/chord attention
+        # (the reference music loss always passes per-stream masks,
+        # mustango/models.py:505-516)
+        assert len(extra_masks) == len(extra_contexts), (
+            f"extra_masks ({len(extra_masks)}) must match extra_contexts "
+            f"({len(extra_contexts)})"
+        )
         contexts = [text_embeds, *extra_contexts] if extra_contexts else text_embeds
         masks = [text_mask, *extra_masks] if extra_masks else text_mask
         pred = self.unet.apply(
@@ -204,6 +215,11 @@ class AudioDiffusion:
             ctx, msk = cond_embeds, cond_mask
             extra, extra_m = list(extra_contexts), list(extra_masks)
 
+        # same masks-must-match-streams guard as loss(): a bare text mask
+        # would silently replicate onto every extra stream in the UNet
+        assert len(extra_m) == len(extra), (
+            f"extra masks ({len(extra_m)}) must match extra contexts ({len(extra)})"
+        )
         contexts = [ctx, *extra] if extra else ctx
         masks = [msk, *extra_m] if extra_m else msk
 

@@ -24,7 +24,7 @@ to the _extra{1,2} stream parameters in utils/convert.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -93,11 +93,19 @@ def tokenize_beats(beats, seq_len: int = 50):
     times, types = list(beats[0]), list(beats[1])
     if len(times) == 0:
         return [0] * seq_len, [0.0] * seq_len, [0] * seq_len
+    # fixed-shape deviation: inputs beyond seq_len are truncated (the
+    # reference keeps them at dynamic length — layers.py:228-231 pads only);
+    # the real pipeline never exceeds it (postprocess_beats caps at 50)
     times, types = times[:seq_len], types[:seq_len]
     pad = seq_len - len(times)
     mask = [1] * len(times) + [0] * pad
     times = times + [times[-1]] * pad
     type_ids = [BEAT_DICT[float(x)] for x in types] + [0] * pad
+    if max(type_ids) >= 7:
+        # beat types 6.0/7.0 sit past d_oh_beat_type=7 — torch F.one_hot
+        # raises on them (layers.py:302, models.py:334); jax.nn.one_hot
+        # would silently emit an all-zero row instead
+        raise ValueError("beat type ids >= 7 overflow the one-hot depth")
     return type_ids, times, mask
 
 

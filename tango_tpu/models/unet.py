@@ -29,7 +29,7 @@ TPU-first deviations (none change math):
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax

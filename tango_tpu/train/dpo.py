@@ -12,19 +12,17 @@ ride along as a donated-free constant input (replicated).
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import time
-from typing import Any, Callable, Iterable, Optional
+from typing import Callable, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from jax.sharding import Mesh
 
-from tango_tpu.configs import DPOConfig, TrainConfig
+from tango_tpu.configs import DPOConfig
 from tango_tpu.models.dpo import DPOAudioDiffusion
 from tango_tpu.models.vae import AutoencoderKL
 from tango_tpu.parallel import mesh as pmesh
@@ -47,8 +45,17 @@ class DPOTrainer:
         self.vae_params = vae_params
         self.cfg = config
         self.mesh = mesh
+        # linear decay to 0 over the run, like the reference's
+        # get_scheduler("linear", num_warmup_steps=0, num_training_steps=
+        # max_train_steps) (tango2-train.py:148-150, 464-468); under
+        # MultiSteps the schedule advances once per REAL update, matching
+        # HF's per-optimizer-step scheduler.step()
+        schedule = optax.linear_schedule(
+            init_value=config.learning_rate, end_value=0.0,
+            transition_steps=max(total_steps, 1),
+        )
         tx = optax.adamw(
-            learning_rate=config.learning_rate,
+            learning_rate=schedule,
             b1=config.adam_beta1,
             b2=config.adam_beta2,
             eps=config.adam_epsilon,
@@ -98,16 +105,17 @@ class DPOTrainer:
         return self._dpo_step(state, ref_params, batch, rng)
 
     def sft_step(self, state: TrainState, batch, rng):
-        """SFT-first phase on stacked (w, l) latents (tango2-train.py:563-572)."""
+        """SFT-first phase on the PREFERRED latents only — the reference
+        sets `latents = latent_w` ("Perform SFT on the prompt and preferred
+        audio", tango2-train.py:563-567); the rejected audio enters training
+        only through the DPO branch."""
         if self._sft_step is None:
 
             def impl(state, batch, rng):
-                k_w, k_l, k_loss = jax.random.split(rng, 3)
-                lat = jnp.concatenate(
-                    [self._encode(batch["fbank_w"], k_w), self._encode(batch["fbank_l"], k_l)], 0
-                )
-                emb = jnp.concatenate([batch["text_embeds"]] * 2, 0)
-                msk = jnp.concatenate([batch["text_mask"]] * 2, 0)
+                k_w, k_loss = jax.random.split(rng)
+                lat = self._encode(batch["fbank_w"], k_w)
+                emb = batch["text_embeds"]
+                msk = batch["text_mask"]
 
                 def loss_fn(params):
                     return self.diffusion.sft_loss(params, lat, emb, msk, k_loss)
@@ -152,7 +160,7 @@ class DPOTrainer:
         epoch checkpoints only after the SFT-first phase (tango2-train.py:
         600-664). Losses stay on device; one fetch per epoch."""
         os.makedirs(output_dir, exist_ok=True)
-        num_epochs = num_epochs or self.cfg.num_train_epochs
+        num_epochs = self.cfg.num_train_epochs if num_epochs is None else num_epochs
         best_val = float("inf")
         for epoch in range(num_epochs):
             t0 = time.time()

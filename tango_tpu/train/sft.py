@@ -21,14 +21,12 @@ import dataclasses
 import json
 import os
 import time
-from functools import partial
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from tango_tpu.configs import TrainConfig
 from tango_tpu.models.diffusion import AudioDiffusion
@@ -160,7 +158,7 @@ class SFTTrainer:
         """Epoch loop with best-val checkpointing (train.py:431-535)."""
         os.makedirs(output_dir, exist_ok=True)
         best_val = float("inf")
-        num_epochs = num_epochs or self.cfg.num_train_epochs
+        num_epochs = self.cfg.num_train_epochs if num_epochs is None else num_epochs
         summary_path = os.path.join(output_dir, "summary.jsonl")
 
         for epoch in range(num_epochs):

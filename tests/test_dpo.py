@@ -114,3 +114,36 @@ def test_dpo_fit_validation_and_best_checkpoint(tmp_path):
     assert (tmp_path / "best").exists()           # val gating saved a best ckpt
     assert not (tmp_path / "epoch_0").exists()    # no epoch ckpt during SFT phase
     assert (tmp_path / "epoch_1").exists()
+
+
+def test_sft_first_phase_uses_winner_only():
+    """Reference SFT-first trains on latent_w alone ('Perform SFT on the
+    prompt and preferred audio', tango2-train.py:563-567): swapping the
+    REJECTED audio must not change the SFT step at all."""
+    diff = make_dpo()
+    vae = AutoencoderKL(TINY_VAE)
+    rng = jax.random.PRNGKey(0)
+    vae_params = vae.init(rng, jnp.zeros((1, 16, 8, 1)), rng)["params"]
+    trainer = DPOTrainer(
+        diff, vae, vae_params,
+        DPOConfig(gradient_accumulation_steps=1, learning_rate=1e-4),
+        total_steps=4,
+    )
+    params0 = diff.init_params(jax.random.PRNGKey(1))
+    base = {
+        "fbank_w": jax.random.normal(jax.random.PRNGKey(2), (2, 16, 8)) * 0.5,
+        "fbank_l": jax.random.normal(jax.random.PRNGKey(3), (2, 16, 8)) * 0.5,
+        "text_embeds": jax.random.normal(jax.random.PRNGKey(4), (2, 4, 16)) * 0.1,
+        "text_mask": jnp.ones((2, 4), jnp.int32),
+    }
+    other_l = dict(base, fbank_l=jax.random.normal(jax.random.PRNGKey(9), (2, 16, 8)))
+
+    # sft_step donates its state: give each run its own param buffers
+    fresh = lambda: trainer.init_state(
+        jax.tree_util.tree_map(lambda x: x.copy(), params0)
+    )
+    s1, loss1 = trainer.sft_step(fresh(), base, jax.random.PRNGKey(7))
+    s2, loss2 = trainer.sft_step(fresh(), other_l, jax.random.PRNGKey(7))
+    assert float(loss1) == float(loss2)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -181,3 +181,52 @@ def test_music_cfg_uncond_parity_golden():
     np.testing.assert_array_equal(np.asarray(c_mask), g["unc_chord_mask"].astype(c_mask.dtype))
     np.testing.assert_allclose(np.asarray(beat_emb), g["unc_beat_emb"], atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(chord_emb), g["unc_chord_emb"], atol=1e-5, rtol=1e-5)
+
+
+def test_uncondition_dropout_zeroes_all_streams_together():
+    """Mustango's 10% uncondition dropout zeroes text, chords AND beats for
+    the SAME samples (mustango/models.py:481-486) — not just the text."""
+    from tango_tpu.models.diffusion import AudioDiffusion
+
+    diff = AudioDiffusion(
+        unet_config=TINY_MUSIC_UNET, latent_t_size=8, latent_f_size=4,
+        uncondition=True,
+    )
+    captured = {}
+
+    class StubUNet:
+        def apply(self, _params, noisy, t, contexts, encoder_attention_mask=None):
+            captured["contexts"] = contexts
+            return jnp.zeros_like(noisy)
+
+    diff.unet = StubUNet()
+    b = 256
+    text = jnp.ones((b, 4, 16))
+    beat = jnp.ones((b, 5, 16))
+    chord = jnp.ones((b, 3, 16))
+    diff.loss(
+        {}, jnp.zeros((b, 8, 4, 8)), text, jnp.ones((b, 4), jnp.int32),
+        jax.random.PRNGKey(0),
+        extra_contexts=(beat, chord),
+        extra_masks=(jnp.ones((b, 5), jnp.int32), jnp.ones((b, 3), jnp.int32)),
+    )
+    t, bt, ch = (np.asarray(c) for c in captured["contexts"])
+    t_drop = ~t.any(axis=(1, 2))
+    bt_drop = ~bt.any(axis=(1, 2))
+    ch_drop = ~ch.any(axis=(1, 2))
+    assert t_drop.sum() > 0, "with b=256 some samples must be dropped"
+    np.testing.assert_array_equal(t_drop, bt_drop)
+    np.testing.assert_array_equal(t_drop, ch_drop)
+    assert 0.02 < t_drop.mean() < 0.25  # ~10% dropout rate
+
+
+def test_beat_type_overflow_raises():
+    """Beat types 6.0/7.0 overflow d_oh_beat_type=7 — torch F.one_hot raises
+    (layers.py:302); the JAX one_hot would silently zero, so we raise."""
+    import pytest
+    from tango_tpu.models.music import tokenize_beats
+
+    with pytest.raises(ValueError, match="one-hot"):
+        tokenize_beats([[0.5, 1.0], [1.0, 6.0]], seq_len=4)
+    ids, times, mask = tokenize_beats([[0.5, 1.0], [1.0, 5.0]], seq_len=4)
+    assert ids == [2, 6, 0, 0] and mask == [1, 1, 0, 0]

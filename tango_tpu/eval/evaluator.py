@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tango_tpu.audio.stft import MelSpectrogram, hann_window_periodic, mel_filter_bank
+from tango_tpu.audio.stft import MelSpectrogram
 from tango_tpu.audio.wav import read_wav
 from tango_tpu.configs import StftConfig
 from tango_tpu.eval import metrics as M
@@ -30,19 +30,63 @@ from tango_tpu.eval.panns import Cnn14, convert_cnn14, logmel_frontend
 from tango_tpu.eval.vggish import VGGish, convert_vggish, waveform_to_examples
 
 
-def _read_mono_16k(path: str, target_sr: int) -> np.ndarray:
+def _decimate_or_resample(wav: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """The reference loaders' sr conversion: plain ::2 / ::3 decimation for
+    32/48 kHz -> 16 kHz, generic resample otherwise (load_mel.py:165-173)."""
+    from tango_tpu.audio.wav import resample_poly
+
+    if sr == target_sr:
+        return wav
+    if target_sr == 16000 and sr == 32000:
+        return wav[::2]
+    if target_sr == 16000 and sr == 48000:
+        return wav[::3]
+    return resample_poly(wav, sr, target_sr)
+
+
+def _read_wave_dataset(path: str, target_sr: int) -> np.ndarray:
+    """WaveDataset.read_from_file (load_mel.py:160-175): FIRST channel,
+    mean-subtract, decimate/resample, zero-pad to >= 32000 samples.
+    NO amplitude normalization — Cnn14's log-mel is not scale-invariant,
+    so a peak rescale here would shift every FD/KL/IS/KID feature."""
+    wav, sr = read_wav(path)
+    if wav.ndim > 1:
+        wav = wav[:, 0]
+    wav = wav.astype(np.float32)
+    wav = wav - wav.mean()
+    wav = _decimate_or_resample(wav, sr, target_sr)
+    if len(wav) < 32000:
+        wav = np.pad(wav, (0, 32000 - len(wav)))
+    return wav.astype(np.float32)
+
+
+def _read_fad(path: str, target_sr: int) -> np.ndarray:
+    """The FAD loader (metrics/fad.py:21-41 load_audio_task): int16/32768,
+    stereo collapsed by MEAN, 32 kHz decimated ::2 else resampled —
+    no padding, no mean subtraction, no normalization."""
+    from tango_tpu.audio.wav import resample_poly
+
+    wav, sr = read_wav(path)  # read_wav already scales int16 by 1/32768
+    if wav.ndim > 1:
+        wav = wav.mean(axis=1)
+    wav = wav.astype(np.float32)
+    if sr != target_sr:
+        wav = wav[::2] if (target_sr == 16000 and sr == 32000) else resample_poly(wav, sr, target_sr)
+    return wav.astype(np.float32)
+
+
+def _read_paired(path: str, target_sr: int) -> np.ndarray:
+    """MelPairedDataset.get_mel_from_file audio (load_mel.py:88-105): first
+    channel, mean-subtract, resample — no padding."""
     from tango_tpu.audio.wav import resample_poly
 
     wav, sr = read_wav(path)
     if wav.ndim > 1:
         wav = wav[:, 0]
-    wav = resample_poly(wav, sr, target_sr)
-    # WaveDataset pads to >= 2s and normalizes (datasets/load_mel.py:12-80)
-    if len(wav) < 2 * target_sr:
-        wav = np.pad(wav, (0, 2 * target_sr - len(wav)))
-    peak = np.max(np.abs(wav))
-    if peak > 0:
-        wav = wav / peak * 0.5
+    wav = wav.astype(np.float32)
+    wav = wav - wav.mean()
+    if sr != target_sr:
+        wav = resample_poly(wav, sr, target_sr)
     return wav.astype(np.float32)
 
 
@@ -91,7 +135,8 @@ class EvaluationHelper:
         fs = sorted(
             os.path.join(d, x) for x in os.listdir(d) if x.lower().endswith(".wav")
         )
-        return fs[:limit_num] if limit_num else fs
+        # limit_num=0 means zero files, like the reference's datalist[:0]
+        return fs if limit_num is None else fs[:limit_num]
 
     # ---------------------------------------------------------------- features
     #
@@ -107,26 +152,28 @@ class EvaluationHelper:
     def cnn14_features(self, files: List[str]) -> Dict[str, np.ndarray]:
         assert self.cnn14_params is not None, "Cnn14 weights not loaded"
         # jit cache is keyed on the function object: hoist it so the gen and
-        # ref dirs share ONE compile (each remote compile is minutes)
+        # ref dirs share ONE compile (each remote compile is minutes). The
+        # log-mel frontend runs INSIDE the jit on the batched waveforms —
+        # a per-file eager frontend would be thousands of relay dispatches
+        # before the batched net even starts
         if not hasattr(self, "_cnn14_apply"):
-            self._cnn14_apply = jax.jit(lambda p, m: self.cnn14.apply({"params": p}, m))
+            self._cnn14_apply = jax.jit(
+                lambda p, w: self.cnn14.apply({"params": p}, logmel_frontend(w))
+            )
         apply = self._cnn14_apply
 
-        mels = []
-        for f in files:
-            wav = _read_mono_16k(f, self.sampling_rate)
-            mels.append(np.asarray(logmel_frontend(wav[None, :]))[0])
+        wavs = [_read_wave_dataset(f, self.sampling_rate) for f in files]
 
         feats_2048 = [None] * len(files)
         logits = [None] * len(files)
         buckets: Dict[int, List[int]] = {}
-        for i, m in enumerate(mels):
-            buckets.setdefault(m.shape[0], []).append(i)
+        for i, w in enumerate(wavs):
+            buckets.setdefault(len(w), []).append(i)
         bs = self.batch_size
         for _, idxs in sorted(buckets.items()):
             for k in range(0, len(idxs), bs):
                 chunk = idxs[k : k + bs]
-                batch = np.stack([mels[i] for i in chunk] + [mels[chunk[0]]] * (bs - len(chunk)))
+                batch = np.stack([wavs[i] for i in chunk] + [wavs[chunk[0]]] * (bs - len(chunk)))
                 out = apply(self.cnn14_params, jnp.asarray(batch))
                 f2048 = np.asarray(out["2048"])
                 lg = np.asarray(out["logits"])
@@ -146,7 +193,7 @@ class EvaluationHelper:
         apply = self._vggish_apply
         examples = []
         for f in files:
-            wav = _read_mono_16k(f, self.sampling_rate)
+            wav = _read_fad(f, self.sampling_rate)
             ex = waveform_to_examples(wav, self.sampling_rate)
             if len(ex):
                 examples.append(ex)
@@ -229,8 +276,10 @@ class EvaluationHelper:
             return {"lsd": -1, "ssim_stft": -1}
         lsds, ssims = [], []
         for g, r in self._paired(gen_files, ref_files):
-            a1 = _read_mono_16k(g, self.sampling_rate)
-            a2 = _read_mono_16k(r, self.sampling_rate)
+            # MelPairedDataset audio: no padding — zero-padded tails would
+            # pull LSD toward 0 on short clips (both spectra at the floor)
+            a1 = _read_paired(g, self.sampling_rate)
+            a2 = _read_paired(r, self.sampling_rate)
             # HiFi-GAN introduces a 7-frame offset (eval.py:136-151)
             a1 = a1[time_offset:]
             a1 = a1 - a1.mean()
@@ -272,14 +321,7 @@ class EvaluationHelper:
         normalization, unlike WaveDataset), clip to [-1, 1], log10 mel, then
         SpecVQGAN scaling (mel * 20 - 20), then (mel + 100) / 100 clipped to
         [0, 1] (load_mel.py:112-115)."""
-        from tango_tpu.audio.wav import read_wav, resample_poly
-
-        wav, sr = read_wav(path)
-        if wav.ndim > 1:
-            wav = wav[:, 0]
-        wav = wav.astype(np.float32) - float(np.mean(wav))
-        wav = resample_poly(wav, sr, self.sampling_rate)
-        return self._mel_from_wav(wav)
+        return self._mel_from_wav(_read_paired(path, self.sampling_rate))
 
     def _mel_from_wav(self, wav: np.ndarray) -> np.ndarray:
         """16 kHz mono wav -> normalized paired mel (load_mel.py:106-115)."""

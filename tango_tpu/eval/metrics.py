@@ -14,7 +14,7 @@ Feature dictionaries are {"2048": (N,2048), "logits": (N,527), "file_path_":
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Optional
 
 import numpy as np
 import scipy.linalg

@@ -78,7 +78,15 @@ def waveform_to_examples(wav: np.ndarray, sr: int = 16000) -> np.ndarray:
 # -------------------------------------------------------------------- network
 
 class VGGish(nn.Module):
-    """(N, 96, 64) examples -> (N, 128) embeddings."""
+    """(N, 96, 64) examples -> (N, 128) embeddings.
+
+    `use_activation=False` (the default, matching the reference FAD's
+    FrechetAudioDistance(use_activation=False) — audioldm_eval/eval.py:28,
+    metrics/fad.py:63-67 drops the trailing ReLU from model.embeddings) emits
+    the RAW final-linear output with negative components intact. Set True for
+    the full torchvggish forward (the golden fixture pins that contract)."""
+
+    use_activation: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -98,8 +106,8 @@ class VGGish(nn.Module):
         x = x.reshape(x.shape[0], -1)
         x = jax.nn.relu(nn.Dense(4096, name="fc0")(x))
         x = jax.nn.relu(nn.Dense(4096, name="fc1")(x))
-        x = jax.nn.relu(nn.Dense(128, name="fc2")(x))
-        return x
+        x = nn.Dense(128, name="fc2")(x)
+        return jax.nn.relu(x) if self.use_activation else x
 
 
 def convert_vggish(sd) -> dict:

@@ -57,6 +57,14 @@ class DDIMScheduler:
 
     def timesteps(self, num_inference_steps: int) -> np.ndarray:
         n = self.config.num_train_timesteps
+        if num_inference_steps > n:
+            # same loud failure as diffusers set_timesteps; without it the
+            # steps_offset=1 grid tops out at n and the out-of-range gather
+            # would silently clamp to alphas_cumprod[n-1]
+            raise ValueError(
+                f"num_inference_steps ({num_inference_steps}) > "
+                f"num_train_timesteps ({n})"
+            )
         step_ratio = n // num_inference_steps
         ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].copy().astype(np.int64)
         return ts + self.config.steps_offset

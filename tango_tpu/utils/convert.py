@@ -99,11 +99,6 @@ def fold_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 # ------------------------------------------------------------------------- UNet
 
-_IDX = re.compile(
-    r"\.(\d+)\."
-)
-
-
 def convert_unet(sd: Dict[str, np.ndarray], fuse: bool = True) -> dict:
     """diffusers UNet2DConditionModel state dict -> tango_tpu.models.unet params.
 
@@ -139,7 +134,16 @@ def _convert_unet_key(key: str, w: np.ndarray):
     leaf = parts[-1]
     module = parts[-2] if len(parts) >= 2 else ""
 
-    in_transformer_block = "transformer_blocks_0" in parts
+    tblocks = [p for p in parts if p.startswith("transformer_blocks_")]
+    if tblocks and tblocks[0] != "transformer_blocks_0":
+        # models/unet.py hardcodes one transformer block per attention
+        # (transformer_blocks_0); a deeper checkpoint must fail the
+        # conversion loudly, not misconvert its norms and silently drop
+        # the extra block's weights at apply time
+        raise ValueError(
+            f"transformer_layers_per_block > 1 is not supported (key: {key})"
+        )
+    in_transformer_block = bool(tblocks)
 
     # LayerNorms inside transformer blocks keep flax {scale, bias} subtree
     if in_transformer_block and module in ("norm1", "norm2", "norm3"):

@@ -145,7 +145,52 @@ def test_vggish_parity_golden():
 
     g = load_golden("vggish")
     params = convert_vggish({k[4:]: g[k] for k in g.files if k.startswith("sd::")})
-    model = VGGish()
+    # the golden was generated with the full torchvggish forward (final ReLU)
+    model = VGGish(use_activation=True)
     x = np.asarray(g["x"])[:, 0]  # NCHW (B,1,96,64) -> (B,96,64)
     emb = model.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(emb), g["emb"], atol=2e-4, rtol=1e-3)
+    # the FAD path (use_activation=False, the class default) must be the
+    # same embedding with the final ReLU removed: relu(raw) == golden
+    raw = VGGish().apply({"params": params}, x)
+    np.testing.assert_allclose(np.maximum(np.asarray(raw), 0.0), g["emb"],
+                               atol=2e-4, rtol=1e-3)
+    assert np.asarray(raw).min() < 0, "raw FAD embeddings keep negative dims"
+
+
+def test_eval_loaders_match_reference_semantics(tmp_path):
+    """The three reference loaders differ and must not be merged (the r3
+    review catch): WaveDataset (load_mel.py:160-175) mean-subtracts, pads to
+    32000, never normalizes; the FAD loader (metrics/fad.py:21-41) collapses
+    stereo by MEAN with no pad/mean-sub; MelPairedDataset (load_mel.py:88-105)
+    mean-subtracts with no pad."""
+    from tango_tpu.audio.wav import write_wav
+    from tango_tpu.eval.evaluator import _read_fad, _read_paired, _read_wave_dataset
+
+    t = np.linspace(0, 1, 16000, endpoint=False)
+    quiet = (0.05 * np.sin(2 * np.pi * 220 * t) + 0.02).astype(np.float32)
+    p = str(tmp_path / "m.wav")
+    write_wav(p, quiet)
+    q16 = np.round(np.clip(quiet, -1, 1) * 32768).astype(np.int16) / 32768.0
+
+    wd = _read_wave_dataset(p, 16000)
+    assert len(wd) == 32000  # padded to >= 2 s
+    # mean-subtracted, NOT peak-normalized: amplitude stays ~0.05
+    assert abs(wd[:16000].mean()) < 1e-4
+    assert 0.04 < np.abs(wd).max() < 0.07
+
+    fad = _read_fad(p, 16000)
+    assert len(fad) == 16000  # no padding
+    np.testing.assert_allclose(fad, q16, atol=2e-4)  # raw int16/32768, no DC removal
+
+    pr = _read_paired(p, 16000)
+    assert len(pr) == 16000 and abs(pr.mean()) < 1e-4
+
+    # stereo: FAD takes the channel MEAN, the others take channel 0
+    stereo = np.stack([quiet, np.zeros_like(quiet)], axis=1)
+    ps = str(tmp_path / "s.wav")
+    write_wav(ps, stereo)
+    np.testing.assert_allclose(_read_fad(ps, 16000), q16 / 2.0, atol=2e-4)
+    np.testing.assert_allclose(
+        _read_wave_dataset(ps, 16000)[:16000], wd[:16000], atol=2e-4
+    )

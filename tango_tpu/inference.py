@@ -42,13 +42,25 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def load_prompts(args) -> list:
+    """Manifest -> prompt list honoring --text_key / --num_test_instances
+    (shared by the Tango and Tango2 drivers; reference inference.py:43,129
+    and tango2/inference.py:76,142 both select captions via text_key)."""
+    from tango_tpu.train.data import load_manifest
+
+    examples = load_manifest(args.test_file, text_column=args.text_key)
+    prompts = [e.caption for e in examples]
+    if args.num_test_instances > 0:
+        prompts = prompts[: args.num_test_instances]
+    return prompts
+
+
 def main(argv=None):
     args = parse_args(argv)
     import numpy as np
 
     from tango_tpu.audio.wav import write_wav
     from tango_tpu.pipeline import Tango
-    from tango_tpu.train.data import load_manifest
 
     exp_id = str(int(time.time()))
     out_dir = args.output_dir or os.path.join(
@@ -56,10 +68,7 @@ def main(argv=None):
     )
     os.makedirs(out_dir, exist_ok=True)
 
-    examples = load_manifest(args.test_file)
-    prompts = [e.caption for e in examples]
-    if args.num_test_instances > 0:
-        prompts = prompts[: args.num_test_instances]
+    prompts = load_prompts(args)
 
     tango = Tango(args.model)
     t0 = time.time()

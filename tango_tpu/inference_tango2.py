@@ -21,7 +21,10 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="tango2 inference + CLAP score")
     p.add_argument("--model", type=str, required=True)
     p.add_argument("--test_file", type=str, required=True)
+    p.add_argument("--text_key", type=str, default="captions")
     p.add_argument("--reference_dir", type=str, default=None)
+    p.add_argument("--cnn14_ckpt", type=str, default=None)
+    p.add_argument("--vggish_ckpt", type=str, default=None)
     p.add_argument("--clap_ckpt", type=str, default=None,
                    help="LAION-CLAP checkpoint (HTSAT-tiny + roberta) for CLAP score")
     p.add_argument("--num_steps", type=int, default=200)
@@ -55,18 +58,15 @@ def main(argv=None):
     import numpy as np
 
     from tango_tpu.audio.wav import write_wav
+    from tango_tpu.inference import load_prompts
     from tango_tpu.pipeline import Tango
-    from tango_tpu.train.data import load_manifest
 
     out_dir = args.output_dir or os.path.join(
         "outputs", f"tango2_{int(time.time())}_steps_{args.num_steps}"
     )
     os.makedirs(out_dir, exist_ok=True)
 
-    examples = load_manifest(args.test_file)
-    prompts = [e.caption for e in examples]
-    if args.num_test_instances > 0:
-        prompts = prompts[: args.num_test_instances]
+    prompts = load_prompts(args)
 
     tango = Tango(args.model)
     t0 = time.time()
@@ -95,7 +95,9 @@ def main(argv=None):
     if args.reference_dir:
         from tango_tpu.eval.evaluator import EvaluationHelper
 
-        record["metrics"] = EvaluationHelper(16000).main(out_dir, args.reference_dir)
+        record["metrics"] = EvaluationHelper(
+            16000, cnn14_ckpt=args.cnn14_ckpt, vggish_ckpt=args.vggish_ckpt
+        ).main(out_dir, args.reference_dir)
 
     with open("summary.jsonl", "a") as f:
         f.write(json.dumps(record) + "\n")

@@ -2,9 +2,10 @@
 
 Reference equivalent: Text2AudioDataset + torch DataLoader + in-step
 wav_to_fbank (train.py:201-229, 328-330, 441-454). Re-designed for TPU
-throughput: a thread-pool decodes/resamples wavs and computes fbanks on host
-while the previous step runs on device (double-buffered prefetch), so the
-denoiser never waits on audio I/O (SURVEY.md §7 hard-parts note).
+throughput: a background worker thread decodes/resamples wavs and computes
+fbanks on host while the previous step runs on device (bounded-queue
+prefetch, num_prefetch batches deep), so the denoiser never waits on audio
+I/O (SURVEY.md §7 hard-parts note).
 
 Manifest format matches the reference JSON lines
 (data/*.json: {"dataset", "location", "captions"}).
@@ -49,7 +50,16 @@ def load_manifest(path: str, prefix: str = "", text_column: str = "captions",
     except json.JSONDecodeError:
         rows = [json.loads(line) for line in content.splitlines() if line.strip()]
     for r in rows:
-        caption = r.get(text_column) or r.get("captions") or r.get("caption", "")
+        if text_column != "captions":
+            # explicit column: fail loudly like r[audio_column] does — a
+            # silent fallback would make a misspelled --text_key generate
+            # the whole eval set from empty prompts
+            caption = r[text_column]
+        elif "captions" in r:
+            caption = r["captions"]
+        else:
+            # both caption spellings appear across reference manifests
+            caption = r.get("caption", "")
         examples.append(Example(prefix + r[audio_column], caption))
     return examples
 
@@ -128,18 +138,43 @@ class FeaturizedLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.num_prefetch)
         stop = object()
+        abandoned = threading.Event()
 
         def worker():
+            # batch-level failures PROPAGATE to the consumer (a swallowed
+            # error here would silently truncate the epoch and train on
+            # partial data); only per-file decode errors use the constant
+            # fallback in _load_batch
             try:
                 for b in batches:
-                    q.put(self._load_batch(b, rng))
-            finally:
+                    item = self._load_batch(b, rng)
+                    # bounded put that gives up if the consumer abandoned the
+                    # iterator mid-epoch (early break / exception): otherwise
+                    # the thread blocks on the full queue forever, pinning
+                    # num_prefetch fbank batches per abandoned epoch
+                    while not abandoned.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if abandoned.is_set():
+                        return
                 q.put(stop)
+            except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            abandoned.set()
+            while not q.empty():  # unblock a worker stuck on a full queue
+                q.get_nowait()

@@ -91,3 +91,43 @@ def test_inference_cli_num_test_instances(tmp_path, monkeypatch):
     ])
     assert os.path.exists(os.path.join(out_dir, "output_1.wav"))
     assert not os.path.exists(os.path.join(out_dir, "output_2.wav"))
+
+
+def test_inference_cli_text_key(tmp_path, monkeypatch):
+    """--text_key must actually select the caption column (reference
+    inference.py:43,129) — a MusicCaps-style 'main_caption' manifest run
+    with the flag must not silently generate from empty prompts."""
+    import pytest
+
+    import tango_tpu.pipeline as pipeline_mod
+    from tango_tpu import inference
+
+    manifest = tmp_path / "mc.json"
+    rows = [{"dataset": "m", "location": f"x{i}.wav", "main_caption": f"music {i}"}
+            for i in range(2)]
+    manifest.write_text("\n".join(json.dumps(r) for r in rows))
+    tiny = _tiny_tango()
+    seen = {}
+    orig = tiny.generate_for_batch
+
+    def spy(prompts, **kw):
+        seen["prompts"] = list(prompts)
+        return orig(prompts, **kw)
+
+    tiny.generate_for_batch = spy
+    monkeypatch.setattr(pipeline_mod, "Tango", lambda name_or_path, **kw: tiny)
+    monkeypatch.chdir(tmp_path)
+    inference.main([
+        "--model", "stub", "--test_file", str(manifest),
+        "--output_dir", str(tmp_path / "g"), "--num_steps", "2",
+        "--batch_size", "2", "--text_key", "main_caption",
+    ])
+    assert seen["prompts"] == ["music 0", "music 1"]
+
+    # an explicit wrong column fails loudly, never silently-empty prompts
+    with pytest.raises(KeyError):
+        inference.main([
+            "--model", "stub", "--test_file", str(manifest),
+            "--output_dir", str(tmp_path / "g2"), "--num_steps", "2",
+            "--text_key", "no_such_column",
+        ])

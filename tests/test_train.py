@@ -118,3 +118,43 @@ def test_manifest_loader(tmp_path):
     assert batches[0]["fbank"].shape == (3, 64, 64)  # 2 + 1 mixed
     assert len(batches[0]["captions"]) == 3
     assert " and " in batches[0]["captions"][2]
+
+
+def test_loader_propagates_batch_errors(tmp_path):
+    """A batch-level featurization failure must raise in the consumer, not
+    silently truncate the epoch (per-FILE decode errors still fall back to
+    the constant waveform inside _load_batch)."""
+    import pytest
+
+    from tango_tpu.train.data import Example, FeaturizedLoader
+
+    loader = FeaturizedLoader(
+        [Example("/nonexistent.wav", "x")] * 4, batch_size=2, target_length=64
+    )
+    loader._load_batch = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+    with pytest.raises(RuntimeError, match="boom"):
+        list(iter(loader))
+
+
+def test_loader_abandoned_iterator_unblocks_worker(tmp_path):
+    """Breaking out of the batch loop mid-epoch must not leave the worker
+    thread blocked on the full prefetch queue forever."""
+    import threading
+    import time as _time
+
+    from tango_tpu.audio.wav import write_wav
+    from tango_tpu.train.data import Example, FeaturizedLoader
+
+    p = str(tmp_path / "w.wav")
+    write_wav(p, (0.1 * np.ones(16000)).astype(np.float32))
+    loader = FeaturizedLoader(
+        [Example(p, "x")] * 12, batch_size=2, target_length=64, num_prefetch=1
+    )
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon mid-epoch
+    deadline = _time.time() + 10
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert threading.active_count() <= before, "worker thread still alive"

@@ -82,8 +82,11 @@ def main(argv=None):
                 ddim_steps=args.ddim_steps,
             )
         # prompt index keeps files unique: duplicate prompts (or ones sharing
-        # a 60-char prefix) must not overwrite each other's outputs
-        name = f"{i}_" + (text.replace(" ", "_")[:60] or "sample")
+        # a 60-char prefix) must not overwrite each other's outputs; strip
+        # path separators and other non-filename characters ("drum / 174bpm"
+        # must not point the write into a nonexistent subdirectory)
+        safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in text.replace(" ", "_"))
+        name = f"{i}_" + (safe[:60] or "sample")
         for j, w in enumerate(wavs):
             write_wav(os.path.join(args.save_path, f"{name}_{j}.wav"), w, 16000)
         print(f"[{i}] wrote {len(wavs)} wav(s) for: {text}")

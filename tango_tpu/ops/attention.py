@@ -108,6 +108,11 @@ def _flash_bwd(scale, res, g):
         qh, kh, vh,
     )
     dq, dk, dv = vjp(g)
+    # the bias cotangent is None = SILENT ZERO on both branches. Correct
+    # today: every bias in the framework derives from non-trainable padding
+    # masks. If a future caller differentiates w.r.t. a bias that depends on
+    # trainable params (learned relative-position bias), it will get zero
+    # gradients — route such a bias through the XLA path with its own vjp.
     return dq, dk, dv, None
 
 

@@ -29,7 +29,8 @@ REGISTRY = {
     "audioldm-m-full": {
         "kind": "audioldm_ckpt",
         "path": os.path.join(CACHE_ROOT, "audioldm-m-full.ckpt"),
-        "url": "https://zenodo.org/record/7698295/files/audioldm-m-full.ckpt?download=1",
+        # record 7813012, NOT 7698295 (reference audioldm/utils.py:246)
+        "url": "https://zenodo.org/record/7813012/files/audioldm-m-full.ckpt?download=1",
     },
     # HF snapshot repos (tango.py:10, mustango.py:142, README tables)
     "declare-lab/tango": {"kind": "tango_snapshot"},

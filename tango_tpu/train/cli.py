@@ -15,7 +15,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def parse_args(argv=None):
@@ -51,7 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--adam_beta2", type=float, default=0.999)
     p.add_argument("--adam_epsilon", type=float, default=1e-8)
     p.add_argument("--output_dir", type=str, default=None)
-    p.add_argument("--checkpointing_steps", type=str, default="best")
+    p.add_argument("--checkpointing_steps", type=str, default="best",
+                   help='"best" (val-gated), "epoch", or an integer N '
+                        "(save every N batches, reference train.py:151-157)")
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
     p.add_argument("--target_length", type=int, default=1024)
     p.add_argument("--max_text_length", type=int, default=128)
@@ -68,6 +69,7 @@ def main(argv=None):
         jax.distributed.initialize()
 
     from tango_tpu import configs as C
+    from tango_tpu.audio.stft import MelSpectrogram
     from tango_tpu.configs import TrainConfig, UNetConfig
     from tango_tpu.models.diffusion import AudioDiffusion
     from tango_tpu.models.t5 import FLAN_T5_LARGE, T5Encoder, convert_t5_encoder
@@ -85,11 +87,12 @@ def main(argv=None):
     if args.unet_model_config:
         unet_config = UNetConfig.from_json(args.unet_model_config)
 
-    vae_config, vae_params, t5_params = C.TANGO_VAE, None, None
+    vae_config, vae_params, t5_params, stft_config = C.TANGO_VAE, None, None, None
     if args.tango_snapshot:
         loaded = ckpt_io.load_tango_snapshot(args.tango_snapshot)
         vae_config, vae_params = loaded["vae_config"], loaded["vae_params"]
         t5_params = loaded["t5_params"]
+        stft_config = loaded.get("stft_config")
     elif args.audioldm_ckpt:
         vae_params, _, scale = ckpt_io.load_audioldm_ckpt(args.audioldm_ckpt)
         import dataclasses
@@ -102,7 +105,23 @@ def main(argv=None):
 
     t5 = T5Encoder(FLAN_T5_LARGE)
     if t5_params is None:
-        raise SystemExit("no text-encoder weights found in snapshot")
+        # the --audioldm_ckpt path carries VAE weights only; the reference
+        # builds the text encoder from the hub at train time
+        # (train.py: T5EncoderModel.from_pretrained) — do the same
+        try:
+            from transformers import T5EncoderModel
+
+            tm = T5EncoderModel.from_pretrained(args.text_encoder_name)
+            t5_params = convert_t5_encoder(
+                {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()}
+            )
+            del tm
+        except Exception as e:
+            raise SystemExit(
+                f"no text-encoder weights in the checkpoint and loading "
+                f"{args.text_encoder_name} failed ({e}); use --tango_snapshot "
+                f"or provide the encoder locally"
+            )
     from transformers import AutoTokenizer
 
     tokenizer = AutoTokenizer.from_pretrained(args.text_encoder_name)
@@ -134,13 +153,17 @@ def main(argv=None):
     data_size = mesh.shape["data"]
     global_bs = args.per_device_train_batch_size * data_size
 
+    # mixup rows ride the same sharded batch: keep their count a multiple of
+    # the data-mesh size or shard_batch fails on the first augmented batch
+    augment_num = (global_bs // 2) // data_size * data_size if args.augment else 0
+    stft = MelSpectrogram(stft_config) if stft_config is not None else None
     train_loader = FeaturizedLoader(
-        train_ex, global_bs, args.target_length,
-        augment_num=global_bs // 2 if args.augment else 0, seed=args.seed,
+        train_ex, global_bs, args.target_length, stft=stft,
+        augment_num=augment_num, seed=args.seed,
     )
     val_loader = FeaturizedLoader(
         val_ex, args.per_device_eval_batch_size * data_size, args.target_length,
-        shuffle=False,
+        stft=stft, shuffle=False,
     )
     steps_per_epoch = max(len(train_loader) // args.gradient_accumulation_steps, 1)
     total_steps = steps_per_epoch * args.num_train_epochs
@@ -156,10 +179,23 @@ def main(argv=None):
 
     trainer = SFTTrainer(diffusion, vae, vae_params, train_cfg, total_steps, mesh=mesh)
     rng = jax.random.PRNGKey(args.seed)
-    state = trainer.init_state(rng)
     if args.resume_from_checkpoint:
-        params, _ = ckpt_io.load_native(args.resume_from_checkpoint)
-        state = state.__class__(params, trainer.tx.init(params), state.step)
+        # restore params directly — building init_state first would allocate
+        # a second full params+Adam set (transient OOM at 866M f32)
+        from tango_tpu.train.sft import TrainState
+
+        params, manifest = ckpt_io.load_native(args.resume_from_checkpoint)
+        params = pmesh.shard_params(params, mesh)
+        print(
+            "# resume: params restored from "
+            f"{args.resume_from_checkpoint} (epoch {manifest.get('epoch')}); "
+            "optimizer moments and lr schedule restart fresh — the native "
+            "checkpoints store params only",
+            flush=True,
+        )
+        state = TrainState(params, trainer.tx.init(params), jnp.zeros((), jnp.int32))
+    else:
+        state = trainer.init_state(rng)
 
     t5_apply = jax.jit(lambda p, i, m: t5.apply({"params": p}, i, m))
 

@@ -112,11 +112,18 @@ def main(argv=None):
     stft = MelSpectrogram(loaded["stft_config"])
     t5_apply = jax.jit(lambda p, i, m: t5.apply({"params": p}, i, m))
 
+    epoch_counter = [0]
+
     def batches():
         import random
 
+        # fresh shuffle per epoch (DPOTrainer.fit calls batches() once per
+        # epoch): seed + epoch, like FeaturizedLoader — a fixed seed would
+        # replay the identical batch order all 5 epochs, unlike the
+        # reference's DataLoader(shuffle=True)
         order = list(range(len(rows)))
-        random.Random(args.seed).shuffle(order)
+        random.Random(args.seed + epoch_counter[0]).shuffle(order)
+        epoch_counter[0] += 1
         for k in range(0, len(order) - bs + 1, bs):
             chunk = [rows[i] for i in order[k : k + bs]]
             w = np.concatenate(

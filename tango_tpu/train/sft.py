@@ -155,11 +155,24 @@ class SFTTrainer:
         num_epochs: Optional[int] = None,
         log_fn: Callable[[dict], None] = lambda d: None,
     ) -> TrainState:
-        """Epoch loop with best-val checkpointing (train.py:431-535)."""
+        """Epoch loop with best-val checkpointing (train.py:431-535).
+
+        checkpointing_steps: "best" saves only on val improvement, "epoch"
+        additionally saves every epoch, an integer N saves `step_K` every N
+        batches (reference --checkpointing_steps int mode, train.py:151-157,
+        505-511)."""
         os.makedirs(output_dir, exist_ok=True)
         best_val = float("inf")
         num_epochs = self.cfg.num_train_epochs if num_epochs is None else num_epochs
         summary_path = os.path.join(output_dir, "summary.jsonl")
+        cs = str(self.cfg.checkpointing_steps)
+        if cs not in ("best", "epoch") and not cs.isdigit():
+            raise ValueError(
+                f"checkpointing_steps must be 'best', 'epoch' or an integer, "
+                f"got {cs!r}"
+            )
+        save_every = int(cs) if cs.isdigit() else None
+        global_step = 0
 
         for epoch in range(num_epochs):
             t0 = time.time()
@@ -171,6 +184,13 @@ class SFTTrainer:
                 rng, sub = jax.random.split(rng)
                 state, loss = self.train_step(state, batch, sub)
                 losses.append(loss)
+                global_step += 1
+                if save_every and global_step % save_every == 0:
+                    ckpt_io.save_native(
+                        os.path.join(output_dir, f"step_{global_step}"),
+                        jax.device_get(state.params),
+                        manifest={"epoch": epoch, "step": global_step},
+                    )
             train_loss = float(jnp.stack(losses).mean()) if losses else 0.0
 
             vlosses = []

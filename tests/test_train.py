@@ -158,3 +158,29 @@ def test_loader_abandoned_iterator_unblocks_worker(tmp_path):
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.1)
     assert threading.active_count() <= before, "worker thread still alive"
+
+
+def test_fit_numeric_checkpointing_steps(tmp_path):
+    """--checkpointing_steps N saves step_K every N batches (reference
+    train.py:151-157, 505-511); bad strings fail loudly at fit time."""
+    import pytest
+
+    trainer = make_trainer(checkpointing_steps="2")
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    batch = _batch()
+    out = str(tmp_path / "run")
+    trainer.fit(
+        state, lambda: iter([batch, batch, batch]), lambda: iter([batch]),
+        jax.random.PRNGKey(3), out, num_epochs=2,
+    )
+    # 6 batches at N=2 -> step_2, step_4, step_6
+    for k in (2, 4, 6):
+        assert os.path.exists(os.path.join(out, f"step_{k}", "manifest.json")), k
+
+    bad = make_trainer(checkpointing_steps="every_so_often")
+    with pytest.raises(ValueError, match="checkpointing_steps"):
+        bad.fit(
+            bad.init_state(jax.random.PRNGKey(1)), lambda: iter([]),
+            lambda: iter([]), jax.random.PRNGKey(3), str(tmp_path / "bad"),
+            num_epochs=1,
+        )

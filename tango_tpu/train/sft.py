@@ -166,10 +166,12 @@ class SFTTrainer:
         num_epochs = self.cfg.num_train_epochs if num_epochs is None else num_epochs
         summary_path = os.path.join(output_dir, "summary.jsonl")
         cs = str(self.cfg.checkpointing_steps)
-        if cs not in ("best", "epoch") and not cs.isdigit():
+        if cs not in ("best", "epoch") and not (cs.isdigit() and int(cs) > 0):
+            # "0" would make `save_every and ...` silently never save (the
+            # reference's `step % 0` crashes) — reject it with the bad values
             raise ValueError(
-                f"checkpointing_steps must be 'best', 'epoch' or an integer, "
-                f"got {cs!r}"
+                f"checkpointing_steps must be 'best', 'epoch' or a positive "
+                f"integer, got {cs!r}"
             )
         save_every = int(cs) if cs.isdigit() else None
         global_step = 0

@@ -177,10 +177,11 @@ def test_fit_numeric_checkpointing_steps(tmp_path):
     for k in (2, 4, 6):
         assert os.path.exists(os.path.join(out, f"step_{k}", "manifest.json")), k
 
-    bad = make_trainer(checkpointing_steps="every_so_often")
-    with pytest.raises(ValueError, match="checkpointing_steps"):
-        bad.fit(
-            bad.init_state(jax.random.PRNGKey(1)), lambda: iter([]),
-            lambda: iter([]), jax.random.PRNGKey(3), str(tmp_path / "bad"),
-            num_epochs=1,
-        )
+    for bad_value in ("every_so_often", "0"):
+        bad = make_trainer(checkpointing_steps=bad_value)
+        with pytest.raises(ValueError, match="checkpointing_steps"):
+            bad.fit(
+                bad.init_state(jax.random.PRNGKey(1)), lambda: iter([]),
+                lambda: iter([]), jax.random.PRNGKey(3), str(tmp_path / "bad"),
+                num_epochs=1,
+            )

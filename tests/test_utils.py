@@ -86,3 +86,20 @@ def test_convert_checkpoint_script_tango(tmp_path):
     assert manifest["kind"] == "tango"
     assert "unet" in tree and "vae" in tree and "t5" in tree
     assert manifest["vae_config"]["scale_factor"] == 0.9
+
+
+def test_pyproject_console_scripts_resolve():
+    """Every [project.scripts] target must import and expose a callable —
+    a renamed main() would break the installed CLIs silently."""
+    import importlib
+    import tomllib
+
+    from tests.conftest import REPO
+
+    with open(REPO / "pyproject.toml", "rb") as f:
+        scripts = tomllib.load(f)["project"]["scripts"]
+    assert len(scripts) == 6
+    for name, target in scripts.items():
+        mod_name, func_name = target.split(":")
+        fn = getattr(importlib.import_module(mod_name), func_name)
+        assert callable(fn), (name, target)

@@ -92,7 +92,12 @@ def test_pyproject_console_scripts_resolve():
     """Every [project.scripts] target must import and expose a callable —
     a renamed main() would break the installed CLIs silently."""
     import importlib
-    import tomllib
+
+    # tomllib is 3.11+; pyproject declares requires-python >= 3.10
+    try:
+        import tomllib
+    except ImportError:
+        tomllib = pytest.importorskip("tomli")
 
     from tests.conftest import REPO
 

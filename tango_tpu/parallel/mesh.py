@@ -103,9 +103,46 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Shard every leaf's leading (batch) axis over 'data'."""
+def process_local_batch_slice(mesh: Mesh, global_batch_size: int) -> slice:
+    """The contiguous row range of a P('data')-sharded global batch that THIS
+    process must materialize.
+
+    Multi-host data loading (the reference's Accelerate DDP sampler split,
+    train.py:243,372-378): each host loads only the rows its local devices
+    own, and `shard_batch` assembles the global array from the per-process
+    pieces — no host ever materializes the full global batch.
+    """
     s = batch_sharding(mesh)
+    idx_map = s.addressable_devices_indices_map((global_batch_size,))
+    spans = sorted(
+        {
+            (sl[0].start or 0,
+             global_batch_size if sl[0].stop is None else sl[0].stop)
+            for sl in idx_map.values()
+        }
+    )
+    # model-axis replicas share a span; distinct spans must tile a contiguous
+    # range for the single np slice below — true for the process-major device
+    # order make_mesh uses (jax.devices() sorts by process)
+    for (_, prev_stop), (start, _) in zip(spans, spans[1:]):
+        assert prev_stop == start, f"non-contiguous local batch rows: {spans}"
+    return slice(spans[0][0], spans[-1][1])
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard every leaf's leading (batch) axis over 'data'.
+
+    Single-process: a plain device_put. Multi-process (DCN): each process
+    passes only ITS rows (see `process_local_batch_slice`) and the global
+    jax.Array is assembled from the per-process local data — the TPU-native
+    replacement for DDP's per-rank DataLoader shards.
+    """
+    s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 

@@ -60,13 +60,25 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--with_tracking", action="store_true",
                    help="log to wandb if available (reference train.py:174-184)")
+    p.add_argument("--skip_preflight", action="store_true",
+                   help="skip the manifest audio-format preflight (see "
+                        "train.data.validate_manifest)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
     if os.environ.get("JAX_COORDINATOR"):
-        jax.distributed.initialize()
+        # multi-host (DCN) launch: JAX_COORDINATOR=host:port on every process;
+        # JAX_NUM_PROCESSES/JAX_PROCESS_ID explicit off-TPU (on Cloud TPU
+        # jax.distributed auto-detects them from the pod metadata)
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR"],
+            num_processes=(int(os.environ["JAX_NUM_PROCESSES"])
+                           if os.environ.get("JAX_NUM_PROCESSES") else None),
+            process_id=(int(os.environ["JAX_PROCESS_ID"])
+                        if os.environ.get("JAX_PROCESS_ID") else None),
+        )
 
     from tango_tpu import configs as C
     from tango_tpu.audio.stft import MelSpectrogram
@@ -148,22 +160,39 @@ def main(argv=None):
                              args.text_column, args.audio_column)
     val_ex = load_manifest(args.validation_file, args.data_prefix,
                            args.text_column, args.audio_column)
+    if not args.skip_preflight:
+        from tango_tpu.train.data import validate_manifest
+
+        validate_manifest(train_ex)
+        validate_manifest(val_ex)
 
     mesh = pmesh.make_mesh(data=-1, model=args.model_parallel)
     data_size = mesh.shape["data"]
     global_bs = args.per_device_train_batch_size * data_size
+    eval_bs = args.per_device_eval_batch_size * data_size
+
+    # multi-host: each process decodes only its row slice of every global
+    # batch; shard_batch reassembles (parallel.mesh docstrings)
+    n_proc = jax.process_count()
+    train_rows = eval_rows = None
+    if n_proc > 1:
+        train_rows = pmesh.process_local_batch_slice(mesh, global_bs)
+        eval_rows = pmesh.process_local_batch_slice(mesh, eval_bs)
 
     # mixup rows ride the same sharded batch: keep their count a multiple of
-    # the data-mesh size or shard_batch fails on the first augmented batch
-    augment_num = (global_bs // 2) // data_size * data_size if args.augment else 0
+    # the (per-process) data-mesh share or shard_batch fails on the first
+    # augmented batch. augment_num is PER-PROCESS when multi-host.
+    local_bs = global_bs // n_proc
+    local_data = data_size // n_proc
+    augment_num = (local_bs // 2) // local_data * local_data if args.augment else 0
     stft = MelSpectrogram(stft_config) if stft_config is not None else None
     train_loader = FeaturizedLoader(
         train_ex, global_bs, args.target_length, stft=stft,
-        augment_num=augment_num, seed=args.seed,
+        augment_num=augment_num, seed=args.seed, local_rows=train_rows,
     )
     val_loader = FeaturizedLoader(
-        val_ex, args.per_device_eval_batch_size * data_size, args.target_length,
-        stft=stft, shuffle=False,
+        val_ex, eval_bs, args.target_length,
+        stft=stft, shuffle=False, local_rows=eval_rows,
     )
     steps_per_epoch = max(len(train_loader) // args.gradient_accumulation_steps, 1)
     total_steps = steps_per_epoch * args.num_train_epochs
@@ -220,11 +249,15 @@ def main(argv=None):
 
         return gen
 
-    with open(os.path.join(out_dir, "summary.jsonl"), "a") as f:
-        f.write(json.dumps({"args": vars(args)}) + "\n")
+    # single-writer discipline: only process 0 writes summaries/trackers
+    # (fit() gates its own checkpoint/summary writes the same way)
+    is_main = jax.process_index() == 0
+    if is_main:
+        with open(os.path.join(out_dir, "summary.jsonl"), "a") as f:
+            f.write(json.dumps({"args": vars(args)}) + "\n")
 
     tracker = None
-    if args.with_tracking:
+    if args.with_tracking and is_main:
         try:
             import wandb
 
@@ -233,7 +266,8 @@ def main(argv=None):
             print(f"# wandb unavailable ({e}); falling back to stdout", flush=True)
 
     def log_fn(rec):
-        print(json.dumps(rec), flush=True)
+        if is_main:
+            print(json.dumps(rec), flush=True)
         if tracker is not None:
             tracker.log(rec)
 

@@ -64,6 +64,37 @@ def load_manifest(path: str, prefix: str = "", text_column: str = "captions",
     return examples
 
 
+def validate_manifest(examples: Sequence[Example], max_report: int = 20) -> None:
+    """Preflight: every audio file must exist and sniff as WAV or FLAC.
+
+    The reference reads flac/mp3/ogg through torchaudio
+    (tools/torch_tools.py:43-54) and silently substitutes a constant waveform
+    on decode failure. Here decodable means WAV (scipy) or native FLAC
+    (audio/flac.py); anything else fails LOUDLY *before* training starts —
+    a manifest of mp3s must be an actionable error, not an epoch of
+    constant-waveform garbage indistinguishable from real data loss.
+    """
+    from tango_tpu.audio.wav import sniff_format
+
+    bad = []
+    for ex in examples:
+        try:
+            fmt = sniff_format(ex.location)
+        except OSError as e:
+            bad.append(f"{ex.location}: {e.strerror or e}")
+            continue
+        if fmt not in ("wav", "flac"):
+            bad.append(f"{ex.location}: {fmt}")
+        if len(bad) > max_report:
+            break
+    if bad:
+        more = "" if len(bad) <= max_report else f"\n  ... (more than {max_report})"
+        raise ValueError(
+            f"manifest preflight failed — {len(bad)}+ undecodable audio "
+            "files (supported: WAV, native FLAC):\n  " + "\n  ".join(bad[:max_report]) + more
+        )
+
+
 class FeaturizedLoader:
     """Batches of {fbank, captions} with threaded prefetch + optional mixup.
 
@@ -82,9 +113,20 @@ class FeaturizedLoader:
         seed: int = 0,
         num_prefetch: int = 2,
         drop_last: bool = True,
+        local_rows: Optional[slice] = None,
     ):
+        """`local_rows`: multi-host mode — every process builds the SAME
+        global batch order (same seed), but decodes/featurizes only its row
+        slice of each batch (parallel.mesh.process_local_batch_slice);
+        `shard_batch` reassembles the global array. `augment_num` then counts
+        PER-PROCESS mixed rows (must be equal across processes)."""
         self.examples = list(examples)
         self.batch_size = batch_size
+        self.local_rows = local_rows
+        if local_rows is not None and not drop_last:
+            # a short tail batch would make the fixed row slice wrong (or
+            # empty) on some processes — multi-host requires full batches
+            raise ValueError("local_rows requires drop_last=True")
         self.target_length = target_length
         self.stft = stft or MelSpectrogram()
         self.augment_num = augment_num
@@ -135,6 +177,8 @@ class FeaturizedLoader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        if self.local_rows is not None:
+            batches = [b[self.local_rows] for b in batches]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.num_prefetch)
         stop = object()

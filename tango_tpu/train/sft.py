@@ -161,7 +161,13 @@ class SFTTrainer:
         additionally saves every epoch, an integer N saves `step_K` every N
         batches (reference --checkpointing_steps int mode, train.py:151-157,
         505-511)."""
-        os.makedirs(output_dir, exist_ok=True)
+        # single-writer: in a multi-host run only process 0 touches the
+        # filesystem (checkpoints + summary). Losses are global scalars
+        # (replicated out of the pjit step), so control flow — incl. the
+        # best-val gate — is identical on every process by construction.
+        is_main = jax.process_index() == 0
+        if is_main:
+            os.makedirs(output_dir, exist_ok=True)
         best_val = float("inf")
         num_epochs = self.cfg.num_train_epochs if num_epochs is None else num_epochs
         summary_path = os.path.join(output_dir, "summary.jsonl")
@@ -187,7 +193,7 @@ class SFTTrainer:
                 state, loss = self.train_step(state, batch, sub)
                 losses.append(loss)
                 global_step += 1
-                if save_every and global_step % save_every == 0:
+                if is_main and save_every and global_step % save_every == 0:
                     ckpt_io.save_native(
                         os.path.join(output_dir, f"step_{global_step}"),
                         jax.device_get(state.params),
@@ -209,17 +215,19 @@ class SFTTrainer:
                 "step": int(state.step),
             }
             log_fn(record)
-            with open(summary_path, "a") as f:
-                f.write(json.dumps(record) + "\n")
+            if is_main:
+                with open(summary_path, "a") as f:
+                    f.write(json.dumps(record) + "\n")
 
             if val_loss < best_val:
                 best_val = val_loss
-                ckpt_io.save_native(
-                    os.path.join(output_dir, "best"),
-                    jax.device_get(state.params),
-                    manifest={"epoch": epoch, "val_loss": val_loss},
-                )
-            if self.cfg.checkpointing_steps == "epoch":
+                if is_main:
+                    ckpt_io.save_native(
+                        os.path.join(output_dir, "best"),
+                        jax.device_get(state.params),
+                        manifest={"epoch": epoch, "val_loss": val_loss},
+                    )
+            if is_main and self.cfg.checkpointing_steps == "epoch":
                 ckpt_io.save_native(
                     os.path.join(output_dir, f"epoch_{epoch}"),
                     jax.device_get(state.params),

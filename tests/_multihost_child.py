@@ -1,0 +1,124 @@
+"""Worker for tests/test_multihost.py — one rank of a REAL multi-process run.
+
+Exercises the full multi-host training data path exactly as train/cli.py
+wires it (reference equivalent: Accelerate DDP's per-rank DataLoader split,
+/root/reference/train.py:243,372-378): manifest -> FeaturizedLoader with a
+per-process `local_rows` slice -> `shard_batch` global-array assembly via
+`jax.make_array_from_process_local_data` -> SFTTrainer pjit steps over the
+global ('data','model') mesh. Run with --pid/--nproc/--port it joins a gloo
+CPU collective group (one device per process); without them it runs the
+identical program single-process on one device. Process 0 (or the single
+process) writes {losses, checksum} JSON for the parent to compare.
+"""
+
+import argparse
+import hashlib
+import json
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--pid", type=int, default=None)
+    ap.add_argument("--nproc", type=int, default=None)
+    ap.add_argument("--port", type=int, default=None)
+    a = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if a.pid is not None:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(
+            f"127.0.0.1:{a.port}", num_processes=a.nproc, process_id=a.pid
+        )
+
+    import jax.numpy as jnp
+
+    from tango_tpu import configs as C
+    from tango_tpu.configs import TrainConfig
+    from tango_tpu.models.diffusion import AudioDiffusion
+    from tango_tpu.models.vae import AutoencoderKL
+    from tango_tpu.parallel import mesh as pmesh
+    from tango_tpu.train.data import FeaturizedLoader, load_manifest
+    from tango_tpu.train.sft import SFTTrainer
+
+    GLOBAL_BS = 4
+    mesh = pmesh.make_mesh(
+        devices=jax.devices() if a.pid is not None else jax.devices()[:1]
+    )
+    local = (
+        pmesh.process_local_batch_slice(mesh, GLOBAL_BS)
+        if jax.process_count() > 1
+        else None
+    )
+
+    examples = load_manifest(f"{a.workdir}/train.json")
+    loader = FeaturizedLoader(
+        examples, GLOBAL_BS, target_length=16, seed=3, local_rows=local
+    )
+
+    tiny_unet = C.UNetConfig(
+        in_channels=8, out_channels=8,
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        block_out_channels=(16, 32), layers_per_block=1,
+        cross_attention_dim=16, attention_head_dim=(2, 4), norm_num_groups=8,
+    )
+    tiny_vae = C.VAEConfig(embed_dim=8, z_channels=8, ch=32, ch_mult=(1, 2), num_res_blocks=1)
+
+    diffusion = AudioDiffusion(
+        unet_config=tiny_unet, latent_t_size=8, latent_f_size=32, snr_gamma=5.0
+    )
+    vae = AutoencoderKL(tiny_vae)
+    rng = jax.random.PRNGKey(0)
+    vae_params = vae.init(rng, jnp.zeros((1, 16, 64, 1)), rng)["params"]
+    vae_params = jax.device_put(vae_params, pmesh.replicated(mesh))
+    trainer = SFTTrainer(
+        diffusion, vae, vae_params,
+        TrainConfig(gradient_accumulation_steps=1, learning_rate=1e-3),
+        total_steps=8, mesh=mesh,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(1))
+
+    def embeds_for(captions):
+        # deterministic caption->embedding stand-in for the frozen T5 (the
+        # parity target is the DATA/DISTRIBUTION path, not the text encoder)
+        rows = [
+            np.frombuffer(hashlib.sha256(c.encode()).digest(), np.uint8)[:16]
+            .astype(np.float32) / 255.0
+            for c in captions
+        ]
+        return np.repeat(np.stack(rows)[:, None, :], 4, axis=1)
+
+    losses = []
+    rng = jax.random.PRNGKey(2)
+    with mesh:
+        for _epoch in range(2):
+            for raw in loader:
+                n = len(raw["captions"])
+                batch = pmesh.shard_batch(
+                    {
+                        "fbank": np.asarray(raw["fbank"], np.float32),
+                        "text_embeds": embeds_for(raw["captions"]),
+                        "text_mask": np.ones((n, 4), np.int32),
+                    },
+                    mesh,
+                )
+                rng, sub = jax.random.split(rng)
+                state, loss = trainer.train_step(state, batch, sub)
+                losses.append(float(loss))
+
+    leaf0 = jax.tree_util.tree_leaves(state.params)[0]
+    checksum = float(jnp.sum(jnp.abs(leaf0)))
+    if a.pid in (None, 0):
+        with open(a.out, "w") as f:
+            json.dump({"losses": losses, "checksum": checksum,
+                       "nproc": jax.process_count()}, f)
+
+
+if __name__ == "__main__":
+    main()

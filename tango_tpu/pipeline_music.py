@@ -342,3 +342,78 @@ class Mustango:
             jnp.asarray(c_times), jnp.asarray(c_mask), rng, guidance,
         )
         return waveform_to_int16(np.asarray(wav))[0]
+
+    def generate_for_batch(
+        self, prompts: Sequence[str], steps: int = 100, guidance: float = 3.0,
+        batch_size: int = 4, beats=None, chords=None, chords_times=None,
+        seed: Optional[int] = None, disable_progress: bool = True,
+    ) -> List[np.ndarray]:
+        """Prompt list -> list of int16 waveforms in ONE padded batch per chunk.
+
+        The reference Mustango is single-prompt only (mustango.py:185-204);
+        this is tango_tpu's music throughput path: per-prompt beat/chord
+        features are tokenized into stacked fixed-shape arrays (beat_len/
+        chord_len padding), every chunk reuses the same compiled program as
+        `generate`, and short tail chunks pad up to `batch_size` by cycling
+        prompts (extras discarded) exactly like Tango.generate_for_batch.
+        The (slow, host-side beam-search) feature predictors still run once
+        per DISTINCT prompt; pass beats/chords/chords_times as per-prompt
+        lists to skip them.
+        """
+        from tango_tpu.models.music import batch_tokenize_beats, batch_tokenize_chords
+
+        prompts = list(prompts)
+        if not prompts:
+            return []
+        if beats is None:
+            assert self.predictor is not None, "no music predictor; pass beats/chords"
+            feats = {}
+            for p in prompts:  # predictors are deterministic: one run per distinct prompt
+                if p not in feats:
+                    feats[p] = self.predictor.generate(p)
+            beats = [feats[p][0] for p in prompts]
+            chords = [feats[p][1] for p in prompts]
+            chords_times = [feats[p][2] for p in prompts]
+        assert len(beats) == len(chords) == len(chords_times) == len(prompts), (
+            "beats/chords/chords_times must be per-prompt lists"
+        )
+
+        outputs: List[np.ndarray] = []
+        base = jax.random.PRNGKey(seed) if seed is not None else None
+        n = len(prompts)
+        for ci, k in enumerate(range(0, n, batch_size)):
+            idx = list(range(k, min(k + batch_size, n)))
+            n_real = len(idx)
+            # pad the tail chunk up to batch_size whenever a full chunk exists
+            # (reuse the compiled full-batch executable; odd batches tile
+            # poorly on the MXU — docs/PERF.md batch sweep)
+            target = batch_size if n > batch_size else n_real
+            while len(idx) < target:
+                idx.append(idx[len(idx) % n_real])
+
+            b_struct = [
+                beats[i][0] if beats[i] and beats[i][0] else [[], []] for i in idx
+            ]
+            b_ids, b_times, b_mask = batch_tokenize_beats(b_struct, self.model.beat_len)
+            c_roots, c_types, c_invs, c_times, c_mask = batch_tokenize_chords(
+                [chords[i] for i in idx], [chords_times[i] for i in idx],
+                self.model.chord_len,
+            )
+            ids, mask = self._tokenize_text([prompts[i] for i in idx])
+            uids, umask = self._tokenize_text([""] * len(idx))
+            # chunk 0 keeps the unfolded key so batch row 0 == the single-
+            # prompt generation at the same seed (counter-based PRNG makes
+            # the leading rows of a larger draw identical)
+            if base is not None:
+                rng = base if ci == 0 else jax.random.fold_in(base, ci)
+            else:
+                self._rng, rng = jax.random.split(self._rng)
+            wav = self._generate_fn(steps)(
+                self.unet_params, self.conditioner_params, self.vae_params,
+                self.hifigan_params, self.t5_params, ids, mask, uids, umask,
+                jnp.asarray(b_ids), jnp.asarray(b_times), jnp.asarray(b_mask),
+                jnp.asarray(c_roots), jnp.asarray(c_types), jnp.asarray(c_invs),
+                jnp.asarray(c_times), jnp.asarray(c_mask), rng, guidance,
+            )
+            outputs += list(waveform_to_int16(np.asarray(wav))[:n_real])
+        return outputs

@@ -26,11 +26,11 @@ class Predictor:
 
     def __init__(self):
         self.tango = None
+        self.music = False
 
-    def setup(self, model: str = "declare-lab/tango", quant: Optional[str] = None):
+    def setup(self, model: str = "declare-lab/tango", quant: Optional[str] = None,
+              music: bool = False):
         import jax
-
-        from tango_tpu.pipeline import Tango
 
         # persistent XLA compilation cache: restarted replicas skip the
         # ~2 min 100-step program compile (same cache as bench.py)
@@ -38,11 +38,27 @@ class Predictor:
 
         setup_compilation_cache()
 
-        self.tango = Tango(model, quant=quant)
+        self.music = music
+        if music:
+            from tango_tpu.pipeline_music import Mustango
+
+            assert quant is None, "Mustango serves bf16 (no int8 mode measured)"
+            self.tango = Mustango(model)
+        else:
+            from tango_tpu.pipeline import Tango
+
+            self.tango = Tango(model, quant=quant)
         # warm the 100-step program so first request latency is steady-state;
         # a warmup failure IS a setup failure — surfacing it here (not on the
         # first live request) is the whole point of warming up
-        self.tango.generate("warmup", steps=100)
+        self.tango.generate("warmup", steps=100, **self._warm_features())
+
+    def _warm_features(self) -> dict:
+        """Empty beat/chord features for music warmups (skips the beam-search
+        predictors; the diffusion program shape is feature-independent)."""
+        if not self.music:
+            return {}
+        return {"beats": [[], []], "chords": [], "chords_times": []}
 
     def predict(self, prompt: str, steps: int = 100, guidance: float = 3.0,
                 output_path: str = "output.wav", seed: Optional[int] = None) -> str:
@@ -71,6 +87,8 @@ class Predictor:
             return []
         n = len(prompts)
         padded = prompts + [prompts[0]] * (-n % batch_size)
+        # Tango and Mustango share the generate_for_batch signature (music
+        # additionally runs its beat/chord predictors once per distinct prompt)
         wavs = self.tango.generate_for_batch(
             padded, steps=steps, guidance=guidance, batch_size=batch_size, seed=seed,
         )[:n]
@@ -113,11 +131,15 @@ class BatchingPredictor(Predictor):
         self._worker: Optional[threading.Thread] = None
         self._shutdown = False
 
-    def setup(self, model: str = "declare-lab/tango", quant: Optional[str] = None):
-        super().setup(model, quant=quant)
+    def setup(self, model: str = "declare-lab/tango", quant: Optional[str] = None,
+              music: bool = False):
+        super().setup(model, quant=quant, music=music)
         # warm the batched program too — it is the steady-state server shape
+        warm = {
+            k: [v] * self.max_batch for k, v in self._warm_features().items()
+        }
         self.tango.generate_for_batch(
-            ["warmup"] * self.max_batch, steps=100, batch_size=self.max_batch
+            ["warmup"] * self.max_batch, steps=100, batch_size=self.max_batch, **warm
         )
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
@@ -223,14 +245,26 @@ def main(argv=None):
         beats = chords = chords_times = None
         if model.predictor is not None:
             beats, chords, chords_times = model.predictor.generate(args.prompt)
-        wavs = [
-            model.generate(
-                args.prompt, steps=args.steps, guidance=args.guidance,
-                beats=beats, chords=chords, chords_times=chords_times,
-                seed=None if args.seed is None else args.seed + i,
+        if args.samples == 1:
+            wavs = [
+                model.generate(
+                    args.prompt, steps=args.steps, guidance=args.guidance,
+                    beats=beats, chords=chords, chords_times=chords_times,
+                    seed=args.seed,
+                )
+            ]
+        else:
+            # multi-sample requests ride ONE padded batch (the music
+            # throughput path, docs/PERF.md) — shared beat/chord features,
+            # per-row noise from one chunk key
+            wavs = model.generate_for_batch(
+                [args.prompt] * args.samples, steps=args.steps,
+                guidance=args.guidance, batch_size=4,
+                beats=None if beats is None else [beats] * args.samples,
+                chords=None if beats is None else [chords] * args.samples,
+                chords_times=None if beats is None else [chords_times] * args.samples,
+                seed=args.seed,
             )
-            for i in range(args.samples)
-        ]
     else:
         from tango_tpu.pipeline import Tango
 

@@ -59,7 +59,7 @@ def test_parse_chords_malformed():
     assert chords == ["C"] and times == [3.0]
 
 
-def test_mustango_generate():
+def _tiny_mustango():
     k = jax.random.PRNGKey(0)
     model = MusicAudioDiffusion(
         unet_config=TINY_MUSIC_UNET, latent_t_size=8, latent_f_size=4,
@@ -74,7 +74,7 @@ def test_mustango_generate():
     hifi = HiFiGANGenerator(TINY_HIFI)
     hifi_params = hifi.init(k, jnp.zeros((1, 8, 8)))["params"]
 
-    m = Mustango.from_components(
+    return Mustango.from_components(
         unet_config=TINY_MUSIC_UNET,
         vae_config=TINY_VAE,
         unet_params=unet_params,
@@ -90,7 +90,50 @@ def test_mustango_generate():
         latent_f_size=4,
         d_music=16,
     )
+
+
+def test_mustango_generate():
+    m = _tiny_mustango()
     wav = m.generate("an upbeat jazz piece", steps=2, guidance=3.0, seed=1)
     assert wav.dtype == np.int16
     assert wav.shape == (16 * 160 + 32,)
     assert np.abs(wav).max() > 0
+
+
+def test_mustango_generate_for_batch_row0_matches_single():
+    """Batch row 0 at a fixed seed must equal the single-prompt generation
+    (counter-based PRNG leading-row property — same contract as Tango)."""
+    m = _tiny_mustango()
+    single = m.generate("an upbeat jazz piece", steps=2, guidance=3.0, seed=1)
+    batch = m.generate_for_batch(
+        ["an upbeat jazz piece", "slow sad piano"], steps=2, guidance=3.0,
+        batch_size=2, seed=1,
+    )
+    assert len(batch) == 2
+    np.testing.assert_array_equal(batch[0], single)
+    assert np.abs(batch[1].astype(np.int32) - batch[0].astype(np.int32)).max() > 0
+
+
+def test_mustango_generate_for_batch_tail_padding():
+    """3 prompts at batch_size=2: the tail chunk pads to the full batch shape
+    (one compiled program) and the pad row is discarded."""
+    m = _tiny_mustango()
+    wavs = m.generate_for_batch(
+        ["a", "b", "c"], steps=2, guidance=3.0, batch_size=2, seed=0,
+    )
+    assert len(wavs) == 3
+    assert all(w.dtype == np.int16 and w.shape == (16 * 160 + 32,) for w in wavs)
+    # exactly one compiled sampling program serves both chunks
+    assert set(m._fns) == {("gen", 2)}
+
+
+def test_mustango_generate_for_batch_explicit_features_skip_predictor():
+    m = _tiny_mustango()
+    m.predictor = None  # explicit features must not need it
+    beats = [[[0.5, 1.0], [1.0, 2.0]]]
+    wavs = m.generate_for_batch(
+        ["x", "y"], steps=2, batch_size=2, seed=0,
+        beats=[beats, [[], []]], chords=[["Gm"], []],
+        chords_times=[[0.4], []],
+    )
+    assert len(wavs) == 2

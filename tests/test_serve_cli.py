@@ -139,6 +139,75 @@ def test_batching_predictor_coalesces_concurrent_requests(tmp_path, monkeypatch)
     p.close()
 
 
+class _StubMustango(_StubTango):
+    """Mustango-shaped stub: records the beats/chords kwargs too."""
+
+    def generate(self, prompt, steps=100, guidance=3.0, samples=1, seed=None,
+                 beats=None, chords=None, chords_times=None, **kw):
+        self.calls.append((prompt, steps, beats, chords, chords_times))
+        return (np.sin(np.linspace(0, 100, 16000)) * 20000).astype(np.int16)
+
+    def generate_for_batch(self, prompts, steps=100, guidance=3.0, batch_size=4,
+                           seed=None, beats=None, chords=None, chords_times=None,
+                           **kw):
+        self.batch_calls.append((list(prompts), steps, batch_size, beats))
+        wav = (np.sin(np.linspace(0, 100, 16000)) * 20000).astype(np.int16)
+        return [wav.copy() for _ in prompts]
+
+
+def test_batching_predictor_music_mode(tmp_path, monkeypatch):
+    """--music serving: setup builds Mustango, warms single + batched programs
+    with EMPTY features (no beam-search predictor run), and concurrent
+    requests coalesce into one padded music batch (docs/PERF.md claim)."""
+    import threading
+
+    import tango_tpu.pipeline_music as music_mod
+    from tango_tpu.serve import BatchingPredictor
+
+    stub = {}
+
+    def factory(name, **kw):
+        stub["m"] = _StubMustango(name, **kw)
+        return stub["m"]
+
+    monkeypatch.setattr(music_mod, "Mustango", factory)
+    p = BatchingPredictor(max_batch=4, max_wait_ms=200)
+    p.setup(model="stub-music", music=True)
+    # warmups passed explicit empty features so the (absent) predictor is
+    # never consulted
+    assert stub["m"].calls[0][0] == "warmup"
+    assert stub["m"].calls[0][2] == [[], []]  # beats
+    warm_prompts, _, warm_bs, warm_beats = stub["m"].batch_calls[0]
+    assert warm_prompts == ["warmup"] * 4 and warm_beats == [[[], []]] * 4
+    n_warm = len(stub["m"].batch_calls)
+
+    results = {}
+
+    def call(i):
+        results[i] = p.predict(f"song {i}", steps=3,
+                               output_path=str(tmp_path / f"m{i}.wav"))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert len(results) == 3 and all(os.path.exists(v) for v in results.values())
+    served = stub["m"].batch_calls[n_warm:]
+    assert len(served) == 1 and len(served[0][0]) == 4
+    p.close()
+
+
+def test_predictor_music_quant_rejected(monkeypatch):
+    import tango_tpu.pipeline_music as music_mod
+    from tango_tpu.serve import Predictor
+
+    monkeypatch.setattr(music_mod, "Mustango", lambda name, **kw: _StubMustango(name, **kw))
+    p = Predictor()
+    with pytest.raises(AssertionError, match="bf16"):
+        p.setup(model="stub", quant="conv", music=True)
+
+
 def test_predict_batch_empty_returns_empty(monkeypatch):
     import tango_tpu.pipeline as pipeline_mod
     from tango_tpu.serve import Predictor

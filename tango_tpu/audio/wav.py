@@ -1,10 +1,12 @@
-"""WAV I/O and resampling — torch/librosa-free host utilities.
+"""Audio I/O and resampling — torch/librosa-free host utilities.
 
 Replaces the reference's torchaudio path (tools/torch_tools.py:43-54):
 read -> resample to 16 kHz -> normalize (zero-mean, peak 0.5) -> pad/trim to
 segment -> renormalize peak 0.5. Reading uses scipy.io.wavfile (PCM/float
-WAVs); resampling uses polyphase FIR (scipy.signal.resample_poly), a
-windowed-sinc method equivalent in quality to torchaudio's kaiser resampler.
+WAVs) or the pure-python FLAC decoder (audio/flac.py) — dispatch by magic
+bytes, so mixed wav/flac manifests just work. Resampling uses polyphase FIR
+(scipy.signal.resample_poly), a windowed-sinc method equivalent in quality to
+torchaudio's kaiser resampler.
 """
 
 from __future__ import annotations
@@ -19,8 +21,35 @@ from scipy.signal import resample_poly as _scipy_resample_poly
 from tango_tpu.audio import stft as _stft
 
 
+def sniff_format(path: str) -> str:
+    """'wav' | 'flac' | a short description of an unsupported format."""
+    with open(path, "rb") as f:
+        head = f.read(16)
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return "wav"
+    if head[:4] == b"fLaC":
+        return "flac"
+    if head[:3] == b"ID3":
+        # ID3 tags prefix both mp3 and (rarely) FLAC; flac.decode_flac skips
+        # them — treat as flac-or-mp3 and let the decoder's loud magic check
+        # decide at read time
+        return "flac"
+    if head[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+        return "mp3 (unsupported — transcode to wav/flac)"
+    if head[:4] == b"OggS":
+        return "ogg container (unsupported — transcode to wav/flac)"
+    if head[:4] == b"FORM":
+        return "aiff (unsupported — transcode to wav/flac)"
+    return f"unknown format (magic {head[:4]!r})"
+
+
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a WAV file -> (float32 mono-or-multichannel in [-1,1], sr)."""
+    """Read a WAV or FLAC file -> (float32 in [-1,1], sr), by magic bytes."""
+    fmt = sniff_format(path)
+    if fmt == "flac":
+        from tango_tpu.audio.flac import read_flac
+
+        return read_flac(path)
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
         data = data.astype(np.float32) / 32768.0

@@ -94,6 +94,13 @@ def main(argv=None):
     t5_params = jax.device_put(loaded["t5_params"], pmesh.replicated(mesh))
 
     rows = load_preference_manifest(args.train_file)
+    # preflight both preference branches: an mp3-pointing audio-alpaca dump
+    # must fail loudly, not train on constant-waveform fallbacks
+    from tango_tpu.train.data import Example, validate_manifest
+
+    validate_manifest(
+        [Example(r[k], "") for r in rows for k in ("chosen", "rejected")]
+    )
     steps_per_epoch = max(len(rows) // bs // args.gradient_accumulation_steps, 1)
     trainer = DPOTrainer(
         diffusion, vae, vae_params, cfg,

@@ -1,0 +1,266 @@
+"""Minimal FLAC *encoder* — test fixture generator for tango_tpu.audio.flac.
+
+This environment has no flac/ffmpeg/soundfile to produce real FLAC files, so
+the decoder tests synthesize their own streams. Deliberately an independent
+implementation (its own CRC tables, its own forward prediction) so an
+encoder/decoder bug pair cannot cancel: decode(encode(x)) == x only if both
+sides implement the spec. Supports every feature the decoder claims:
+constant/verbatim/fixed/LPC subframes, rice/rice2 partitioned residuals with
+escapes, wasted bits, the four stereo modes, arbitrary block sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_CRC8_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _CRC8_TABLE.append(_c)
+
+_CRC16_TABLE = []
+for _i in range(256):
+    _c = _i << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005) & 0xFFFF if _c & 0x8000 else (_c << 1) & 0xFFFF
+    _CRC16_TABLE.append(_c)
+
+
+def crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC8_TABLE[c ^ b]
+    return c
+
+
+def crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC16_TABLE[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class BitWriter:
+    def __init__(self):
+        self.bytes = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int):
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.bytes.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int):
+        self.write(1, q + 1)  # q zeros then a 1
+
+    def align(self):
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def getvalue(self) -> bytes:
+        assert self.nbits == 0, "unaligned"
+        return bytes(self.bytes)
+
+
+_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+_BS_CODES = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5, 256: 8, 512: 9,
+             1024: 10, 2048: 11, 4096: 12, 8192: 13, 16384: 14, 32768: 15}
+
+_SS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+
+
+def _utf8_number(w: BitWriter, val: int):
+    if val < 0x80:
+        w.write(val, 8)
+        return
+    for nbytes, limit in ((2, 1 << 11), (3, 1 << 16), (4, 1 << 21),
+                          (5, 1 << 26), (6, 1 << 31), (7, 1 << 36)):
+        if val < limit:
+            break
+    conts = nbytes - 1
+    lead = ((0xFF << (8 - nbytes)) & 0xFF) | (val >> (6 * conts))
+    w.write(lead, 8)
+    for i in range(conts - 1, -1, -1):
+        w.write(0x80 | ((val >> (6 * i)) & 0x3F), 8)
+
+
+def _zigzag(v: int) -> int:
+    return 2 * v if v >= 0 else -2 * v - 1
+
+
+def _write_residual(w: BitWriter, residual, pred_order, block_size,
+                    rice_param, partition_order=0, method=0,
+                    escape_partitions=()):
+    w.write(method, 2)
+    param_bits = 4 if method == 0 else 5
+    escape = (1 << param_bits) - 1
+    w.write(partition_order, 4)
+    n_parts = 1 << partition_order
+    part_len = block_size >> partition_order
+    pos = 0
+    for pi in range(n_parts):
+        n = part_len - (pred_order if pi == 0 else 0)
+        vals = residual[pos:pos + n]
+        pos += n
+        if pi in escape_partitions:
+            w.write(escape, param_bits)
+            raw = max((int(v).bit_length() + 1 for v in vals), default=1)
+            w.write(raw, 5)
+            for v in vals:
+                w.write(int(v), raw)
+        else:
+            w.write(rice_param, param_bits)
+            for v in vals:
+                u = _zigzag(int(v))
+                w.write_unary(u >> rice_param)
+                if rice_param:
+                    w.write(u & ((1 << rice_param) - 1), rice_param)
+    assert pos == len(residual)
+
+
+def _write_subframe(w: BitWriter, data, bps, kind="verbatim", order=2,
+                    lpc_coeffs=None, lpc_shift=0, lpc_precision=12,
+                    rice_param=4, partition_order=0, method=0,
+                    escape_partitions=(), wasted=0):
+    data = [int(v) for v in data]
+    if wasted:
+        assert all(v % (1 << wasted) == 0 for v in data)
+        data = [v >> wasted for v in data]
+        bps -= wasted
+    w.write(0, 1)  # pad
+    if kind == "constant":
+        w.write(0, 6)
+    elif kind == "verbatim":
+        w.write(1, 6)
+    elif kind == "fixed":
+        w.write(8 + order, 6)
+    elif kind == "lpc":
+        order = len(lpc_coeffs)
+        w.write(32 + order - 1, 6)
+    else:
+        raise ValueError(kind)
+    if wasted:
+        w.write(1, 1)
+        w.write_unary(wasted - 1)
+    else:
+        w.write(0, 1)
+
+    if kind == "constant":
+        assert all(v == data[0] for v in data)
+        w.write(data[0], bps)
+    elif kind == "verbatim":
+        for v in data:
+            w.write(v, bps)
+    elif kind == "fixed":
+        coeffs = _FIXED[order]
+        for v in data[:order]:
+            w.write(v, bps)
+        residual = [
+            data[i] - sum(c * data[i - 1 - j] for j, c in enumerate(coeffs))
+            for i in range(order, len(data))
+        ]
+        _write_residual(w, residual, order, len(data), rice_param,
+                        partition_order, method, escape_partitions)
+    elif kind == "lpc":
+        for v in data[:order]:
+            w.write(v, bps)
+        w.write(lpc_precision - 1, 4)
+        w.write(lpc_shift, 5)
+        for c in lpc_coeffs:
+            w.write(int(c), lpc_precision)
+        residual = [
+            data[i]
+            - (sum(int(c) * data[i - 1 - j] for j, c in enumerate(lpc_coeffs))
+               >> lpc_shift)
+            for i in range(order, len(data))
+        ]
+        _write_residual(w, residual, order, len(data), rice_param,
+                        partition_order, method, escape_partitions)
+
+
+def encode_flac(samples: np.ndarray, sample_rate: int = 16000, bps: int = 16,
+                block_size: int = 1024, stereo_mode: str = "independent",
+                total_in_streaminfo: bool = True, id3_prefix: bytes = b"",
+                **subframe_kw) -> bytes:
+    """samples (n,) or (n, ch) int -> FLAC bytes."""
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, n_ch = samples.shape
+
+    # ---- STREAMINFO
+    w = BitWriter()
+    w.write(block_size, 16)
+    w.write(block_size, 16)
+    w.write(0, 24)
+    w.write(0, 24)
+    w.write(sample_rate, 20)
+    w.write(n_ch - 1, 3)
+    w.write(bps - 1, 5)
+    w.write(n if total_in_streaminfo else 0, 36)
+    for _ in range(16):
+        w.write(0, 8)
+    streaminfo = w.getvalue()
+
+    out = bytearray(id3_prefix)
+    out += b"fLaC"
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+    # ---- frames
+    for fi, start in enumerate(range(0, n, block_size)):
+        chunk = samples[start:start + block_size]
+        bs = len(chunk)
+        w = BitWriter()
+        w.write(0x3FFE, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed blocking
+        bs_code = _BS_CODES.get(bs, 7 if bs > 256 else 6)
+        w.write(bs_code, 4)
+        w.write(0, 4)  # sample rate from STREAMINFO
+        if n_ch == 2 and stereo_mode != "independent":
+            ch_code = {"left_side": 8, "right_side": 9, "mid_side": 10}[stereo_mode]
+        else:
+            ch_code = n_ch - 1
+        w.write(ch_code, 4)
+        w.write(_SS_CODES[bps], 3)
+        w.write(0, 1)
+        _utf8_number(w, fi)
+        if bs_code == 6:
+            w.write(bs - 1, 8)
+        elif bs_code == 7:
+            w.write(bs - 1, 16)
+        header = w.getvalue()
+        w = BitWriter()
+        for b in header:
+            w.write(b, 8)
+        w.write(crc8(header), 8)
+
+        if ch_code == 8:  # left/side
+            left = chunk[:, 0].astype(np.int64)
+            side = left - chunk[:, 1]
+            _write_subframe(w, left, bps, **subframe_kw)
+            _write_subframe(w, side, bps + 1, **subframe_kw)
+        elif ch_code == 9:  # right/side
+            right = chunk[:, 1].astype(np.int64)
+            side = chunk[:, 0] - right
+            _write_subframe(w, side, bps + 1, **subframe_kw)
+            _write_subframe(w, right, bps, **subframe_kw)
+        elif ch_code == 10:  # mid/side
+            l = chunk[:, 0].astype(np.int64)
+            r = chunk[:, 1].astype(np.int64)
+            _write_subframe(w, (l + r) >> 1, bps, **subframe_kw)
+            _write_subframe(w, l - r, bps + 1, **subframe_kw)
+        else:
+            for ci in range(n_ch):
+                _write_subframe(w, chunk[:, ci], bps, **subframe_kw)
+        w.align()
+        frame = w.getvalue()
+        out += frame + crc16(frame).to_bytes(2, "big")
+    return bytes(out)

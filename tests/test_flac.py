@@ -1,0 +1,162 @@
+"""FLAC decoder (audio/flac.py) vs the independent test encoder.
+
+decode(encode(x)) == x pins both sides of the spec: the encoder
+(tests/_flac_encoder.py) implements its own CRC tables and forward
+prediction, so a matched encoder/decoder bug would have to be made twice.
+Covers every feature the decoder claims (module docstring).
+"""
+
+import numpy as np
+import pytest
+
+from tango_tpu.audio.flac import FlacError, decode_flac, read_flac
+from tests._flac_encoder import encode_flac
+
+
+def _sig(n, seed=0, lo=-2000, hi=2000):
+    return np.random.default_rng(seed).integers(lo, hi, size=n).astype(np.int64)
+
+
+def _roundtrip(x, **kw):
+    data = encode_flac(x, **{k: v for k, v in kw.items() if k != "verify_crc"})
+    out, sr, bps = decode_flac(data, verify_crc=kw.get("verify_crc", False))
+    return out, sr, bps
+
+
+def test_verbatim_mono_roundtrip():
+    x = _sig(3000)
+    out, sr, bps = _roundtrip(x, sample_rate=22050)
+    assert sr == 22050 and bps == 16
+    np.testing.assert_array_equal(out[:, 0], x)
+
+
+@pytest.mark.parametrize("order", [0, 1, 2, 3, 4])
+def test_fixed_orders_roundtrip(order):
+    # a smooth-ish signal so low-order prediction residuals stay small
+    t = np.arange(2048)
+    x = (1000 * np.sin(t / 50) + _sig(2048, seed=order, lo=-20, hi=20)).astype(np.int64)
+    data = encode_flac(x, block_size=512, kind="fixed", order=order,
+                       rice_param=6, partition_order=2)
+    out, _, _ = decode_flac(data)
+    np.testing.assert_array_equal(out[:, 0], x)
+
+
+def test_lpc_roundtrip_with_rice2_and_escape():
+    t = np.arange(4000)
+    x = (3000 * np.sin(t / 30)).astype(np.int64)
+    data = encode_flac(
+        x, block_size=1024, kind="lpc",
+        lpc_coeffs=[985, -312], lpc_shift=9, lpc_precision=12,
+        rice_param=5, partition_order=1, method=1, escape_partitions=(1,),
+    )
+    out, _, _ = decode_flac(data)
+    np.testing.assert_array_equal(out[:, 0], x)
+
+
+def test_constant_subframe():
+    x = np.full(900, -137, np.int64)
+    data = encode_flac(x, block_size=450, kind="constant")
+    out, _, _ = decode_flac(data)
+    np.testing.assert_array_equal(out[:, 0], x)
+
+
+@pytest.mark.parametrize("mode", ["independent", "left_side", "right_side", "mid_side"])
+def test_stereo_modes_roundtrip(mode):
+    x = np.stack([_sig(1500, seed=1), _sig(1500, seed=2)], axis=1)
+    data = encode_flac(x, block_size=512, stereo_mode=mode)
+    out, _, _ = decode_flac(data)
+    np.testing.assert_array_equal(out, x)
+
+
+def test_wasted_bits():
+    x = _sig(1000, lo=-100, hi=100) << 3
+    data = encode_flac(x, block_size=500, wasted=3)
+    out, _, _ = decode_flac(data)
+    np.testing.assert_array_equal(out[:, 0], x)
+
+
+def test_24bit_roundtrip():
+    x = _sig(1200, lo=-(1 << 22), hi=1 << 22)
+    data = encode_flac(x, bps=24, block_size=600)
+    out, _, bps = decode_flac(data)
+    assert bps == 24
+    np.testing.assert_array_equal(out[:, 0], x)
+
+
+def test_partial_final_block_and_unknown_total():
+    x = _sig(1000)  # 1000 = 2x384 + 232 with block_size 384
+    for total_known in (True, False):
+        data = encode_flac(x, block_size=384, total_in_streaminfo=total_known)
+        out, _, _ = decode_flac(data)
+        np.testing.assert_array_equal(out[:, 0], x)
+
+
+def test_id3_prefix_skipped():
+    x = _sig(500)
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    data = encode_flac(x, block_size=500, id3_prefix=tag)
+    out, _, _ = decode_flac(data)
+    np.testing.assert_array_equal(out[:, 0], x)
+
+
+def test_crc_verification_and_corruption():
+    x = _sig(800)
+    data = encode_flac(x, block_size=400)
+    decode_flac(data, verify_crc=True)  # clean stream passes CRC-16
+    # flip one bit inside the LAST frame's audio payload (well past the
+    # second frame's header) — CRC-16 must catch it
+    corrupt = bytearray(data)
+    corrupt[-10] ^= 0x10
+    with pytest.raises(FlacError):
+        decode_flac(bytes(corrupt), verify_crc=True)
+
+
+def test_non_flac_magic_is_loud():
+    with pytest.raises(FlacError, match="not a native FLAC"):
+        decode_flac(b"OggS" + b"\x00" * 100)
+
+
+def test_read_flac_file_and_wav_dispatch(tmp_path):
+    """read_wav dispatches on magic: the same call reads .wav and .flac, and
+    read_wav_file produces the full reference pipeline output for both."""
+    from scipy.io import wavfile
+
+    from tango_tpu.audio.wav import read_wav, read_wav_file
+
+    x = _sig(16000, lo=-20000, hi=20000).astype(np.int16)
+    fpath = tmp_path / "a.flac"
+    fpath.write_bytes(encode_flac(x.astype(np.int64), sample_rate=16000))
+    wpath = tmp_path / "a.wav"
+    wavfile.write(str(wpath), 16000, x)
+
+    fw, fsr = read_wav(str(fpath))
+    ww, wsr = read_wav(str(wpath))
+    assert fsr == wsr == 16000
+    np.testing.assert_allclose(fw, ww, atol=1e-7)
+
+    ff = read_wav_file(str(fpath), 16000)
+    wf = read_wav_file(str(wpath), 16000)
+    np.testing.assert_allclose(ff, wf, atol=1e-6)
+
+
+def test_validate_manifest(tmp_path):
+    from scipy.io import wavfile
+
+    from tango_tpu.train.data import Example, validate_manifest
+
+    wav = tmp_path / "ok.wav"
+    wavfile.write(str(wav), 16000, np.zeros(100, np.int16))
+    flac = tmp_path / "ok.flac"
+    flac.write_bytes(encode_flac(np.zeros(100, np.int64)))
+    mp3 = tmp_path / "bad.mp3"
+    mp3.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)
+    missing = tmp_path / "gone.wav"
+
+    validate_manifest([Example(str(wav), ""), Example(str(flac), "")])
+    with pytest.raises(ValueError, match="preflight failed") as ei:
+        validate_manifest(
+            [Example(str(wav), ""), Example(str(mp3), ""), Example(str(missing), "")]
+        )
+    msg = str(ei.value)
+    assert "bad.mp3" in msg and "mp3" in msg
+    assert "gone.wav" in msg

@@ -282,6 +282,401 @@ def sampling_smoke(steps: int = 6):
     print("sampling_drift_866M:", RESULTS["sampling_drift_866M"], flush=True)
 
 
+def t5_large_smoke():
+    """FLAN-T5-Large geometry (783M): encoder parity + a beam-decoded sequence
+    (VERDICT r3 #2). Reference runtime path: HF T5 via mustango.py:15-50 and
+    train.py T5EncoderModel."""
+    from transformers import T5Config as HFT5Config, T5ForConditionalGeneration
+
+    import jax.numpy as jnp
+    from tango_tpu.models.t5 import T5Config, T5Seq2Seq, convert_t5_seq2seq
+
+    cfg = HFT5Config(
+        vocab_size=32128, d_model=1024, d_kv=64, d_ff=2816,
+        num_layers=24, num_decoder_layers=24, num_heads=16,
+        relative_attention_num_buckets=32, relative_attention_max_distance=128,
+        feed_forward_proj="gated-gelu", dropout_rate=0.0,
+        tie_word_embeddings=False, decoder_start_token_id=0,
+    )
+    torch.manual_seed(21)
+    model = T5ForConditionalGeneration(cfg).eval()
+    n_params = sum(p.numel() for p in model.parameters())
+    print(f"# T5-Large params: {n_params/1e6:.1f}M", flush=True)
+
+    g = torch.Generator().manual_seed(3)
+    ids = torch.randint(5, 32000, (2, 48), generator=g)
+    mask = torch.ones(2, 48, dtype=torch.long)
+    mask[0, 40:] = 0
+    with torch.no_grad():
+        enc = model.encoder(input_ids=ids, attention_mask=mask).last_hidden_state
+        gen = model.generate(
+            input_ids=ids[:1], attention_mask=mask[:1],
+            num_beams=5, min_length=8, max_length=24, early_stopping=True,
+            num_return_sequences=1,
+        )[0].tolist()
+
+    params = convert_t5_seq2seq(
+        {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    )
+    del model
+    ours = T5Seq2Seq(T5Config())  # the shipped FLAN_T5_LARGE geometry
+    got_enc = np.asarray(ours.encode(params, jnp.asarray(ids.numpy()), jnp.asarray(mask.numpy())))
+    got_gen = list(
+        np.asarray(
+            ours.generate(
+                params, ids[:1].numpy(), mask[:1].numpy(),
+                num_beams=5, min_length=8, max_length=24, early_stopping=True,
+                device_loop=False,
+            )
+        ).ravel()
+    )
+    RESULTS["t5_large"] = {
+        "params_M": round(n_params / 1e6, 1),
+        "encoder_rel_err": rel_err(got_enc, enc.numpy()),
+        "beam_tokens_match": [int(t) for t in got_gen] == [int(t) for t in gen],
+        "beam_len": len(gen),
+    }
+    print("t5_large:", RESULTS["t5_large"], flush=True)
+    assert RESULTS["t5_large"]["beam_tokens_match"], (got_gen, gen)
+
+
+def deberta_large_smoke():
+    """DeBERTa-v3-large beats head (435M) — full-geometry conversion parity.
+    Reference: mustango/mustango.py:51-90."""
+    from transformers import DebertaV2Config
+
+    import jax.numpy as jnp
+    from tango_tpu.models.deberta import (
+        DEBERTA_V3_LARGE, DebertaV2ForBeats, convert_deberta_beats,
+    )
+    from tango_tpu.utils.deberta_head import DebertaV2ForTokenClassificationRegression
+
+    cfg = DebertaV2Config(
+        vocab_size=128100, hidden_size=1024, num_hidden_layers=24,
+        num_attention_heads=16, intermediate_size=4096,
+        max_position_embeddings=512, position_buckets=256,
+        relative_attention=True, norm_rel_ebd="layer_norm", share_att_key=True,
+        pos_att_type=["p2c", "c2p"], position_biased_input=False,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-7, type_vocab_size=0,
+    )
+    torch.manual_seed(22)
+    model = DebertaV2ForTokenClassificationRegression(cfg).eval()
+    n_params = sum(p.numel() for p in model.parameters())
+    print(f"# DeBERTa-v3-large params: {n_params/1e6:.1f}M", flush=True)
+
+    g = torch.Generator().manual_seed(4)
+    ids = torch.randint(5, 128000, (2, 128), generator=g)
+    mask = torch.ones(2, 128, dtype=torch.long)
+    mask[0, 100:] = 0
+    with torch.no_grad():
+        out = model(input_ids=ids, attention_mask=mask)
+
+    params = convert_deberta_beats(
+        {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    )
+    del model
+    ours = DebertaV2ForBeats(DEBERTA_V3_LARGE)
+    logits, values = ours.apply(
+        {"params": params}, jnp.asarray(ids.numpy()), jnp.asarray(mask.numpy())
+    )
+    RESULTS["deberta_large"] = {
+        "params_M": round(n_params / 1e6, 1),
+        "logits_rel_err": rel_err(np.asarray(logits), out["logits"].numpy()),
+        "values_rel_err": rel_err(np.asarray(values), out["values"].numpy()),
+    }
+    print("deberta_large:", RESULTS["deberta_large"], flush=True)
+
+
+def clap_text_smoke():
+    """CLAP RoBERTa-base text tower + MLP projection at full geometry (125M).
+    Reference: audioldm/clap/open_clip/model.py text branch."""
+    from transformers import RobertaConfig as HFRC, RobertaModel
+
+    import jax.numpy as jnp
+    from tango_tpu.models.clap import ROBERTA_BASE, ClapTextEncoder, convert_clap_text
+
+    torch.manual_seed(23)
+    cfg = HFRC(
+        vocab_size=50265, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=514, type_vocab_size=1, pad_token_id=1,
+    )
+    model = RobertaModel(cfg).eval()
+    proj = torch.nn.Sequential(
+        torch.nn.Linear(768, 512), torch.nn.ReLU(), torch.nn.Linear(512, 512)
+    )
+    n_params = sum(p.numel() for p in model.parameters())
+
+    g = torch.Generator().manual_seed(5)
+    ids = torch.randint(3, 50000, (2, 32), generator=g)
+    ids[0, 24:] = 1
+    mask = (ids != 1).long()
+    ids[:, 0] = 0
+    mask[:, 0] = 1
+    with torch.no_grad():
+        pooled = model(input_ids=ids, attention_mask=mask).pooler_output
+        emb = torch.nn.functional.normalize(proj(pooled), dim=-1)
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    sd.update({f"text_projection.{k}": v.detach().numpy() for k, v in proj.state_dict().items()})
+    params = convert_clap_text(sd)
+    del model
+    ours = ClapTextEncoder(ROBERTA_BASE)
+    got = ours.apply({"params": params}, jnp.asarray(ids.numpy()), jnp.asarray(mask.numpy()))
+    RESULTS["clap_text_full"] = {
+        "params_M": round(n_params / 1e6, 1),
+        "emb_rel_err": rel_err(np.asarray(got), emb.numpy()),
+    }
+    print("clap_text_full:", RESULTS["clap_text_full"], flush=True)
+
+
+def _load_ref_htsat():
+    """Import the reference HTSAT module with its frontend deps stubbed
+    (same scaffolding as scripts/make_golden.py)."""
+    import importlib.util
+
+    tl = types.ModuleType("torchlibrosa")
+    tl_stft = types.ModuleType("torchlibrosa.stft")
+    tl_aug = types.ModuleType("torchlibrosa.augmentation")
+
+    class _Id(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    tl_stft.Spectrogram = _Id
+    tl_stft.LogmelFilterBank = _Id
+    tl_aug.SpecAugmentation = _Id
+    sys.modules["torchlibrosa"] = tl
+    sys.modules["torchlibrosa.stft"] = tl_stft
+    sys.modules["torchlibrosa.augmentation"] = tl_aug
+
+    sys.modules.setdefault("audioldm", types.ModuleType("audioldm"))
+    sys.modules.setdefault("audioldm.clap", types.ModuleType("audioldm.clap"))
+    sys.modules["audioldm.clap.open_clip"] = types.ModuleType("audioldm.clap.open_clip")
+
+    fake_utils = types.ModuleType("audioldm.clap.open_clip.utils")
+    fake_utils.do_mixup = lambda x, lam: x
+
+    def _interp(x, ratio):
+        (b, t, c) = x.shape
+        return x[:, :, None, :].repeat(1, 1, ratio, 1).reshape(b, t * ratio, c)
+
+    fake_utils.interpolate = _interp
+    sys.modules["audioldm.clap.open_clip.utils"] = fake_utils
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(
+            f"audioldm.clap.open_clip.{name}",
+            f"/root/reference/audioldm/clap/open_clip/{name}.py",
+        )
+        m = importlib.util.module_from_spec(spec)
+        sys.modules[f"audioldm.clap.open_clip.{name}"] = m
+        spec.loader.exec_module(m)
+        return m
+
+    load("feature_fusion")
+    return load("htsat")
+
+
+def htsat_smoke():
+    """HTSAT-tiny CLAP audio tower at FULL geometry (spec 256, embed 96,
+    depths 2/2/6/2 — ~27M trunk) + projection. Reference:
+    audioldm/clap/open_clip/htsat.py, encoders.py:10-170 scale."""
+    import jax.numpy as jnp
+    from tango_tpu.models.htsat import HTSAT_TINY, ClapAudioEncoder, convert_clap_audio
+
+    ht = _load_ref_htsat()
+
+    class Cfg:
+        mel_bins = 64
+        window_size = 1024
+        hop_size = 480
+        sample_rate = 48000
+        fmin = 50
+        fmax = 14000
+
+    torch.manual_seed(24)
+    model = ht.HTSAT_Swin_Transformer(
+        spec_size=256, patch_size=4, patch_stride=(4, 4), in_chans=1,
+        num_classes=527, embed_dim=96, depths=[2, 2, 6, 2],
+        num_heads=[4, 8, 16, 32], window_size=8, config=Cfg(),
+        enable_fusion=False,
+    )
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+    model.eval()
+    n_params = sum(p.numel() for p in model.parameters())
+    print(f"# HTSAT-tiny params: {n_params/1e6:.1f}M", flush=True)
+
+    logmel = torch.randn(2, 1, 1024, 64, generator=torch.Generator().manual_seed(6)) * 2 - 3
+    proj = torch.nn.Sequential(
+        torch.nn.Linear(model.num_features, 512), torch.nn.ReLU(),
+        torch.nn.Linear(512, 512),
+    )
+    with torch.no_grad():
+        x = model.bn0(logmel.transpose(1, 3)).transpose(1, 3)
+        x = model.reshape_wav2img(x)
+        out = model.forward_features(x)
+        emb = torch.nn.functional.normalize(proj(out["embedding"]), dim=-1)
+
+    sd = {f"audio_branch.{k}": v.detach().numpy() for k, v in model.state_dict().items()
+          if not k.startswith(("spectrogram_extractor", "logmel_extractor",
+                               "spec_augmenter", "head."))}
+    sd.update({f"audio_projection.{k}": v.detach().numpy() for k, v in proj.state_dict().items()})
+    del model
+    params = convert_clap_audio(sd, HTSAT_TINY)
+    ours = ClapAudioEncoder(HTSAT_TINY)
+    got = ours.apply({"params": params}, jnp.asarray(logmel.numpy()[:, 0]))
+    RESULTS["htsat_full"] = {
+        "params_M": round(n_params / 1e6, 1),
+        "emb_rel_err": rel_err(np.asarray(got), emb.numpy()),
+    }
+    print("htsat_full:", RESULTS["htsat_full"], flush=True)
+
+
+def cnn14_smoke():
+    """Cnn14 eval tower at full geometry (527 classes, ~79M) on a 10 s-scale
+    log-mel. Reference: audioldm_eval/feature_extractors/panns/models.py."""
+    import importlib.util
+
+    import jax.numpy as jnp
+    from tango_tpu.eval.panns import Cnn14 as OurCnn14, convert_cnn14
+
+    tl = types.ModuleType("torchlibrosa")
+    tl_stft = types.ModuleType("torchlibrosa.stft")
+    tl_aug = types.ModuleType("torchlibrosa.augmentation")
+
+    class _Id(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    tl_stft.Spectrogram = _Id
+    tl_stft.LogmelFilterBank = _Id
+    tl_aug.SpecAugmentation = _Id
+    sys.modules["torchlibrosa"] = tl
+    sys.modules["torchlibrosa.stft"] = tl_stft
+    sys.modules["torchlibrosa.augmentation"] = tl_aug
+
+    pkg = types.ModuleType("audioldm_eval")
+    fe = types.ModuleType("audioldm_eval.feature_extractors")
+    pa = types.ModuleType("audioldm_eval.feature_extractors.panns")
+    sys.modules.setdefault("audioldm_eval", pkg)
+    sys.modules["audioldm_eval.feature_extractors"] = fe
+    sys.modules["audioldm_eval.feature_extractors.panns"] = pa
+    spec_u = importlib.util.spec_from_file_location(
+        "audioldm_eval.feature_extractors.panns.pytorch_utils",
+        "/root/reference/audioldm_eval/feature_extractors/panns/pytorch_utils.py")
+    pu = importlib.util.module_from_spec(spec_u)
+    sys.modules["audioldm_eval.feature_extractors.panns.pytorch_utils"] = pu
+    spec_u.loader.exec_module(pu)
+    spec_m = importlib.util.spec_from_file_location(
+        "ref_panns_models_full",
+        "/root/reference/audioldm_eval/feature_extractors/panns/models.py")
+    pm = importlib.util.module_from_spec(spec_m)
+
+    os.makedirs("/tmp/panns_ckpt_stub/ckpt", exist_ok=True)
+    for name in ("Cnn14_mAP=0.431.pth", "Cnn14_16k_mAP=0.438.pth"):
+        p = os.path.join("/tmp/panns_ckpt_stub/ckpt", name)
+        if not os.path.exists(p):
+            open(p, "wb").close()
+    cwd = os.getcwd()
+    os.chdir("/tmp/panns_ckpt_stub")
+    orig_load = torch.load
+    torch.load = lambda *a, **k: {"model": {}}
+    orig_lsd = torch.nn.Module.load_state_dict
+    torch.nn.Module.load_state_dict = lambda self, sd, **k: None
+    try:
+        spec_m.loader.exec_module(pm)
+        torch.manual_seed(25)
+        model = pm.Cnn14(
+            features_list=["2048", "logits"], sample_rate=16000, window_size=512,
+            hop_size=160, mel_bins=64, fmin=50, fmax=8000, classes_num=527)
+    finally:
+        torch.load = orig_load
+        torch.nn.Module.load_state_dict = orig_lsd
+        os.chdir(cwd)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+    model.eval()
+    n_params = sum(p.numel() for p in model.parameters())
+
+    logmel = torch.randn(2, 1, 1000, 64, generator=torch.Generator().manual_seed(7)) * 3 - 4
+    with torch.no_grad():
+        out = model(logmel)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()
+          if not k.startswith(("spectrogram_extractor", "logmel_extractor", "spec_augmenter"))}
+    del model
+    params = convert_cnn14(sd)
+    ours = OurCnn14(classes_num=527)
+    got = ours.apply({"params": params}, jnp.asarray(logmel.numpy()[:, 0]))
+    RESULTS["cnn14_full"] = {
+        "params_M": round(n_params / 1e6, 1),
+        "emb_rel_err": rel_err(np.asarray(got["2048"]), out["2048"].numpy()),
+        "logits_rel_err": rel_err(np.asarray(got["logits"]), out["logits"].numpy()),
+    }
+    print("cnn14_full:", RESULTS["cnn14_full"], flush=True)
+
+
+def vggish_smoke():
+    """VGGish FAD tower — the architecture is fixed-size (72M: 512*4*6 -> 4096
+    -> 128), so tests/golden/vggish.npz already IS a full-geometry receipt;
+    this re-derives it with a fresh seed for the PARITY.md table. Reference:
+    torchvggish vggish.py via audioldm_eval/metrics/fad.py."""
+    import jax.numpy as jnp
+    from tango_tpu.eval.vggish import VGGish, convert_vggish
+
+    torch.manual_seed(26)
+    features = torch.nn.Sequential(
+        torch.nn.Conv2d(1, 64, 3, padding=1), torch.nn.ReLU(True), torch.nn.MaxPool2d(2, 2),
+        torch.nn.Conv2d(64, 128, 3, padding=1), torch.nn.ReLU(True), torch.nn.MaxPool2d(2, 2),
+        torch.nn.Conv2d(128, 256, 3, padding=1), torch.nn.ReLU(True),
+        torch.nn.Conv2d(256, 256, 3, padding=1), torch.nn.ReLU(True), torch.nn.MaxPool2d(2, 2),
+        torch.nn.Conv2d(256, 512, 3, padding=1), torch.nn.ReLU(True),
+        torch.nn.Conv2d(512, 512, 3, padding=1), torch.nn.ReLU(True), torch.nn.MaxPool2d(2, 2),
+    )
+    embeddings = torch.nn.Sequential(
+        torch.nn.Linear(512 * 4 * 6, 4096), torch.nn.ReLU(True),
+        torch.nn.Linear(4096, 4096), torch.nn.ReLU(True),
+        torch.nn.Linear(4096, 128), torch.nn.ReLU(True),
+    )
+
+    class VGG(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features, self.embeddings = features, embeddings
+
+        def forward(self, x):
+            x = self.features(x)
+            x = torch.transpose(x, 1, 3)
+            x = torch.transpose(x, 1, 2)
+            return self.embeddings(x.contiguous().view(x.size(0), -1))
+
+    model = VGG().eval()
+    n_params = sum(p.numel() for p in model.parameters())
+    x = torch.randn(4, 1, 96, 64, generator=torch.Generator().manual_seed(8))
+    with torch.no_grad():
+        emb = model(x)
+    params = convert_vggish({k: v.detach().numpy() for k, v in model.state_dict().items()})
+    del model
+    got = VGGish(use_activation=True).apply({"params": params}, jnp.asarray(x.numpy()[:, 0]))
+    RESULTS["vggish_full"] = {
+        "params_M": round(n_params / 1e6, 1),
+        "emb_rel_err": rel_err(np.asarray(got), emb.numpy()),
+    }
+    print("vggish_full:", RESULTS["vggish_full"], flush=True)
+
+
 def write_parity_md():
     # merge with previous runs (a partial run must not drop earlier rows)
     sidecar = REPO / "docs" / ".parity_results.json"
@@ -332,6 +727,40 @@ def write_parity_md():
         )
     if h:
         lines.append(f"| HiFi-GAN 16k/64 | {h['params_M']}M | {h['rel_err']:.2e} |")
+    t = RESULTS.get("t5_large", {})
+    if t:
+        lines.append(
+            f"| FLAN-T5-Large enc+beam | {t['params_M']}M | encoder {t['encoder_rel_err']:.2e}; "
+            f"beam decode token-for-token: {'yes' if t['beam_tokens_match'] else 'NO'} "
+            f"({t['beam_len']} tokens) |"
+        )
+    d = RESULTS.get("deberta_large", {})
+    if d:
+        lines.append(
+            f"| DeBERTa-v3-large beats head | {d['params_M']}M | logits "
+            f"{d['logits_rel_err']:.2e} / values {d['values_rel_err']:.2e} |"
+        )
+    c = RESULTS.get("clap_text_full", {})
+    if c:
+        lines.append(
+            f"| CLAP RoBERTa-base + projection | {c['params_M']}M | emb {c['emb_rel_err']:.2e} |"
+        )
+    ht = RESULTS.get("htsat_full", {})
+    if ht:
+        lines.append(
+            f"| CLAP HTSAT-tiny + projection | {ht['params_M']}M | emb {ht['emb_rel_err']:.2e} |"
+        )
+    cn = RESULTS.get("cnn14_full", {})
+    if cn:
+        lines.append(
+            f"| Cnn14 (527 classes) | {cn['params_M']}M | emb {cn['emb_rel_err']:.2e} "
+            f"/ logits {cn['logits_rel_err']:.2e} |"
+        )
+    vg = RESULTS.get("vggish_full", {})
+    if vg:
+        lines.append(
+            f"| VGGish (FAD tower) | {vg['params_M']}M | emb {vg['emb_rel_err']:.2e} |"
+        )
     s = RESULTS.get("sampling_drift_866M", {})
     if s:
         lines += [
@@ -365,7 +794,10 @@ def write_parity_md():
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["unet", "vae", "hifigan", "sampling"]
+    which = sys.argv[1:] or [
+        "unet", "vae", "hifigan", "sampling",
+        "t5", "deberta", "clap", "htsat", "cnn14", "vggish",
+    ]
     if "unet" in which:
         unet_smoke()
     if "vae" in which:
@@ -374,5 +806,17 @@ if __name__ == "__main__":
         hifigan_smoke()
     if "sampling" in which:
         sampling_smoke()
+    if "t5" in which:
+        t5_large_smoke()
+    if "deberta" in which:
+        deberta_large_smoke()
+    if "clap" in which:
+        clap_text_smoke()
+    if "htsat" in which:
+        htsat_smoke()
+    if "cnn14" in which:
+        cnn14_smoke()
+    if "vggish" in which:
+        vggish_smoke()
     write_parity_md()
     print(json.dumps(RESULTS))

@@ -149,6 +149,14 @@ def main():
                 "steps": steps,
                 "wav_samples": int(np.prod(wav.shape[1:])),
                 "compile_s": round(compile_s, 1),
+                # single-chip perf is frozen (docs/PERF.md): 7.4x is the
+                # regression floor for the default B4 int8-conv config —
+                # floor_ok=false on a default run means a regression, not
+                # noise (measured band 7.31-7.64 across r2-r3). Non-default
+                # configs (other batch, --xl, --no-quant) have no floor.
+                **({"floor": 7.4, "floor_ok": bool(realtime >= 7.4)}
+                   if (batch == 4 and quant and base_cfg is C.TANGO_UNET)
+                   else {}),
             }
         )
     )

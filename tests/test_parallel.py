@@ -226,7 +226,10 @@ def test_sp_forward_and_grads_match_meshless():
     sp_unet = UNet2DConditionModel(
         cfg, latent_sharder=functools.partial(pmesh.shard_latents_seq, mesh=mesh)
     )
-    params_s = pmesh.shard_params(params, mesh)
+    # SP composition: 'model' carries the latent time axis, so params are
+    # REPLICATED over it (tp=False) — TP head-sharding on the same axis would
+    # force cross-attn resharding thrash (shard_params docstring)
+    params_s = pmesh.shard_params(params, mesh, tp=False)
     x_s = jax.device_put(x, pmesh.batch_sharding(mesh))
 
     def sp_loss(p, x):

@@ -1,0 +1,130 @@
+"""bf16 drift bound at the PRODUCTION step count (VERDICT r3 next #3).
+
+The 6-step torch-parity smoke (full_size_smoke.py sampling) bounds
+conversion+precision drift at 9.7e-03 bf16, but production samples 100 steps
+and drift compounds. This script runs the 866M sampler ON THE TPU — the same
+scan the bench compiles — in f32 and bf16 with IDENTICAL injected noise and
+identical seeded weights, at several step counts, and reports:
+
+  * final-latent relative L2 divergence (bf16 vs f32) per step count
+  * final waveform divergence at 100 steps (both latents decoded through the
+    SAME f32 VAE + HiFi-GAN, isolating sampler drift amplification)
+
+Weights are seeded random at full 866M geometry (no checkpoints exist in
+this zero-egress environment); both dtypes consume the exact same f32 param
+tree — the bf16 run casts it like Tango's cast_params serving path.
+
+Run: python scripts/drift_100step.py          (TPU; ~30 min with compiles)
+Writes docs/.drift_results.json and prints one JSON line per measurement.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tango_tpu.utils.profiling import setup_compilation_cache
+
+setup_compilation_cache(
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from tango_tpu import configs as C
+    from tango_tpu.models.diffusion import AudioDiffusion
+    from tango_tpu.models.hifigan import HiFiGANGenerator
+    from tango_tpu.models.vae import AutoencoderKL
+
+    steps_list = [int(s) for s in sys.argv[1:]] or [10, 25, 50, 100]
+    B, T, F, Cch = 1, 256, 16, 8
+    D = C.TANGO_UNET.cross_attention_dim
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.time()
+    f32_diff = AudioDiffusion(unet_config=C.TANGO_UNET, dtype=jnp.float32)
+    params_f32 = jax.jit(f32_diff.init_params)(rng)
+    jax.block_until_ready(params_f32)
+    print(f"# 866M params initialized in {time.time()-t0:.1f}s", file=sys.stderr)
+    params_bf16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params_f32
+    )
+
+    kc, ku, ki, kn = jax.random.split(jax.random.PRNGKey(7), 4)
+    cond = jax.random.normal(kc, (B, 64, D), jnp.float32) * 0.3
+    uncond = jax.random.normal(ku, (B, 64, D), jnp.float32) * 0.3
+    mask = jnp.ones((B, 64), jnp.int32)
+    init = jax.random.normal(ki, (B, T, F, Cch), jnp.float32)
+    all_noises = jax.random.normal(kn, (max(steps_list), B, T, F, Cch), jnp.float32)
+
+    bf16_diff = AudioDiffusion(unet_config=C.TANGO_UNET, dtype=jnp.bfloat16)
+
+    results = {}
+    finals = {}
+    for steps in steps_list:
+        noises = all_noises[:steps]
+        lat = {}
+        for name, diff, params in (
+            ("f32", f32_diff, params_f32),
+            ("bf16", bf16_diff, params_bf16),
+        ):
+            t0 = time.time()
+            out = jax.jit(
+                lambda p, c, m, u, i_, n_, d=diff, s=steps: d.sample(
+                    p, c, m, jax.random.PRNGKey(0), num_steps=s,
+                    guidance_scale=3.0, uncond_embeds=u, uncond_mask=m,
+                    noise_override=(i_, n_),
+                )
+            )(params, cond, mask, uncond, init, noises)
+            out = np.asarray(out, np.float32)
+            assert np.isfinite(out).all(), (name, steps)
+            lat[name] = out
+            print(f"# {name} {steps}-step done in {time.time()-t0:.1f}s",
+                  file=sys.stderr)
+        rel = float(
+            np.linalg.norm(lat["bf16"] - lat["f32"]) / np.linalg.norm(lat["f32"])
+        )
+        results[f"latent_rel_{steps}"] = rel
+        finals[steps] = lat
+        print(json.dumps({"steps": steps, "latent_rel_bf16_vs_f32": rel}), flush=True)
+
+    # waveform amplification at the largest step count: decode BOTH final
+    # latents through the SAME f32 decoder
+    smax = max(steps_list)
+    vae = AutoencoderKL(C.TANGO_VAE, dtype=jnp.float32)
+    voc = HiFiGANGenerator(C.TANGO_HIFIGAN, dtype=jnp.float32)
+    kv, kh = jax.random.split(jax.random.PRNGKey(11))
+    vae_params = vae.init(kv, jnp.zeros((1, 64, 64, 1)), kv)["params"]
+    voc_params = voc.init(kh, jnp.zeros((1, 64, 64)))["params"]
+
+    @jax.jit
+    def decode(lat):
+        mel = vae.apply({"params": vae_params}, lat, method=vae.decode_first_stage)
+        return voc.apply({"params": voc_params}, mel[..., 0])
+
+    wf = np.asarray(decode(jnp.asarray(finals[smax]["f32"])), np.float32)
+    wb = np.asarray(decode(jnp.asarray(finals[smax]["bf16"])), np.float32)
+    results[f"waveform_rel_{smax}"] = float(
+        np.linalg.norm(wb - wf) / np.linalg.norm(wf)
+    )
+    print(json.dumps({"steps": smax,
+                      "waveform_rel_bf16_vs_f32": results[f"waveform_rel_{smax}"]}),
+          flush=True)
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "docs", ".drift_results.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"# wrote {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    print(json.dumps({"devices": [str(d) for d in jax.devices()]}), file=sys.stderr)
+    main()

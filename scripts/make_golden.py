@@ -1084,11 +1084,132 @@ def make_pairedmel_golden():
     print("pairedmel:", melspec.shape, float(melspec.mean()))
 
 
+def make_snapshot_golden():
+    """A CONSISTENT tiny reference-format Tango snapshot directory
+    (tests/golden/snapshot_tiny/): every component geometry composes —
+    UNet in/out == VAE embed_dim, cross_attention_dim == T5 d_model,
+    vocoder num_mels == VAE decode F — so the dress-rehearsal test can run
+    the exact command chain docs/PARITY.md promises for a real checkpoint:
+    Tango(snapshot) -> tango_tpu.inference generate -> EvaluationHelper.
+    Formats match the released snapshot exactly (utils.py / tango.py:16-41):
+    pytorch_model_main.bin (unet.* + text_encoder.*), pytorch_model_vae.bin
+    (VAE + weight-normed vocoder.*), vae/main/stft/unet config JSONs.
+    """
+    import json as _json
+    import importlib.util
+
+    from diffusers import UNet2DConditionModel
+    from transformers import T5Config as HFT5Config, T5EncoderModel
+
+    snap = OUT / "snapshot_tiny"
+    snap.mkdir(exist_ok=True)
+    torch.manual_seed(77)
+
+    unet_cfg = dict(
+        in_channels=4, out_channels=4,
+        down_block_types=["CrossAttnDownBlock2D", "DownBlock2D"],
+        up_block_types=["UpBlock2D", "CrossAttnUpBlock2D"],
+        block_out_channels=[16, 32], layers_per_block=1,
+        cross_attention_dim=32, attention_head_dim=[2, 4], norm_num_groups=8,
+        use_linear_projection=True,  # the shipped Tango configs' value —
+        # diffusers defaults False (conv proj) and the JSON must agree
+    )
+    tunet = UNet2DConditionModel(**unet_cfg)
+    tunet.eval()
+    main_sd = {f"unet.{k}": v for k, v in tunet.state_dict().items()}
+
+    t5m = T5EncoderModel(HFT5Config(
+        vocab_size=128, d_model=32, d_kv=8, d_ff=48, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=128,  # not shape-recoverable; keep
+        feed_forward_proj="gated-gelu",       # the universal T5 value
+        dropout_rate=0.0,
+    ))
+    t5m.eval()
+    main_sd.update({f"text_encoder.{k}": v for k, v in t5m.state_dict().items()})
+
+    # reference VAE modules (same scaffold as make_vae_golden; it may have
+    # run already in this process — the stubs are idempotent)
+    import types as _t
+
+    fake_utils = _t.ModuleType("audioldm.utils")
+    fake_utils.instantiate_from_config = lambda *a, **k: None
+    fake_attn = _t.ModuleType("audioldm.latent_diffusion.attention")
+
+    class _LA(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    fake_attn.LinearAttention = _LA
+    sys.modules.setdefault("audioldm", _t.ModuleType("audioldm"))
+    sys.modules["audioldm.utils"] = fake_utils
+    sys.modules.setdefault("audioldm.latent_diffusion", _t.ModuleType("audioldm.latent_diffusion"))
+    sys.modules["audioldm.latent_diffusion.attention"] = fake_attn
+    spec2 = importlib.util.spec_from_file_location(
+        "ref_vae_modules_snap", f"{REF}/audioldm/variational_autoencoder/modules.py"
+    )
+    vm = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(vm)
+
+    ddconfig = dict(
+        double_z=True, z_channels=4, resolution=32, in_channels=1, out_ch=1,
+        ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=[], dropout=0.0,
+    )
+    enc, dec = vm.Encoder(**ddconfig), vm.Decoder(**ddconfig)
+    quant = torch.nn.Conv2d(8, 8, 1)
+    post_quant = torch.nn.Conv2d(4, 4, 1)
+    enc.eval(), dec.eval()
+    vae_sd = {
+        **{f"encoder.{k}": v for k, v in enc.state_dict().items()},
+        **{f"decoder.{k}": v for k, v in dec.state_dict().items()},
+        **{f"quant_conv.{k}": v for k, v in quant.state_dict().items()},
+        **{f"post_quant_conv.{k}": v for k, v in post_quant.state_dict().items()},
+    }
+
+    spec_h = importlib.util.spec_from_file_location(
+        "ref_hifigan_models_snap", f"{REF}/audioldm/hifigan/models.py"
+    )
+    hm = importlib.util.module_from_spec(spec_h)
+    spec_h.loader.exec_module(hm)
+
+    class H(dict):
+        __getattr__ = dict.__getitem__
+
+    gen = hm.Generator(H(
+        resblock_kernel_sizes=[3, 7, 11],
+        resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+        upsample_rates=[5, 4, 2, 2, 2],
+        upsample_kernel_sizes=[16, 16, 8, 4, 4],
+        upsample_initial_channel=32,
+        num_mels=32,  # VAE decodes F=16 latents to 32 mel bins (ch_mult x2)
+    ))
+    gen.eval()
+    # weight-normed like the released checkpoints (conversion folds it)
+    vae_sd.update({f"vocoder.{k}": v for k, v in gen.state_dict().items()})
+
+    torch.save(main_sd, snap / "pytorch_model_main.bin")
+    torch.save(vae_sd, snap / "pytorch_model_vae.bin")
+    (snap / "vae_config.json").write_text(_json.dumps({
+        "embed_dim": 4, "scale_factor": 0.9,
+        "ddconfig": {k: list(v) if isinstance(v, tuple) else v
+                     for k, v in ddconfig.items()},
+    }))
+    (snap / "main_config.json").write_text(_json.dumps({
+        "text_encoder_name": "google/flan-t5-large",
+        "scheduler_name": "stabilityai/stable-diffusion-2-1",
+        "unet_model_config_path": "unet_config.json",
+    }))
+    (snap / "unet_config.json").write_text(_json.dumps(unet_cfg))
+    (snap / "stft_config.json").write_text(_json.dumps({}))
+    n = sum(v.numel() for v in main_sd.values()) + sum(v.numel() for v in vae_sd.values())
+    print(f"snapshot_tiny: {n/1e6:.2f}M params ->", snap)
+
+
 if __name__ == "__main__":
     import sys as _sys
     only = _sys.argv[1:] if len(_sys.argv) > 1 else None
     for fn in [make_scheduler_golden, make_unet_golden, make_vae_golden,
-               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden, make_clap_text_golden, make_htsat_golden, make_deberta_golden, make_t5gen_golden, make_vggish_golden, make_pairedmel_golden]:
+               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden, make_clap_text_golden, make_htsat_golden, make_deberta_golden, make_t5gen_golden, make_vggish_golden, make_pairedmel_golden, make_snapshot_golden]:
         name = fn.__name__.replace("make_", "").replace("_golden", "")
         if only is None or name in only:
             fn()

@@ -792,6 +792,38 @@ def convert_t5_seq2seq(sd) -> dict:
     return out
 
 
+def t5_config_from_state_dict(sd) -> T5Config:
+    """Infer the encoder geometry from an HF torch T5 state dict.
+
+    The reference builds its text encoder from the hub by NAME
+    (train.py T5EncoderModel.from_pretrained); a snapshot is already
+    self-describing through its tensor shapes — inferring here makes
+    Tango-XL (flan-t5-xl conditioning, cross dim 2048) and tiny test
+    snapshots load without a network lookup. relative_attention_max_distance
+    is not recoverable from shapes; every shipped T5 uses 128.
+    """
+    vocab, d_model = np.asarray(sd["shared.weight"]).shape
+    n_layers = 1 + max(
+        int(k.split(".")[2]) for k in sd if k.startswith("encoder.block.")
+    )
+    buckets, heads = np.asarray(
+        sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
+    ).shape
+    inner = np.asarray(sd["encoder.block.0.layer.0.SelfAttention.q.weight"]).shape[0]
+    gated = "encoder.block.0.layer.1.DenseReluDense.wi_0.weight" in sd
+    wi = "encoder.block.0.layer.1.DenseReluDense." + ("wi_0" if gated else "wi")
+    return T5Config(
+        vocab_size=vocab,
+        d_model=d_model,
+        d_kv=inner // heads,
+        d_ff=np.asarray(sd[wi + ".weight"]).shape[0],
+        num_layers=n_layers,
+        num_heads=heads,
+        relative_attention_num_buckets=buckets,
+        feed_forward_proj="gated-gelu" if gated else "relu",
+    )
+
+
 def convert_t5_encoder(sd) -> dict:
     """HF torch T5EncoderModel state dict -> T5Encoder params."""
     params: dict = {"token_embedding": np.asarray(sd["shared.weight"])}

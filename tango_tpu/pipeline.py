@@ -92,12 +92,12 @@ class Tango:
                 unet_config=loaded["unet_config"],
                 vae_config=loaded["vae_config"],
                 stft_config=loaded["stft_config"],
-                t5_config=FLAN_T5_LARGE,
+                t5_config=loaded.get("t5_config") or FLAN_T5_LARGE,
                 unet_params=loaded["unet_params"],
                 vae_params=loaded["vae_params"],
                 t5_params=loaded["t5_params"],
                 hifigan_params=loaded["hifigan_params"],
-                hifigan_config=C.TANGO_HIFIGAN,
+                hifigan_config=loaded.get("hifigan_config") or C.TANGO_HIFIGAN,
             )
             if self.tokenizer is None:
                 self.tokenizer = _try_load_tokenizer(loaded["main_config"].text_encoder_name)

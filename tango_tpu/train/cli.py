@@ -100,10 +100,12 @@ def main(argv=None):
         unet_config = UNetConfig.from_json(args.unet_model_config)
 
     vae_config, vae_params, t5_params, stft_config = C.TANGO_VAE, None, None, None
+    t5_config = None
     if args.tango_snapshot:
         loaded = ckpt_io.load_tango_snapshot(args.tango_snapshot)
         vae_config, vae_params = loaded["vae_config"], loaded["vae_params"]
         t5_params = loaded["t5_params"]
+        t5_config = loaded.get("t5_config")
         stft_config = loaded.get("stft_config")
     elif args.audioldm_ckpt:
         vae_params, _, scale = ckpt_io.load_audioldm_ckpt(args.audioldm_ckpt)
@@ -115,7 +117,7 @@ def main(argv=None):
     if vae_params is None:
         raise SystemExit("need --tango_snapshot or --audioldm_ckpt for VAE weights")
 
-    t5 = T5Encoder(FLAN_T5_LARGE)
+    t5 = T5Encoder(t5_config or FLAN_T5_LARGE)
     if t5_params is None:
         # the --audioldm_ckpt path carries VAE weights only; the reference
         # builds the text encoder from the hub at train time

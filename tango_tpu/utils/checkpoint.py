@@ -73,13 +73,24 @@ def load_tango_snapshot(path: str) -> Dict[str, Any]:
     unet_sd, text_sd, _ = split_main_state_dict(main_sd)
 
     hifigan_params = None
+    hifigan_config = None
     vocoder_keys = {k for k in vae_sd if k.startswith("vocoder.")}
     if vocoder_keys:
-        hifigan_params = conv.convert_hifigan(
-            {k[len("vocoder."):]: vae_sd[k] for k in vocoder_keys}
+        voc_sd = {k[len("vocoder."):]: vae_sd[k] for k in vocoder_keys}
+        hifigan_params = conv.convert_hifigan(voc_sd)
+        # width geometry is self-describing: conv_pre is (initial, mels, 7)
+        # (weight_v if still weight-normed). Upsample RATES are not in the
+        # weights; the reference hardcodes HIFIGAN_16K_64's — keep those.
+        import dataclasses as _dc
+
+        w = voc_sd.get("conv_pre.weight_v", voc_sd.get("conv_pre.weight"))
+        hifigan_config = _dc.replace(
+            C.TANGO_HIFIGAN,
+            upsample_initial_channel=int(w.shape[0]),
+            num_mels=int(w.shape[1]),
         )
 
-    from tango_tpu.models.t5 import convert_t5_encoder
+    from tango_tpu.models.t5 import convert_t5_encoder, t5_config_from_state_dict
 
     return {
         "vae_config": vae_config,
@@ -89,7 +100,11 @@ def load_tango_snapshot(path: str) -> Dict[str, Any]:
         "vae_params": conv.convert_vae(vae_sd),
         "unet_params": conv.convert_unet(unet_sd),
         "t5_params": convert_t5_encoder(text_sd) if text_sd else None,
+        # self-describing: geometry inferred from shapes, so flan-t5-xl
+        # (Tango-XL) and test-scale encoders load without a hub lookup
+        "t5_config": t5_config_from_state_dict(text_sd) if text_sd else None,
         "hifigan_params": hifigan_params,
+        "hifigan_config": hifigan_config,
     }
 
 

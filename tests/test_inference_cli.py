@@ -131,3 +131,64 @@ def test_inference_cli_text_key(tmp_path, monkeypatch):
             "--output_dir", str(tmp_path / "g2"), "--num_steps", "2",
             "--text_key", "no_such_column",
         ])
+
+
+def test_dress_rehearsal_snapshot_to_generation_to_eval(tmp_path, monkeypatch):
+    """The FULL quality-gate command chain docs/PARITY.md promises for a real
+    checkpoint, executed end-to-end on the consistent tiny snapshot fixture
+    (tests/golden/snapshot_tiny, reference formats): Tango(snapshot dir) ->
+    tango_tpu.inference generate -> EvaluationHelper on the output dir ->
+    the reference result-key set (eval.py:300-321). Each piece is tested
+    elsewhere; this pins that the blocked real-ckpt runbook is KNOWN-WIRED
+    (VERDICT r3 next #8)."""
+    from tests.conftest import GOLDEN
+
+    snap = GOLDEN / "snapshot_tiny"
+    if not snap.exists():
+        pytest.skip("snapshot_tiny fixture not generated (scripts/make_golden.py snapshot)")
+
+    import tango_tpu.pipeline as pipeline_mod
+    from tango_tpu import inference
+    from tango_tpu.audio.wav import read_wav, write_wav
+    from tango_tpu.eval.evaluator import EvaluationHelper
+    from tests.test_pipeline import StubTokenizer
+
+    # hub tokenizer is unreachable offline — inject the stub (vocab < 128
+    # matches the snapshot's tiny T5)
+    monkeypatch.setattr(pipeline_mod, "_try_load_tokenizer",
+                        lambda name: StubTokenizer())
+    monkeypatch.chdir(tmp_path)
+
+    manifest = tmp_path / "test.json"
+    rows = [{"dataset": "t", "location": f"x{i}.wav", "captions": f"sound {i}"}
+            for i in range(2)]
+    manifest.write_text("\n".join(json.dumps(r) for r in rows))
+
+    gen_dir = str(tmp_path / "gen")
+    inference.main([
+        "--model", str(snap), "--test_file", str(manifest),
+        "--output_dir", gen_dir, "--num_steps", "2", "--batch_size", "2",
+    ])
+    for i in range(2):
+        path = os.path.join(gen_dir, f"output_{i}.wav")
+        assert os.path.exists(path), i
+        wav, sr = read_wav(path)
+        assert sr == 16000 and np.abs(wav).max() > 0
+
+    # ground-truth dir: the generated clips + noise (same filenames)
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        wav, _ = read_wav(os.path.join(gen_dir, f"output_{i}.wav"))
+        write_wav(str(ref_dir / f"output_{i}.wav"),
+                  np.clip(wav + 0.02 * rng.randn(len(wav)), -1, 1).astype(np.float32))
+
+    result = EvaluationHelper(16000).main(gen_dir, str(ref_dir))
+    expected_keys = {
+        "frechet_distance", "frechet_audio_distance", "kl_sigmoid", "kl_softmax",
+        "lsd", "psnr", "ssim", "ssim_stft", "is_mean", "is_std", "kid_mean", "kid_std",
+    }
+    assert set(result) == expected_keys
+    assert np.isfinite(result["lsd"]) and np.isfinite(result["psnr"])
+    assert os.path.exists(gen_dir + "_evaluation_results.json")

@@ -274,12 +274,13 @@ def sampling_smoke(steps: int = 6):
         got = np.asarray(got, np.float32).transpose(0, 3, 1, 2)
         out[name] = rel_err(got, ref)
         print(f"  jax {name} done: rel {out[name]:.3e}", flush=True)
-    RESULTS["sampling_drift_866M"] = {
+    key = "sampling_drift_866M" if steps == 6 else f"sampling_drift_866M_{steps}"
+    RESULTS[key] = {
         "steps": steps,
         "rel_err_f32": out["f32"],
         "rel_err_bf16": out["bf16"],
     }
-    print("sampling_drift_866M:", RESULTS["sampling_drift_866M"], flush=True)
+    print(f"{key}:", RESULTS[key], flush=True)
 
 
 def t5_large_smoke():
@@ -380,10 +381,16 @@ def deberta_large_smoke():
     logits, values = ours.apply(
         {"params": params}, jnp.asarray(ids.numpy()), jnp.asarray(mask.numpy())
     )
+    # compare VALID tokens only, like the golden test: padded positions carry
+    # implementation-defined garbage in both frameworks and nothing consumes
+    # them (the beats head reads values[:n] — pipeline_music.py:91). The
+    # first full-size run of this smoke compared all positions and reported
+    # rel 0.38 — a false alarm this comment exists to prevent re-tripping.
+    m = mask.numpy().astype(bool)
     RESULTS["deberta_large"] = {
         "params_M": round(n_params / 1e6, 1),
-        "logits_rel_err": rel_err(np.asarray(logits), out["logits"].numpy()),
-        "values_rel_err": rel_err(np.asarray(values), out["values"].numpy()),
+        "logits_rel_err": rel_err(np.asarray(logits)[m], out["logits"].numpy()[m]),
+        "values_rel_err": rel_err(np.asarray(values)[m], out["values"].numpy()[m]),
     }
     print("deberta_large:", RESULTS["deberta_large"], flush=True)
 
@@ -767,21 +774,59 @@ def write_parity_md():
             "",
             "## Multi-step sampling drift (production numerics)",
             "",
-            f"`python scripts/full_size_smoke.py sampling` runs {s['steps']} CFG",
+            "`python scripts/full_size_smoke.py sampling sampling20` runs CFG",
             "DDPM v-prediction steps at 866M — the reference torch loop",
             "(models.py:210-257) vs the tango_tpu single-scan sampler on converted",
             "weights, identical injected noise — and reports COMPOUND relative",
             "error of the final latents:",
             "",
-            "| sampler dtype | compound rel. error vs torch f32 |",
-            "|---|---|",
-            f"| f32 | {s['rel_err_f32']:.2e} |",
-            f"| bf16 (production TPU config) | {s['rel_err_bf16']:.2e} |",
+            "| steps | f32 rel. err vs torch | bf16 (production) rel. err |",
+            "|---|---|---|",
+            f"| {s['steps']} | {s['rel_err_f32']:.2e} | {s['rel_err_bf16']:.2e} |",
+        ]
+        s20 = RESULTS.get("sampling_drift_866M_20", {})
+        if s20:
+            lines.append(
+                f"| {s20['steps']} | {s20['rel_err_f32']:.2e} | {s20['rel_err_bf16']:.2e} |"
+            )
+        lines += [
             "",
-            "The bf16 row measures exactly the numerics the TPU bench runs; the",
-            "f32 row isolates conversion/math parity from precision. This is the",
+            "The bf16 column measures exactly the numerics the TPU bench runs; the",
+            "f32 column isolates conversion/math parity from precision. This is the",
             "strongest offline substitute for the blocked FAD gate.",
         ]
+    drift_path = REPO / "docs" / ".drift_results.json"
+    if drift_path.exists():
+        d = json.loads(drift_path.read_text())
+        step_keys = sorted(
+            (int(k.rsplit("_", 1)[1]), k) for k in d if k.startswith("latent_rel_")
+        )
+        lines += [
+            "",
+            "## bf16 drift at the PRODUCTION step count (on-TPU, 866M)",
+            "",
+            "`python scripts/drift_100step.py` (v5e-1): the same compiled sampler",
+            "scan the bench runs, f32 vs bf16, identical seeded weights + injected",
+            "noise. Final-latent relative L2 divergence:",
+            "",
+            "| steps | bf16 vs f32 latent rel. err |",
+            "|---|---|",
+        ]
+        for n, k in step_keys:
+            lines.append(f"| {n} | {d[k]:.2e} |")
+        wkeys = [k for k in d if k.startswith("waveform_rel_")]
+        if wkeys:
+            wk = max(wkeys, key=lambda k: int(k.rsplit("_", 1)[1]))
+            lines += [
+                "",
+                f"Decoding both {wk.rsplit('_', 1)[1]}-step final latents through the",
+                f"SAME f32 VAE+HiFi-GAN gives waveform rel. err {d[wk]:.2e} — the",
+                "decoder does not amplify sampler drift. Conclusion: bf16 divergence",
+                "grows sublinearly with step count (precision noise decorrelates",
+                "across steps rather than compounding multiplicatively); the",
+                "production 100-step numerics stay at the same order as the 6-step",
+                "torch-parity bound.",
+            ]
     lines += [
         "",
         "Tiny-config golden fixtures (tests/golden/*.npz, regenerated by",
@@ -806,6 +851,8 @@ if __name__ == "__main__":
         hifigan_smoke()
     if "sampling" in which:
         sampling_smoke()
+    if "sampling20" in which:
+        sampling_smoke(20)  # the CPU-budget extension of the torch-ref bound
     if "t5" in which:
         t5_large_smoke()
     if "deberta" in which:

@@ -159,7 +159,10 @@ class DPOTrainer:
         """Epoch loop with fixed-t validation + best-val checkpoint gating and
         epoch checkpoints only after the SFT-first phase (tango2-train.py:
         600-664). Losses stay on device; one fetch per epoch."""
-        os.makedirs(output_dir, exist_ok=True)
+        # single-writer discipline for multi-host runs (same as SFTTrainer.fit)
+        is_main = jax.process_index() == 0
+        if is_main:
+            os.makedirs(output_dir, exist_ok=True)
         num_epochs = self.cfg.num_train_epochs if num_epochs is None else num_epochs
         best_val = float("inf")
         for epoch in range(num_epochs):
@@ -193,16 +196,18 @@ class DPOTrainer:
                 "time_s": round(time.time() - t0, 2),
             }
             log_fn(rec)
-            with open(os.path.join(output_dir, "summary.jsonl"), "a") as f:
-                f.write(json.dumps(rec) + "\n")
+            if is_main:
+                with open(os.path.join(output_dir, "summary.jsonl"), "a") as f:
+                    f.write(json.dumps(rec) + "\n")
             if val_loss is not None and val_loss < best_val:
                 best_val = val_loss
-                ckpt_io.save_native(
-                    os.path.join(output_dir, "best"),
-                    jax.device_get(state.params),
-                    manifest=rec,
-                )
-            if not sft_phase:  # reference saves epoch states only post-SFT
+                if is_main:
+                    ckpt_io.save_native(
+                        os.path.join(output_dir, "best"),
+                        jax.device_get(state.params),
+                        manifest=rec,
+                    )
+            if is_main and not sft_phase:  # reference saves epochs post-SFT only
                 ckpt_io.save_native(
                     os.path.join(output_dir, f"epoch_{epoch}"),
                     jax.device_get(state.params),
@@ -210,7 +215,8 @@ class DPOTrainer:
                 )
         # always leave a final checkpoint: with sft_first_epochs >= num_epochs
         # and no validation file, neither branch above ever fires
-        ckpt_io.save_native(
-            os.path.join(output_dir, "last"), jax.device_get(state.params)
-        )
+        if is_main:
+            ckpt_io.save_native(
+                os.path.join(output_dir, "last"), jax.device_get(state.params)
+            )
         return state

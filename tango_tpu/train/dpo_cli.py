@@ -52,6 +52,16 @@ def load_preference_manifest(path: str):
 def main(argv=None):
     args = parse_args(argv)
     import jax
+
+    if os.environ.get("JAX_COORDINATOR"):
+        # multi-host launch — same contract as train/cli.py
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR"],
+            num_processes=(int(os.environ["JAX_NUM_PROCESSES"])
+                           if os.environ.get("JAX_NUM_PROCESSES") else None),
+            process_id=(int(os.environ["JAX_PROCESS_ID"])
+                        if os.environ.get("JAX_PROCESS_ID") else None),
+        )
     import jax.numpy as jnp
     import numpy as np
 
@@ -86,6 +96,11 @@ def main(argv=None):
     mesh = pmesh.make_mesh(data=-1, model=args.model_parallel)
     data_size = mesh.shape["data"]
     bs = args.per_device_train_batch_size * data_size
+    # multi-host: every process iterates the SAME seeded batch order but
+    # featurizes only its row slice; shard_batch reassembles the global array
+    # (the SFT loader's local_rows mechanism, applied to the DPO gen below)
+    local_rows = (pmesh.process_local_batch_slice(mesh, bs)
+                  if jax.process_count() > 1 else slice(None))
 
     diffusion = DPOAudioDiffusion(
         unet_config=loaded["unet_config"], beta_dpo=args.beta_dpo, remat=True
@@ -132,7 +147,7 @@ def main(argv=None):
         random.Random(args.seed + epoch_counter[0]).shuffle(order)
         epoch_counter[0] += 1
         for k in range(0, len(order) - bs + 1, bs):
-            chunk = [rows[i] for i in order[k : k + bs]]
+            chunk = [rows[i] for i in order[k : k + bs]][local_rows]
             w = np.concatenate(
                 [read_wav_file(r["chosen"], args.target_length * 160) for r in chunk], 0
             )
@@ -169,6 +184,7 @@ def main(argv=None):
                 chunk = vrows[k : k + bs]
                 if len(chunk) < bs:
                     chunk = (chunk * bs)[:bs]
+                chunk = chunk[local_rows]
                 w = np.concatenate(
                     [read_wav_file(r["chosen"], args.target_length * 160) for r in chunk], 0
                 )
@@ -191,7 +207,8 @@ def main(argv=None):
         trainer.fit(
             state, ref_params, batches, jax.random.PRNGKey(args.seed), out_dir,
             val_batches=val_batches,
-            log_fn=lambda r: print(json.dumps(r), flush=True),
+            log_fn=lambda r: (jax.process_index() == 0
+                              and print(json.dumps(r), flush=True)),
         )
 
 

@@ -183,3 +183,19 @@ def test_t5_beam_generate_max_length_one():
             params, g["ids"], g["mask"], num_beams=3, min_length=1,
             max_length=1, device_loop=dev)
         np.testing.assert_array_equal(out, np.asarray([0], np.int32))
+
+
+def test_t5_config_inferred_from_state_dict():
+    """Snapshot loading infers the encoder geometry from tensor shapes
+    (pipeline.py snapshot path — also what makes Tango-XL's flan-t5-xl
+    conditioning load without a hub lookup)."""
+    from tango_tpu.models.t5 import t5_config_from_state_dict
+    from tests.conftest import load_golden
+
+    g = load_golden("t5_tiny")
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    cfg = t5_config_from_state_dict(sd)
+    assert (cfg.vocab_size, cfg.d_model, cfg.d_kv, cfg.d_ff) == (128, 32, 8, 48)
+    assert (cfg.num_layers, cfg.num_heads) == (3, 4)
+    assert cfg.relative_attention_num_buckets == 8
+    assert cfg.is_gated  # flan-style gated-gelu detected via wi_0

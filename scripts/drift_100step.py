@@ -94,6 +94,7 @@ def main():
         results[f"latent_rel_{steps}"] = rel
         finals[steps] = lat
         print(json.dumps({"steps": steps, "latent_rel_bf16_vs_f32": rel}), flush=True)
+        _write(results)
 
     # waveform amplification at the largest step count: decode BOTH final
     # latents through the SAME f32 decoder
@@ -104,25 +105,29 @@ def main():
     vae_params = vae.init(kv, jnp.zeros((1, 64, 64, 1)), kv)["params"]
     voc_params = voc.init(kh, jnp.zeros((1, 64, 64)))["params"]
 
+    # params as ARGUMENTS, not closure constants: baking 110M f32 weights
+    # into the program blows the relay's compile-request size limit (HTTP 413)
     @jax.jit
-    def decode(lat):
-        mel = vae.apply({"params": vae_params}, lat, method=vae.decode_first_stage)
-        return voc.apply({"params": voc_params}, mel[..., 0])
+    def decode(vp, hp, lat):
+        mel = vae.apply({"params": vp}, lat, method=vae.decode_first_stage)
+        return voc.apply({"params": hp}, mel[..., 0])
 
-    wf = np.asarray(decode(jnp.asarray(finals[smax]["f32"])), np.float32)
-    wb = np.asarray(decode(jnp.asarray(finals[smax]["bf16"])), np.float32)
+    wf = np.asarray(decode(vae_params, voc_params, jnp.asarray(finals[smax]["f32"])), np.float32)
+    wb = np.asarray(decode(vae_params, voc_params, jnp.asarray(finals[smax]["bf16"])), np.float32)
     results[f"waveform_rel_{smax}"] = float(
         np.linalg.norm(wb - wf) / np.linalg.norm(wf)
     )
     print(json.dumps({"steps": smax,
                       "waveform_rel_bf16_vs_f32": results[f"waveform_rel_{smax}"]}),
           flush=True)
+    _write(results)
 
+
+def _write(results):
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                             "docs", ".drift_results.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
-    print(f"# wrote {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -820,12 +820,13 @@ def write_parity_md():
             lines += [
                 "",
                 f"Decoding both {wk.rsplit('_', 1)[1]}-step final latents through the",
-                f"SAME f32 VAE+HiFi-GAN gives waveform rel. err {d[wk]:.2e} — the",
-                "decoder does not amplify sampler drift. Conclusion: bf16 divergence",
-                "grows sublinearly with step count (precision noise decorrelates",
-                "across steps rather than compounding multiplicatively); the",
-                "production 100-step numerics stay at the same order as the 6-step",
-                "torch-parity bound.",
+                f"SAME f32 VAE+HiFi-GAN gives waveform rel. err {d[wk]:.2e}.",
+                "Conclusion: bf16 divergence DECREASES with step count — each DDPM",
+                "step's injected variance noise (identical in both runs) re-anchors",
+                "the trajectory, so precision error is repeatedly washed out instead",
+                "of compounding; the production 100-step divergence sits BELOW the",
+                "6-step torch-parity bound. The r3 concern that drift might compound",
+                "at 100 steps is measured and closed.",
             ]
     lines += [
         "",

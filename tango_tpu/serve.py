@@ -6,7 +6,9 @@ lifecycle: weights load once, each predict() call generates one clip and
 writes a wav. `BatchingPredictor` additionally coalesces concurrent
 predict() calls into padded batch-4 generations: the measured v5e batch
 sweep (docs/PERF.md) has B2 p50 (5.84 s) ~= B4 p50 (5.60 s), so a
-single-prompt server wastes ~2.9x free throughput. The CLI is the quick path:
+single-prompt server wastes ~2.9x free throughput. Both predictors take
+music=True to serve Mustango the same way (measured 3.49x B4 vs 1.65x B1,
+docs/PERF.md). The CLI is the quick path:
 
     python -m tango_tpu.serve --model <snapshot> --prompt "an audio prompt" \
         --steps 100 --guidance 3 --output out.wav

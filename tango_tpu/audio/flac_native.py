@@ -1,0 +1,95 @@
+"""ctypes loader for the native FLAC subframe decoder (_flac_native.c).
+
+Compiled on demand with the system C compiler into a per-source-hash cached
+shared object (no build step, no pybind11 — the environment provides g++).
+Import failure of ANY kind degrades to None; audio/flac.py then uses its
+pure-python path, so FLAC ingestion never hard-depends on a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_flac_native.c")
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    if not os.path.exists(_SRC):
+        return None
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "tango_tpu",
+    )
+    so_path = os.path.join(cache_dir, f"flac_native_{tag}.so")
+    if not os.path.exists(so_path):
+        os.makedirs(cache_dir, exist_ok=True)
+        for cc in ("g++", "cc", "gcc"):
+            tmp = None
+            try:
+                # build to a temp name then atomic-rename: two processes
+                # racing the same cache entry must not load a half-written .so
+                fd, tmp = tempfile.mkstemp(suffix=".so", dir=cache_dir)
+                os.close(fd)
+                subprocess.run(
+                    [cc, "-O2", "-shared", "-fPIC", "-x", "c", _SRC, "-o", tmp],
+                    check=True, capture_output=True, timeout=120,
+                )
+                os.replace(tmp, so_path)
+                break
+            except Exception:
+                if tmp is not None:
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
+                continue
+        else:
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+    lib.flac_decode_subframe.restype = ctypes.c_int64
+    lib.flac_decode_subframe.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    return lib
+
+
+try:
+    _LIB = _build()
+except Exception:
+    _LIB = None
+
+
+def decode_subframe(buf: bytes, pos_bits: int, block_size: int,
+                    bps: int) -> Tuple[Optional[np.ndarray], int]:
+    """One subframe at pos_bits -> (int64 samples, new bit position).
+
+    Returns (None, negative_error) on any decode error; the caller re-runs
+    the pure-python path to produce the precise FlacError.
+    """
+    out = np.empty(block_size, np.int64)
+    ret = _LIB.flac_decode_subframe(
+        buf, len(buf), pos_bits, block_size, bps,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if ret < 0:
+        return None, int(ret)
+    return out, int(ret)
+
+
+def available() -> bool:
+    return _LIB is not None

@@ -160,3 +160,46 @@ def test_validate_manifest(tmp_path):
     msg = str(ei.value)
     assert "bad.mp3" in msg and "mp3" in msg
     assert "gone.wav" in msg
+
+
+def test_native_and_python_paths_agree(monkeypatch):
+    """The C subframe decoder (audio/_flac_native.c via ctypes) must be
+    bit-exact with the pure-python reference path on a stream exercising
+    LPC + rice2 + escapes + wasted bits + mid/side."""
+    from tango_tpu.audio import flac as flac_mod
+
+    if flac_mod._native is None:
+        pytest.skip("native FLAC decoder unavailable (no C compiler)")
+    x = np.stack([_sig(3000, seed=5), _sig(3000, seed=6)], axis=1)
+    data = encode_flac(
+        x, block_size=1024, stereo_mode="mid_side", kind="lpc",
+        lpc_coeffs=[900, -200, 50], lpc_shift=9, lpc_precision=12,
+        rice_param=6, partition_order=2, method=1, escape_partitions=(3,),
+    )
+    # mono stream with wasted bits (mid/side parities preclude wasted there)
+    xw = _sig(2000, seed=7, lo=-200, hi=200) << 3
+    dataw = encode_flac(xw, block_size=500, kind="fixed", order=1,
+                        rice_param=5, wasted=3)
+    native_out, _, _ = flac_mod.decode_flac(data)
+    native_w, _, _ = flac_mod.decode_flac(dataw)
+    monkeypatch.setattr(flac_mod, "_native", None)
+    python_out, _, _ = flac_mod.decode_flac(data)
+    python_w, _, _ = flac_mod.decode_flac(dataw)
+    np.testing.assert_array_equal(native_out, python_out)
+    np.testing.assert_array_equal(native_out, x)
+    np.testing.assert_array_equal(native_w, python_w)
+    np.testing.assert_array_equal(native_w[:, 0], xw)
+
+
+def test_python_fallback_roundtrip(monkeypatch):
+    """Every decode test in this file runs whichever path is available; pin
+    the pure-python path explicitly so a toolchain-less install stays
+    covered."""
+    from tango_tpu.audio import flac as flac_mod
+
+    monkeypatch.setattr(flac_mod, "_native", None)
+    x = _sig(1500)
+    out, sr, _ = flac_mod.decode_flac(encode_flac(x, block_size=500,
+                                                  kind="fixed", order=2,
+                                                  rice_param=6))
+    np.testing.assert_array_equal(out[:, 0], x)

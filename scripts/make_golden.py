@@ -255,6 +255,65 @@ def make_scheduler_golden():
         ddim.set_timesteps(10)
         data[f"{name}_ddim_timesteps"] = ddim.timesteps.numpy()
         data[f"{name}_ddim_step701"] = ddim.step(model_out, 701, x).prev_sample.numpy()
+    # learned-variance configs (scheduling_ddpm.py:236-240, 287-290,
+    # 333-346): the model emits [prediction | variance] on the channel dim.
+    # 2-D (B, C) tensors make torch's dim=1 split coincide with the NHWC
+    # axis=-1 split in tango_tpu.schedulers.ddpm.step.
+    import diffusers.schedulers.scheduling_ddpm as sd_mod
+
+    g = torch.Generator().manual_seed(7)
+    x = torch.randn(2, 6, generator=g)
+    eps = torch.randn(2, 6, generator=g)
+    var_noise = torch.randn(2, 6, generator=g)
+    raw = torch.randn(2, 6, generator=g)
+    for vt, var_half in [("learned", raw.abs() + 0.1), ("learned_range", torch.tanh(raw))]:
+        s = DDPMScheduler(
+            num_train_timesteps=1000, beta_start=0.0001, beta_end=0.02,
+            beta_schedule="linear", prediction_type="epsilon",
+            clip_sample=False, variance_type=vt,
+        )
+        s.set_timesteps(10)
+        model_out = torch.cat([eps, var_half], dim=1)
+        orig = sd_mod.randn_tensor
+        sd_mod.randn_tensor = lambda *a, **k: var_noise
+        try:
+            step700 = s.step(model_out, 700, x).prev_sample
+            # t=3 -> prev_t<0: posterior var 0, learned_range min_log=-inf
+            step3 = s.step(model_out, 3, x).prev_sample
+        finally:
+            sd_mod.randn_tensor = orig
+        data[f"{vt}_x"] = x.numpy()
+        data[f"{vt}_model_out"] = model_out.numpy()
+        data[f"{vt}_var_noise"] = var_noise.numpy()
+        data[f"{vt}_step700"] = step700.numpy()
+        data[f"{vt}_step3"] = step3.numpy()
+
+    # dynamic thresholding (Imagen, scheduling_ddpm.py:245-254) — DDPM and
+    # DDIM steps through _threshold_sample; a wide-range x0 so the quantile
+    # actually clamps
+    th_cfg = dict(
+        num_train_timesteps=1000, beta_start=0.0001, beta_end=0.02,
+        beta_schedule="linear", prediction_type="epsilon", clip_sample=False,
+        thresholding=True, dynamic_thresholding_ratio=0.9, sample_max_value=0.5,
+    )
+    xt = 5.0 * torch.randn(2, 4, 8, generator=g)
+    mot = torch.randn(2, 4, 8, generator=g)
+    vnt = torch.randn(2, 4, 8, generator=g)
+    s = DDPMScheduler(**th_cfg)
+    s.set_timesteps(10)
+    orig = sd_mod.randn_tensor
+    sd_mod.randn_tensor = lambda *a, **k: vnt
+    try:
+        data["thresh_step700"] = s.step(mot, 700, xt).prev_sample.numpy()
+    finally:
+        sd_mod.randn_tensor = orig
+    ddim_t = DDIMScheduler(**th_cfg, set_alpha_to_one=False, steps_offset=1)
+    ddim_t.set_timesteps(10)
+    data["thresh_ddim_step701"] = ddim_t.step(mot, 701, xt).prev_sample.numpy()
+    data["thresh_x"] = xt.numpy()
+    data["thresh_model_out"] = mot.numpy()
+    data["thresh_var_noise"] = vnt.numpy()
+
     np.savez(OUT / "schedulers.npz", **data)
     print("schedulers: ok")
 

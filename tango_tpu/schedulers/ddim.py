@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tango_tpu.configs import SchedulerConfig
-from tango_tpu.schedulers.ddpm import make_betas, _bcast
+from tango_tpu.schedulers.ddpm import make_betas, threshold_sample, _bcast
 
 
 @jax.tree_util.register_pytree_node_class
@@ -118,9 +118,16 @@ class DDIMScheduler:
 
         if self.config.clip_sample:
             # NOTE: matching the reference (scheduling_ddim.py:318-333), eps is
-            # NOT re-derived after clipping — only the `thresholding` branch does.
+            # NOT re-derived after clipping — only the separate
+            # use_clipped_model_output flag does that (unused by any shipped
+            # config, scheduling_ddim.py:331-334).
             r = self.config.clip_sample_range
             x0 = jnp.clip(x0, -r, r)
+        if self.config.thresholding:
+            x0 = threshold_sample(
+                x0, self.config.dynamic_thresholding_ratio,
+                self.config.sample_max_value,
+            )
 
         variance = (1.0 - ac_prev) / (1.0 - ac_t) * (1.0 - ac_t / ac_prev)
         std = eta * jnp.sqrt(variance)

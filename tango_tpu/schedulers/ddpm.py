@@ -3,7 +3,8 @@
 Numerically matches the reference diffusers DDPMScheduler
 (/root/reference/mustango/diffusers/src/diffusers/schedulers/scheduling_ddpm.py:123-392)
 for the β schedules, x0-prediction modes (epsilon/sample/v_prediction),
-posterior-mean coefficients and variance types Tango exercises, but is
+posterior-mean coefficients and all six variance types (fixed_small[_log],
+fixed_large[_log], learned, learned_range), but is
 re-designed for XLA: no Python state mutation, every per-timestep quantity is
 a gather from a precomputed f32 table, so `step` traces cleanly inside a
 `lax.scan` sampling loop and under `vmap`/`pjit`.
@@ -56,6 +57,18 @@ def make_betas(config: SchedulerConfig) -> np.ndarray:
 def _bcast(coef: jnp.ndarray, target_ndim: int) -> jnp.ndarray:
     """Right-broadcast a per-sample coefficient vector to target rank."""
     return coef.reshape(coef.shape + (1,) * (target_ndim - coef.ndim))
+
+
+def threshold_sample(sample: jnp.ndarray, ratio: float, max_value: float) -> jnp.ndarray:
+    """Imagen dynamic thresholding of predicted x0 (scheduling_ddpm.py:245-254):
+    per-sample |x| quantile (floored at `max_value`) clamps and rescales.
+    Shared by the DDPM and DDIM steps; unsuitable for latent-space models
+    (the reference says so too) — no shipped Tango config enables it."""
+    flat = jnp.abs(sample.reshape(sample.shape[0], -1))
+    s = jnp.quantile(flat, ratio, axis=1)
+    s = jnp.clip(s, max_value, None)
+    s = s.reshape((-1,) + (1,) * (sample.ndim - 1))
+    return jnp.clip(sample, -s, s) / s
 
 
 @jax.tree_util.register_pytree_node_class
@@ -151,6 +164,11 @@ class DDPMScheduler:
         if self.config.clip_sample:
             r = self.config.clip_sample_range
             x0 = jnp.clip(x0, -r, r)
+        if self.config.thresholding:
+            x0 = threshold_sample(
+                x0, self.config.dynamic_thresholding_ratio,
+                self.config.sample_max_value,
+            )
         return x0
 
     def _alpha_prod_prev(self, prev_t: jnp.ndarray) -> jnp.ndarray:
@@ -158,13 +176,31 @@ class DDPMScheduler:
         safe = jnp.clip(prev_t, 0, None)
         return jnp.where(prev_t >= 0, self.alphas_cumprod[safe], jnp.float32(1.0))
 
-    def variance(self, t: jnp.ndarray, prev_t: jnp.ndarray) -> jnp.ndarray:
-        """Posterior variance per variance_type (scheduling_ddpm.py:208-244)."""
+    def variance(
+        self,
+        t: jnp.ndarray,
+        prev_t: jnp.ndarray,
+        predicted_variance: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Posterior variance per variance_type (scheduling_ddpm.py:206-243).
+
+        For the learned types `predicted_variance` is the model's extra
+        channel half (see `step`): `learned` returns it verbatim — the model
+        output IS the variance, exactly like the reference (negative values
+        NaN under the sqrt in `step`, same as torch); `learned_range`
+        treats it as the iDDPM interpolation fraction between
+        log(posterior var) and log(betas[t]) and returns a LOG variance.
+        """
         ac_t = self.alphas_cumprod[t]
         ac_prev = self._alpha_prod_prev(prev_t)
         current_beta = 1.0 - ac_t / ac_prev
         var = (1.0 - ac_prev) / (1.0 - ac_t) * current_beta
         vt = self.config.variance_type
+        if vt in ("learned", "learned_range") and predicted_variance is None:
+            raise ValueError(
+                f"variance_type {vt!r} needs the model's variance channels: "
+                "the model output's channel axis must be 2x the sample's"
+            )
         if vt == "fixed_small":
             var = jnp.clip(var, 1e-20, None)
         elif vt == "fixed_small_log":
@@ -173,6 +209,16 @@ class DDPMScheduler:
             var = current_beta
         elif vt == "fixed_large_log":
             var = jnp.log(current_beta)
+        elif vt == "learned":
+            return predicted_variance
+        elif vt == "learned_range":
+            # reference interpolates UNclamped log posterior var against
+            # log(betas[t]) — NOT log(current_beta) (scheduling_ddpm.py:236-240);
+            # prev_t < 0 makes min_log -inf, matching torch.log(0.)
+            min_log = _bcast(jnp.log(var), predicted_variance.ndim)
+            max_log = _bcast(jnp.log(self.betas[t]), predicted_variance.ndim)
+            frac = (predicted_variance + 1.0) / 2.0
+            return frac * max_log + (1.0 - frac) * min_log
         else:
             raise NotImplementedError(f"variance_type {vt}")
         return var
@@ -195,6 +241,17 @@ class DDPMScheduler:
         t = jnp.asarray(t)
         prev_t = t - self.config.num_train_timesteps // num_inference_steps
 
+        # learned-variance models emit 2x channels: [prediction | variance]
+        # (scheduling_ddpm.py:287-290 splits dim=1 in NCHW; channels are the
+        # LAST axis in this framework's NHWC layout)
+        predicted_variance = None
+        vt = self.config.variance_type
+        if vt in ("learned", "learned_range") and (
+            model_output.shape[-1] == 2 * sample.shape[-1]
+        ):
+            model_output, predicted_variance = jnp.split(model_output, 2, axis=-1)
+            predicted_variance = predicted_variance.astype(jnp.float32)
+
         ac_t = _bcast(self.alphas_cumprod[t], sample.ndim)
         ac_prev = _bcast(self._alpha_prod_prev(prev_t), sample.ndim)
         beta_prod_t = 1.0 - ac_t
@@ -209,9 +266,16 @@ class DDPMScheduler:
         xt_coeff = jnp.sqrt(current_alpha) * beta_prod_prev / beta_prod_t
         prev = x0_coeff * x0 + xt_coeff * sample.astype(jnp.float32)
 
-        std = jnp.sqrt(_bcast(self.variance(t, prev_t), sample.ndim)) \
-            if self.config.variance_type not in ("fixed_small_log",) \
-            else _bcast(self.variance(t, prev_t), sample.ndim)
+        # std per variance_type (scheduling_ddpm.py:333-346): fixed_small_log's
+        # variance() already returns a std; learned_range returns a LOG
+        # variance; everything else (incl. 'learned') takes the sqrt
+        var = _bcast(self.variance(t, prev_t, predicted_variance), sample.ndim)
+        if vt == "fixed_small_log":
+            std = var
+        elif vt == "learned_range":
+            std = jnp.exp(0.5 * var)
+        else:
+            std = jnp.sqrt(var)
         add = jnp.where(_bcast(t, sample.ndim) > 0, std * noise.astype(jnp.float32), 0.0)
         prev = prev + add
         return prev.astype(dtype_in), x0

@@ -53,6 +53,89 @@ def test_ddim_parity(name):
     np.testing.assert_allclose(np.asarray(prev), g[f"{name}_ddim_step701"], atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("vt", ["learned", "learned_range"])
+def test_ddpm_learned_variance_parity(vt):
+    """learned/learned_range split + variance math vs the reference fork
+    (scheduling_ddpm.py:236-240, 287-290, 333-346). Golden tensors are 2-D
+    (B, C) so the reference's dim=1 split and our axis=-1 split coincide;
+    t=3 exercises the prev_t<0 edge (posterior var 0, learned_range
+    min_log=-inf -> zero std)."""
+    g = load_golden("schedulers")
+    s = DDPMScheduler.create(SchedulerConfig(
+        beta_start=0.0001, beta_end=0.02, beta_schedule="linear",
+        prediction_type="epsilon", clip_sample=False, variance_type=vt,
+    ))
+    for t in (700, 3):
+        prev, _ = s.step(
+            g[f"{vt}_model_out"], t, g[f"{vt}_x"], g[f"{vt}_var_noise"],
+            num_inference_steps=10,
+        )
+        assert np.isfinite(np.asarray(prev)).all()
+        np.testing.assert_allclose(
+            np.asarray(prev), g[f"{vt}_step{t}"], atol=1e-5, rtol=1e-5
+        )
+
+
+def test_dynamic_thresholding_parity():
+    """Imagen dynamic thresholding vs the fork's _threshold_sample
+    (scheduling_ddpm.py:245-254), through both the DDPM and DDIM steps."""
+    g = load_golden("schedulers")
+    cfg = SchedulerConfig(
+        beta_start=0.0001, beta_end=0.02, beta_schedule="linear",
+        prediction_type="epsilon", clip_sample=False, thresholding=True,
+        dynamic_thresholding_ratio=0.9, sample_max_value=0.5,
+    )
+    prev, _ = DDPMScheduler.create(cfg).step(
+        g["thresh_model_out"], 700, g["thresh_x"], g["thresh_var_noise"],
+        num_inference_steps=10,
+    )
+    np.testing.assert_allclose(np.asarray(prev), g["thresh_step700"],
+                               atol=1e-5, rtol=1e-5)
+    dcfg = SchedulerConfig(
+        beta_start=0.0001, beta_end=0.02, beta_schedule="linear",
+        prediction_type="epsilon", clip_sample=False, thresholding=True,
+        dynamic_thresholding_ratio=0.9, sample_max_value=0.5,
+        set_alpha_to_one=False, steps_offset=1,
+    )
+    dprev, _ = DDIMScheduler.create(dcfg).step(
+        g["thresh_model_out"], 701, g["thresh_x"],
+        np.zeros_like(g["thresh_x"]), num_inference_steps=10, eta=0.0,
+    )
+    np.testing.assert_allclose(np.asarray(dprev), g["thresh_ddim_step701"],
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_ddpm_learned_variance_traces_in_scan():
+    """The learned-variance step must stay scan/jit-traceable (traced t)."""
+    import jax
+    import jax.numpy as jnp
+
+    s = DDPMScheduler.create(SchedulerConfig(
+        beta_start=0.0001, beta_end=0.02, beta_schedule="linear",
+        prediction_type="epsilon", clip_sample=False,
+        variance_type="learned_range",
+    ))
+    x = jnp.ones((2, 4), jnp.float32)
+    out = jnp.concatenate([jnp.full((2, 4), 0.3), jnp.zeros((2, 4))], axis=-1)
+    noise = jnp.full((2, 4), 0.5)
+
+    def body(carry, t):
+        prev, _ = s.step(out, t, carry, noise, num_inference_steps=10)
+        return prev, ()
+
+    ts = jnp.asarray(s.timesteps(10))
+    final, _ = jax.lax.scan(body, x, ts)
+    assert np.isfinite(np.asarray(final)).all()
+
+
+def test_ddpm_learned_needs_variance_channels():
+    """Non-doubled model output under a learned variance_type fails loudly."""
+    s = DDPMScheduler.create(SchedulerConfig(variance_type="learned"))
+    x = np.ones((1, 4), np.float32)
+    with pytest.raises(ValueError, match="variance channels"):
+        s.step(x * 0.5, 700, x, np.zeros_like(x), num_inference_steps=10)
+
+
 def test_ddpm_t0_no_noise():
     """At t == 0 the variance term must vanish (scheduling_ddpm.py:333-346)."""
     s = DDPMScheduler.create()

@@ -155,6 +155,9 @@ int64_t flac_decode_subframe(const uint8_t *buf, int64_t len_bytes,
             if ((rc = read_signed(&b, bps, &out[i]))) return rc;
     } else if (sf_type >= 8 && sf_type <= 12) {   /* FIXED order 0-4 */
         int order = (int)sf_type - 8;
+        /* order > block_size would overrun out[] in the warmup loop below
+         * (the python path rejects it via the residual length check) */
+        if (order > block_size) return ERR_BAD_PARAM;
         for (int i = 0; i < order; i++)
             if ((rc = read_signed(&b, bps, &out[i]))) return rc;
         if ((rc = decode_residual(&b, block_size, order, out + order)))
@@ -168,6 +171,7 @@ int64_t flac_decode_subframe(const uint8_t *buf, int64_t len_bytes,
     } else if (sf_type >= 32) {             /* LPC order 1-32 */
         int order = (int)sf_type - 31;
         int64_t coeffs[32];
+        if (order > block_size) return ERR_BAD_PARAM;  /* out[] overrun guard */
         for (int i = 0; i < order; i++)
             if ((rc = read_signed(&b, bps, &out[i]))) return rc;
         uint64_t precision;

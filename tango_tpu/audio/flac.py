@@ -324,12 +324,15 @@ def decode_flac(data: bytes, verify_crc: bool = False) -> Tuple[np.ndarray, int,
     pos = 0
     if data[:3] == b"ID3":
         # ID3v2 tag prepended by some taggers: 10-byte header with a
-        # 28-bit syncsafe size
+        # 28-bit syncsafe size (+10-byte footer when flagged, ID3v2.4)
         if len(data) < 10:
             raise FlacError("truncated ID3 header")
         size = (
-            (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+            ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14)
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
         )
+        if data[5] & 0x10:
+            size += 10
         pos = 10 + size
     if data[pos:pos + 4] != b"fLaC":
         raise FlacError(

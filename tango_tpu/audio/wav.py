@@ -30,10 +30,22 @@ def sniff_format(path: str) -> str:
     if head[:4] == b"fLaC":
         return "flac"
     if head[:3] == b"ID3":
-        # ID3 tags prefix both mp3 and (rarely) FLAC; flac.decode_flac skips
-        # them — treat as flac-or-mp3 and let the decoder's loud magic check
-        # decide at read time
-        return "flac"
+        # ID3 tags prefix both mp3 and (rarely) FLAC — peek past the tag
+        # (10-byte header + 28-bit syncsafe size + optional 10-byte footer)
+        # so an ID3'd mp3 fails the preflight LOUDLY instead of degrading to
+        # the constant-waveform fallback at read time
+        size = (
+            ((head[6] & 0x7F) << 21) | ((head[7] & 0x7F) << 14)
+            | ((head[8] & 0x7F) << 7) | (head[9] & 0x7F)
+        )
+        if head[5] & 0x10:  # ID3v2.4 footer present flag
+            size += 10
+        with open(path, "rb") as f:
+            f.seek(10 + size)
+            magic = f.read(4)
+        if magic == b"fLaC":
+            return "flac"
+        return "mp3/other with ID3 tag (unsupported — transcode to wav/flac)"
     if head[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
         return "mp3 (unsupported — transcode to wav/flac)"
     if head[:4] == b"OggS":

@@ -162,6 +162,25 @@ def test_validate_manifest(tmp_path):
     assert "gone.wav" in msg
 
 
+def test_validate_manifest_id3_sniffs_past_tag(tmp_path):
+    """An ID3 tag prefixes both mp3 and FLAC: the preflight must peek past
+    the tag — an ID3'd mp3 previously sniffed as 'flac', passed preflight,
+    and silently trained on the constant-waveform fallback."""
+    from tango_tpu.audio.wav import sniff_format
+    from tango_tpu.train.data import Example, validate_manifest
+
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    id3_flac = tmp_path / "tagged.flac"
+    id3_flac.write_bytes(encode_flac(np.zeros(100, np.int64), id3_prefix=tag))
+    id3_mp3 = tmp_path / "tagged.mp3"
+    id3_mp3.write_bytes(tag + b"\xff\xfb\x90\x00" + b"\x00" * 64)
+
+    assert sniff_format(str(id3_flac)) == "flac"
+    validate_manifest([Example(str(id3_flac), "")])
+    with pytest.raises(ValueError, match="preflight failed"):
+        validate_manifest([Example(str(id3_mp3), "")])
+
+
 def test_native_and_python_paths_agree(monkeypatch):
     """The C subframe decoder (audio/_flac_native.c via ctypes) must be
     bit-exact with the pure-python reference path on a stream exercising
@@ -203,3 +222,25 @@ def test_python_fallback_roundtrip(monkeypatch):
                                                   kind="fixed", order=2,
                                                   rice_param=6))
     np.testing.assert_array_equal(out[:, 0], x)
+
+
+def test_order_exceeding_block_size_rejected():
+    """A crafted LPC subframe with order > block_size must be rejected by
+    BOTH paths — the C decoder previously wrote `order` warmup samples into
+    a block_size-sized buffer (heap overflow on malicious input)."""
+    from tango_tpu.audio import flac as flac_mod
+    from tango_tpu.audio.flac import FlacError, _Bits, _decode_subframe
+
+    # pad=0, sf_type=0b111111 (LPC order 32), wasted=0, then zero payload
+    buf = bytes([0x7E]) + b"\x00" * 64
+    if flac_mod._native is not None:
+        from tango_tpu.audio import flac_native
+
+        data, err = flac_native.decode_subframe(buf, 0, 16, 16)
+        assert data is None and err < 0
+    with pytest.raises(FlacError):
+        orig, flac_mod._native = flac_mod._native, None
+        try:
+            _decode_subframe(_Bits(buf), 16, 16)
+        finally:
+            flac_mod._native = orig

@@ -184,7 +184,16 @@ class Mustango:
     """Music generation pipeline (reference mustango/mustango.py:135-204)."""
 
     def __init__(self, name_or_path: Optional[str] = None, tokenizer=None,
-                 dtype=None, predictor: Optional[MusicFeaturePredictor] = None):
+                 dtype=None, predictor: Optional[MusicFeaturePredictor] = None,
+                 quant: Optional[str] = None):
+        # int8 W8A8 serving mode for the music UNet, same contract as
+        # Tango(quant=...): "conv" quantizes convs only (the measured v5e
+        # win class), "dense"/"all" exist for experiments (ops/quant.py)
+        if quant not in (None, False, "conv", "dense", "all"):
+            raise ValueError(
+                f"quant must be one of None/'conv'/'dense'/'all', got {quant!r}"
+            )
+        self.quant = quant or None
         self.dtype = dtype or _default_dtype()
         self.tokenizer = tokenizer
         self.predictor = predictor
@@ -227,8 +236,9 @@ class Mustango:
                         conditioner_params, t5_config=None, t5_params=None,
                         hifigan_config=None, hifigan_params=None, tokenizer=None,
                         predictor=None, dtype=None, latent_t_size=256, latent_f_size=16,
-                        d_music=None):
-        self = cls(None, tokenizer=tokenizer, dtype=dtype, predictor=predictor)
+                        d_music=None, quant=None):
+        self = cls(None, tokenizer=tokenizer, dtype=dtype, predictor=predictor,
+                   quant=quant)
         self._build(
             unet_config, vae_config, unet_params=unet_params, vae_params=vae_params,
             conditioner_params=conditioner_params, t5_config=t5_config,
@@ -241,6 +251,18 @@ class Mustango:
     def _build(self, unet_cfg, vae_cfg, *, unet_params, vae_params, conditioner_params,
                t5_params=None, t5_config=None, hifigan_config=None, hifigan_params=None,
                latent_t_size=256, latent_f_size=16, d_music=None):
+        if self.quant:
+            unet_cfg = dataclasses.replace(
+                unet_cfg, quant_int8=True, quant_scope=self.quant
+            )
+            from tango_tpu.ops.quant import quantize_tree
+
+            # quantize on host (f32 kernels -> int8 + f32 scales) before any
+            # device transfer — the same load-time path as Tango._build
+            unet_params = jax.tree_util.tree_map(
+                jnp.asarray,
+                quantize_tree(jax.device_get(unet_params), scope=self.quant),
+            )
         self.model = MusicAudioDiffusion(
             unet_config=unet_cfg,
             latent_t_size=latent_t_size,

@@ -44,8 +44,7 @@ class Predictor:
         if music:
             from tango_tpu.pipeline_music import Mustango
 
-            assert quant is None, "Mustango serves bf16 (no int8 mode measured)"
-            self.tango = Mustango(model)
+            self.tango = Mustango(model, quant=quant)
         else:
             from tango_tpu.pipeline import Tango
 
@@ -239,9 +238,7 @@ def main(argv=None):
     if args.music:
         from tango_tpu.pipeline_music import Mustango
 
-        if args.quant:
-            p.error("--quant is not supported with --music (Mustango serves bf16)")
-        model = Mustango(args.model)
+        model = Mustango(args.model, quant=args.quant)
         # run the (slow, deterministic) beat/chord predictor ONCE; only the
         # diffusion sampling differs across samples
         beats = chords = chords_times = None

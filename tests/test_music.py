@@ -230,3 +230,60 @@ def test_beat_type_overflow_raises():
         tokenize_beats([[0.5, 1.0], [1.0, 6.0]], seq_len=4)
     ids, times, mask = tokenize_beats([[0.5, 1.0], [1.0, 5.0]], seq_len=4)
     assert ids == [2, 6, 0, 0] and mask == [1, 1, 0, 0]
+
+
+def test_music_sample_int8_conv_close_to_f32():
+    """Mustango(quant='conv') class: the int8-conv music UNet must sample
+    within quantization noise of the f32 one (same contract as Tango's
+    test_cfg_loop_int8_error_comparable_to_bf16)."""
+    import dataclasses
+
+    from tango_tpu.ops.quant import quantize_tree
+
+    kw = dict(latent_t_size=8, latent_f_size=4, d_music=32, beat_len=6, chord_len=4)
+    diff = MusicAudioDiffusion(unet_config=TINY_MUSIC_UNET, **kw)
+    qcfg = dataclasses.replace(TINY_MUSIC_UNET, quant_int8=True, quant_scope="conv")
+    qdiff = MusicAudioDiffusion(unet_config=qcfg, **kw)
+
+    rng = jax.random.PRNGKey(0)
+    unet_params = diff.init_params(rng)
+    cond_params = diff.init_conditioner_params(rng)
+    qparams = quantize_tree(jax.device_get(unet_params), scope="conv")
+
+    beats = [[[0.5, 1.0, 1.5], [1.0, 2.0, 3.0]], [[], []]]
+    chords = [["Gm", "Eb"], []]
+    beat_emb, beat_mask, chord_emb, chord_mask = diff.encode_music(
+        cond_params, beats, chords, [[0.4, 1.2], []]
+    )
+    text = jax.random.normal(rng, (2, 5, 32))
+    tmask = jnp.ones((2, 5), jnp.int32)
+    args = (text, tmask, jax.random.PRNGKey(2),
+            beat_emb, beat_mask, chord_emb, chord_mask)
+    kw2 = dict(num_steps=4, guidance_scale=3.0,
+               uncond_embeds=jnp.zeros_like(text), uncond_mask=tmask,
+               cond_params=cond_params)
+    out_f = np.asarray(diff.music_sample(unet_params, *args, **kw2))
+    out_q = np.asarray(qdiff.music_sample(qparams, *args, **kw2))
+    bfdiff = MusicAudioDiffusion(unet_config=TINY_MUSIC_UNET, dtype=jnp.bfloat16, **kw)
+    out_b = np.asarray(bfdiff.music_sample(
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16), unet_params),
+        *args, **kw2,
+    )).astype(np.float32)
+    err_q = np.linalg.norm(out_q - out_f) / np.linalg.norm(out_f)
+    err_b = np.linalg.norm(out_b - out_f) / np.linalg.norm(out_f)
+    assert np.isfinite(out_q).all()
+    # same-order noise as bf16 (the Tango int8 CFG bound, tests/test_quant.py)
+    assert err_q < max(8 * err_b, 0.08), (err_q, err_b)
+
+    # the quantized tree really is int8 (not silently f32)
+    flat = jax.tree_util.tree_leaves(qparams)
+    assert sum(1 for v in flat if getattr(v, "dtype", None) == np.int8) >= 5
+
+
+def test_mustango_rejects_unknown_quant():
+    import pytest
+
+    from tango_tpu.pipeline_music import Mustango
+
+    with pytest.raises(ValueError, match="quant must be"):
+        Mustango(None, quant="int8")

@@ -198,14 +198,22 @@ def test_batching_predictor_music_mode(tmp_path, monkeypatch):
     p.close()
 
 
-def test_predictor_music_quant_rejected(monkeypatch):
+def test_predictor_music_quant_forwarded(monkeypatch):
+    """--quant composes with --music: Mustango(quant=...) gets the mode
+    (int8 W8A8 music UNet serving, same contract as Tango)."""
     import tango_tpu.pipeline_music as music_mod
     from tango_tpu.serve import Predictor
 
-    monkeypatch.setattr(music_mod, "Mustango", lambda name, **kw: _StubMustango(name, **kw))
+    seen = {}
+
+    def factory(name, **kw):
+        seen.update(kw)
+        return _StubMustango(name, **kw)
+
+    monkeypatch.setattr(music_mod, "Mustango", factory)
     p = Predictor()
-    with pytest.raises(AssertionError, match="bf16"):
-        p.setup(model="stub", quant="conv", music=True)
+    p.setup(model="stub", quant="conv", music=True)
+    assert seen.get("quant") == "conv"
 
 
 def test_predict_batch_empty_returns_empty(monkeypatch):

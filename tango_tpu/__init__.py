@@ -21,3 +21,25 @@ Reference parity targets are cited per-module as ``/root/reference/<file>:<line>
 __version__ = "0.1.0"
 
 from tango_tpu import configs  # noqa: F401
+
+_LAZY = {
+    "Tango": ("tango_tpu.pipeline", "Tango"),
+    "Mustango": ("tango_tpu.pipeline_music", "Mustango"),
+    "EvaluationHelper": ("tango_tpu.eval.evaluator", "EvaluationHelper"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (`from tango_tpu import Tango`) — mirrors the
+    reference's `from tango import Tango` without importing the heavy
+    model/tokenizer stacks on bare `import tango_tpu`."""
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'tango_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))

@@ -139,6 +139,23 @@ class UNetConfig(_FromDict):
             object.__setattr__(self, "sample_size", tuple(self.sample_size))
         if isinstance(self.attention_head_dim, (list, tuple)):
             object.__setattr__(self, "attention_head_dim", _tup(self.attention_head_dim))
+        # JSON-surface knobs no shipped Tango/Mustango/AudioLDM config moves
+        # off default and the TPU UNet does not implement: fail LOUDLY rather
+        # than silently build a different model than the json asked for
+        unsupported = {
+            "act_fn": ("silu", self.act_fn),
+            "only_cross_attention": (False, self.only_cross_attention),
+            "dual_cross_attention": (False, self.dual_cross_attention),
+            "num_class_embeds": (None, self.num_class_embeds),
+            "resnet_time_scale_shift": ("default", self.resnet_time_scale_shift),
+            "mid_block_scale_factor": (1.0, self.mid_block_scale_factor),
+        }
+        bad = {k: v for k, (dflt, v) in unsupported.items() if v != dflt}
+        if bad:
+            raise NotImplementedError(
+                f"UNetConfig fields not supported off-default: {bad} "
+                "(unused by every shipped reference config)"
+            )
 
     def heads_for_level(self, level: int) -> int:
         if isinstance(self.attention_head_dim, int):

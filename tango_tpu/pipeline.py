@@ -98,6 +98,7 @@ class Tango:
                 t5_params=loaded["t5_params"],
                 hifigan_params=loaded["hifigan_params"],
                 hifigan_config=loaded.get("hifigan_config") or C.TANGO_HIFIGAN,
+                scheduler_config=loaded.get("scheduler_config"),
             )
             if self.tokenizer is None:
                 self.tokenizer = _try_load_tokenizer(loaded["main_config"].text_encoder_name)

@@ -46,6 +46,9 @@ def parse_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=1e-8)
     p.add_argument("--num_train_epochs", type=int, default=40)
     p.add_argument("--num_warmup_steps", type=int, default=0)
+    p.add_argument("--lr_scheduler_type", type=str, default="linear",
+                   help="linear | cosine | constant | constant_with_warmup "
+                        "(reference train.py:140-146)")
     p.add_argument("--adam_beta1", type=float, default=0.9)
     p.add_argument("--adam_beta2", type=float, default=0.999)
     p.add_argument("--adam_epsilon", type=float, default=1e-8)
@@ -150,6 +153,7 @@ def main(argv=None):
         per_device_train_batch_size=args.per_device_train_batch_size,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         num_warmup_steps=args.num_warmup_steps,
+        lr_scheduler_type=args.lr_scheduler_type,
         snr_gamma=args.snr_gamma,
         uncondition=args.uncondition,
         augment=args.augment,
@@ -183,9 +187,12 @@ def main(argv=None):
 
     # mixup rows ride the same sharded batch: keep their count a multiple of
     # the (per-process) data-mesh share or shard_batch fails on the first
-    # augmented batch. augment_num is PER-PROCESS when multi-host.
-    local_bs = global_bs // n_proc
-    local_data = data_size // n_proc
+    # augmented batch. augment_num is PER-PROCESS when multi-host. When the
+    # 'data' axis is smaller than the process count (TP spanning hosts) the
+    # batch rows are REPLICATED per process: the local slice is the whole
+    # batch, and any augment count divides the 1-wide local data share.
+    local_bs = (train_rows.stop - train_rows.start) if train_rows is not None else global_bs
+    local_data = max(data_size // n_proc, 1)
     augment_num = (local_bs // 2) // local_data * local_data if args.augment else 0
     stft = MelSpectrogram(stft_config) if stft_config is not None else None
     train_loader = FeaturizedLoader(

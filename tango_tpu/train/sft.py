@@ -52,15 +52,33 @@ class TrainState:
 jax.tree_util.register_pytree_node_class(TrainState)
 
 
-def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
-    schedule = optax.linear_schedule(
-        init_value=cfg.learning_rate,
-        end_value=0.0,
-        transition_steps=max(total_steps - cfg.num_warmup_steps, 1),
-    )
+def make_schedule(cfg: TrainConfig, total_steps: int):
+    """lr schedule per cfg.lr_scheduler_type — the reference's
+    transformers.get_scheduler surface (train.py:140-146, 357-369): linear
+    (default), cosine, constant, constant_with_warmup. Anything else raises
+    (the remaining HF types are unused by any published recipe)."""
+    kind = cfg.lr_scheduler_type
+    decay_steps = max(total_steps - cfg.num_warmup_steps, 1)
+    if kind == "linear":
+        schedule = optax.linear_schedule(cfg.learning_rate, 0.0, decay_steps)
+    elif kind == "cosine":
+        # HF cosine: lr * 0.5*(1+cos(pi*progress)) after warmup
+        schedule = optax.cosine_decay_schedule(cfg.learning_rate, decay_steps)
+    elif kind in ("constant", "constant_with_warmup"):
+        schedule = optax.constant_schedule(cfg.learning_rate)
+    else:
+        raise ValueError(
+            f"lr_scheduler_type {kind!r} not supported "
+            "(linear/cosine/constant/constant_with_warmup)"
+        )
     if cfg.num_warmup_steps > 0:
         warmup = optax.linear_schedule(0.0, cfg.learning_rate, cfg.num_warmup_steps)
         schedule = optax.join_schedules([warmup, schedule], [cfg.num_warmup_steps])
+    return schedule
+
+
+def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
+    schedule = make_schedule(cfg, total_steps)
     tx = optax.adamw(
         learning_rate=schedule,
         b1=cfg.adam_beta1,

@@ -42,8 +42,8 @@ def load_tango_snapshot(path: str) -> Dict[str, Any]:
     """Load a reference-format Tango snapshot directory into tango_tpu form.
 
     Returns dict with configs + converted params:
-      {vae_config, stft_config, main_config, vae_params, unet_params,
-       t5_params (or None), hifigan_params (or None)}
+      {vae_config, stft_config, main_config, scheduler_config, vae_params,
+       unet_params, t5_params (or None), hifigan_params (or None)}
     """
     with open(os.path.join(path, "vae_config.json")) as f:
         vae_cfg_raw = json.load(f)
@@ -92,10 +92,31 @@ def load_tango_snapshot(path: str) -> Dict[str, Any]:
 
     from tango_tpu.models.t5 import convert_t5_encoder, t5_config_from_state_dict
 
+    # scheduler: the reference loads main_config's scheduler_name subfolder
+    # from the hub (tango.py:36) — always stabilityai/stable-diffusion-2-1
+    # for every released Tango. Honor a scheduler config shipped IN the
+    # snapshot first; otherwise the SD-2.1 coefficients, warning loudly if
+    # the snapshot names something else (offline — cannot fetch it).
+    scheduler_config = C.SD21_SCHEDULER
+    local_sched = os.path.join(path, "scheduler", "scheduler_config.json")
+    if os.path.exists(local_sched):
+        with open(local_sched) as f:
+            scheduler_config = C.SchedulerConfig.from_dict(json.load(f))
+    elif main_config.scheduler_name != "stabilityai/stable-diffusion-2-1":
+        import warnings
+
+        warnings.warn(
+            f"snapshot names scheduler {main_config.scheduler_name!r} but ships "
+            "no scheduler/scheduler_config.json; using SD-2.1 coefficients — "
+            "pass scheduler_config explicitly if that is wrong",
+            stacklevel=2,
+        )
+
     return {
         "vae_config": vae_config,
         "stft_config": stft_config,
         "main_config": main_config,
+        "scheduler_config": scheduler_config,
         "unet_config": unet_config,
         "vae_params": conv.convert_vae(vae_sd),
         "unet_params": conv.convert_unet(unet_sd),

@@ -108,3 +108,88 @@ def test_pyproject_console_scripts_resolve():
         mod_name, func_name = target.split(":")
         fn = getattr(importlib.import_module(mod_name), func_name)
         assert callable(fn), (name, target)
+
+
+def test_unet_config_rejects_unsupported_knobs():
+    """A JSON config moving an unimplemented diffusers knob off default must
+    raise, not silently build a different model."""
+    import pytest
+
+    from tango_tpu import configs as C
+
+    with pytest.raises(NotImplementedError, match="act_fn"):
+        C.UNetConfig(act_fn="gelu")
+    with pytest.raises(NotImplementedError, match="num_class_embeds"):
+        C.UNetConfig(num_class_embeds=10)
+    C.UNetConfig()  # defaults stay fine
+
+
+def test_lr_scheduler_types():
+    """lr_scheduler_type drives the optax schedule (reference
+    transformers.get_scheduler surface, train.py:140-146)."""
+    import numpy as np
+    import pytest
+
+    from tango_tpu.configs import TrainConfig
+    from tango_tpu.train.sft import make_schedule
+
+    base = dict(learning_rate=1e-3, num_warmup_steps=10)
+    lin = make_schedule(TrainConfig(**base, lr_scheduler_type="linear"), 110)
+    cos = make_schedule(TrainConfig(**base, lr_scheduler_type="cosine"), 110)
+    const = make_schedule(TrainConfig(**base, lr_scheduler_type="constant_with_warmup"), 110)
+    # warmup ramps from 0 for all three
+    for s in (lin, cos, const):
+        assert float(s(0)) == 0.0
+        assert abs(float(s(10)) - 1e-3) < 1e-9
+    # decay shapes: linear hits 0 at the end, cosine ~0, constant stays
+    assert float(lin(110)) < 1e-8
+    assert float(cos(110)) < 1e-7
+    assert abs(float(const(110)) - 1e-3) < 1e-9
+    # halfway: cosine sits at lr/2 (0.5*(1+cos(pi/2))... = lr*0.5), linear lr/2
+    assert abs(float(cos(60)) - 5e-4) < 1e-6
+    assert abs(float(lin(60)) - 5e-4) < 1e-6
+    with pytest.raises(ValueError, match="lr_scheduler_type"):
+        make_schedule(TrainConfig(**base, lr_scheduler_type="polynomial"), 110)
+
+
+def test_snapshot_scheduler_config(tmp_path):
+    """load_tango_snapshot returns a scheduler_config: a snapshot-shipped
+    scheduler/scheduler_config.json wins; a non-SD-2.1 scheduler_name with no
+    local json warns loudly (offline — cannot fetch the hub subfolder)."""
+    import json
+    import shutil
+    import warnings as warnings_mod
+
+    import pytest
+
+    from tests.conftest import GOLDEN
+    from tango_tpu.utils.checkpoint import load_tango_snapshot
+
+    src = GOLDEN / "snapshot_tiny"
+    if not src.exists():
+        pytest.skip("snapshot_tiny fixture not generated")
+    snap = tmp_path / "snap"
+    shutil.copytree(src, snap)
+
+    loaded = load_tango_snapshot(str(snap))
+    assert loaded["scheduler_config"].beta_schedule == "scaled_linear"  # SD-2.1
+
+    sdir = snap / "scheduler"
+    sdir.mkdir()
+    (sdir / "scheduler_config.json").write_text(json.dumps({
+        "num_train_timesteps": 500, "beta_schedule": "linear",
+        "prediction_type": "epsilon",
+    }))
+    loaded = load_tango_snapshot(str(snap))
+    sc = loaded["scheduler_config"]
+    assert (sc.num_train_timesteps, sc.beta_schedule) == (500, "linear")
+
+    shutil.rmtree(sdir)
+    cfg_path = snap / "main_config.json"
+    main = json.loads(cfg_path.read_text())
+    main["scheduler_name"] = "some/other-scheduler"
+    cfg_path.write_text(json.dumps(main))
+    with warnings_mod.catch_warnings(record=True) as w:
+        warnings_mod.simplefilter("always")
+        load_tango_snapshot(str(snap))
+    assert any("scheduler" in str(x.message) for x in w)

@@ -185,7 +185,11 @@ class Mustango:
 
     def __init__(self, name_or_path: Optional[str] = None, tokenizer=None,
                  dtype=None, predictor: Optional[MusicFeaturePredictor] = None,
-                 quant: Optional[str] = None):
+                 quant: Optional[str] = None, mesh=None):
+        # mesh: optional ('data','model') jax mesh — generate_for_batch
+        # shards batch rows over 'data' and the 1.4B music UNet params by the
+        # Megatron TP rules over 'model', exactly like Tango(mesh=...);
+        # use batch sizes divisible by the data axis
         # int8 W8A8 serving mode for the music UNet, same contract as
         # Tango(quant=...): "conv" quantizes convs only (the measured v5e
         # win class), "dense"/"all" exist for experiments (ops/quant.py)
@@ -194,6 +198,7 @@ class Mustango:
                 f"quant must be one of None/'conv'/'dense'/'all', got {quant!r}"
             )
         self.quant = quant or None
+        self.mesh = mesh
         self.dtype = dtype or _default_dtype()
         self.tokenizer = tokenizer
         self.predictor = predictor
@@ -236,9 +241,9 @@ class Mustango:
                         conditioner_params, t5_config=None, t5_params=None,
                         hifigan_config=None, hifigan_params=None, tokenizer=None,
                         predictor=None, dtype=None, latent_t_size=256, latent_f_size=16,
-                        d_music=None, quant=None):
+                        d_music=None, quant=None, mesh=None):
         self = cls(None, tokenizer=tokenizer, dtype=dtype, predictor=predictor,
-                   quant=quant)
+                   quant=quant, mesh=mesh)
         self._build(
             unet_config, vae_config, unet_params=unet_params, vae_params=vae_params,
             conditioner_params=conditioner_params, t5_config=t5_config,
@@ -283,7 +288,26 @@ class Mustango:
             if hifigan_params is not None else None
         )
         self.hifigan_params = hifigan_params
+        if self.mesh is not None:
+            from tango_tpu.parallel import mesh as pmesh
+
+            self.unet_params = pmesh.shard_params(self.unet_params, self.mesh)
+            rep = pmesh.replicated(self.mesh)
+            self.conditioner_params = jax.device_put(self.conditioner_params, rep)
+            self.vae_params = jax.device_put(self.vae_params, rep)
+            if self.t5_params is not None:
+                self.t5_params = jax.device_put(self.t5_params, rep)
+            if self.hifigan_params is not None:
+                self.hifigan_params = jax.device_put(self.hifigan_params, rep)
         self._rng = jax.random.PRNGKey(0)
+
+    def _maybe_shard_inputs(self, arrays):
+        """Shard per-batch device inputs over 'data' when serving on a mesh."""
+        if self.mesh is None:
+            return arrays
+        from tango_tpu.parallel import mesh as pmesh
+
+        return pmesh.shard_batch(arrays, self.mesh)
 
     def _tokenize_text(self, prompts, max_length=128):
         batch = self.tokenizer(
@@ -356,12 +380,15 @@ class Mustango:
         uids, umask = self._tokenize_text([""])
         self._rng, sub = jax.random.split(self._rng)
         rng = jax.random.PRNGKey(seed) if seed is not None else sub
-        wav = self._generate_fn(steps)(
-            self.unet_params, self.conditioner_params, self.vae_params,
-            self.hifigan_params, self.t5_params, ids, mask, uids, umask,
+        inputs = self._maybe_shard_inputs((
+            ids, mask, uids, umask,
             jnp.asarray(b_ids), jnp.asarray(b_times), jnp.asarray(b_mask),
             jnp.asarray(c_roots), jnp.asarray(c_types), jnp.asarray(c_invs),
-            jnp.asarray(c_times), jnp.asarray(c_mask), rng, guidance,
+            jnp.asarray(c_times), jnp.asarray(c_mask),
+        ))
+        wav = self._generate_fn(steps)(
+            self.unet_params, self.conditioner_params, self.vae_params,
+            self.hifigan_params, self.t5_params, *inputs, rng, guidance,
         )
         return waveform_to_int16(np.asarray(wav))[0]
 
@@ -403,14 +430,16 @@ class Mustango:
         outputs: List[np.ndarray] = []
         base = jax.random.PRNGKey(seed) if seed is not None else None
         n = len(prompts)
+        n_data = 1 if self.mesh is None else self.mesh.devices.shape[0]
         for ci, k in enumerate(range(0, n, batch_size)):
             idx = list(range(k, min(k + batch_size, n)))
             n_real = len(idx)
             # pad the tail chunk up to batch_size whenever a full chunk exists
             # (reuse the compiled full-batch executable; odd batches tile
-            # poorly on the MXU — docs/PERF.md batch sweep)
+            # poorly on the MXU — docs/PERF.md batch sweep); mesh batches
+            # must additionally divide the 'data' axis (same rule as Tango)
             target = batch_size if n > batch_size else n_real
-            while len(idx) < target:
+            while len(idx) < target or len(idx) % n_data:
                 idx.append(idx[len(idx) % n_real])
 
             b_struct = [
@@ -430,12 +459,15 @@ class Mustango:
                 rng = base if ci == 0 else jax.random.fold_in(base, ci)
             else:
                 self._rng, rng = jax.random.split(self._rng)
-            wav = self._generate_fn(steps)(
-                self.unet_params, self.conditioner_params, self.vae_params,
-                self.hifigan_params, self.t5_params, ids, mask, uids, umask,
+            inputs = self._maybe_shard_inputs((
+                ids, mask, uids, umask,
                 jnp.asarray(b_ids), jnp.asarray(b_times), jnp.asarray(b_mask),
                 jnp.asarray(c_roots), jnp.asarray(c_types), jnp.asarray(c_invs),
-                jnp.asarray(c_times), jnp.asarray(c_mask), rng, guidance,
+                jnp.asarray(c_times), jnp.asarray(c_mask),
+            ))
+            wav = self._generate_fn(steps)(
+                self.unet_params, self.conditioner_params, self.vae_params,
+                self.hifigan_params, self.t5_params, *inputs, rng, guidance,
             )
             outputs += list(waveform_to_int16(np.asarray(wav))[:n_real])
         return outputs

@@ -37,6 +37,9 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--with_tracking", action="store_true",
+                   help="log to wandb if available (reference "
+                        "tango2-train.py:193-207)")
     return p.parse_args(argv)
 
 
@@ -203,12 +206,26 @@ def main(argv=None):
                     mesh,
                 )
 
+    tracker = None
+    if args.with_tracking and jax.process_index() == 0:
+        try:
+            import wandb
+
+            tracker = wandb.init(project="tango_tpu_dpo", config=vars(args))
+        except Exception as e:
+            print(f"# wandb unavailable ({e}); falling back to stdout", flush=True)
+
+    def log_fn(rec):
+        if jax.process_index() == 0:
+            print(json.dumps(rec), flush=True)
+        if tracker is not None:
+            tracker.log(rec)
+
     with mesh:
         trainer.fit(
             state, ref_params, batches, jax.random.PRNGKey(args.seed), out_dir,
             val_batches=val_batches,
-            log_fn=lambda r: (jax.process_index() == 0
-                              and print(json.dumps(r), flush=True)),
+            log_fn=log_fn,
         )
 
 

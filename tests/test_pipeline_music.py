@@ -59,7 +59,7 @@ def test_parse_chords_malformed():
     assert chords == ["C"] and times == [3.0]
 
 
-def _tiny_mustango():
+def _tiny_mustango(**kw):
     k = jax.random.PRNGKey(0)
     model = MusicAudioDiffusion(
         unet_config=TINY_MUSIC_UNET, latent_t_size=8, latent_f_size=4,
@@ -89,6 +89,7 @@ def _tiny_mustango():
         latent_t_size=8,
         latent_f_size=4,
         d_music=16,
+        **kw,
     )
 
 
@@ -137,3 +138,25 @@ def test_mustango_generate_for_batch_explicit_features_skip_predictor():
         chords_times=[[0.4], []],
     )
     assert len(wavs) == 2
+
+
+def test_mustango_generates_under_mesh():
+    """Multi-chip music serving: an (8-data x 1-model) mesh generation must
+    match the meshless output (DP inference parity — same contract as
+    Tango's test_pipeline_generates_under_mesh, now extended to the
+    triple-stream music pipeline with its beat/chord feature inputs)."""
+    from tango_tpu.parallel import mesh as pmesh
+
+    plain = _tiny_mustango()
+    sharded = _tiny_mustango(mesh=pmesh.make_mesh(data=8, model=1))
+
+    prompts = [f"music piece number {i}" for i in range(8)]
+    a = plain.generate_for_batch(prompts, steps=2, guidance=3.0,
+                                 batch_size=8, seed=9)
+    b = sharded.generate_for_batch(prompts, steps=2, guidance=3.0,
+                                   batch_size=8, seed=9)
+    assert len(a) == len(b) == 8
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(
+            x.astype(np.float32), y.astype(np.float32), atol=2.0
+        )

@@ -1,0 +1,54 @@
+"""Objective-evaluation CLI — `python -m tango_tpu.eval gen_dir ref_dir`.
+
+The reference exposes audioldm_eval only as a library (EvaluationHelper
+driven from inference.py / eval scripts, /root/reference/audioldm_eval/
+audioldm_eval/eval.py:21-91); this thin CLI runs the same metric set over
+two wav directories and writes the same-shaped
+`<gen_dir>_evaluation_results.json` the reference writes (eval.py:300-325).
+
+    python -m tango_tpu.eval generated/ groundtruth/ \
+        --cnn14_ckpt Cnn14_mAP=0.431.pth --vggish_ckpt vggish.pth
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="FD/FAD/KL/IS/KID/LSD/PSNR/SSIM over two wav dirs"
+    )
+    p.add_argument("generation_result_path", help="generated wav dir")
+    p.add_argument("target_audio_path", help="ground-truth wav dir")
+    p.add_argument("--limit_num", type=int, default=None,
+                   help="evaluate only the first N files (eval.py limit_num)")
+    p.add_argument("--cnn14_ckpt", type=str, default=None,
+                   help="Cnn14 16k checkpoint for FD/KL/IS/KID (random init "
+                        "without it — scores are then NOT comparable)")
+    p.add_argument("--vggish_ckpt", type=str, default=None,
+                   help="VGGish checkpoint for FAD")
+    p.add_argument("--output", type=str, default=None,
+                   help="extra result json copy (the helper always writes "
+                        "<gen_dir>_evaluation_results.json like the reference)")
+    args = p.parse_args(argv)
+
+    from tango_tpu.eval.evaluator import EvaluationHelper
+
+    helper = EvaluationHelper(
+        cnn14_ckpt=args.cnn14_ckpt, vggish_ckpt=args.vggish_ckpt
+    )
+    result = helper.main(
+        args.generation_result_path, args.target_audio_path,
+        limit_num=args.limit_num,
+    )
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -194,3 +194,32 @@ def test_eval_loaders_match_reference_semantics(tmp_path):
     np.testing.assert_allclose(
         _read_wave_dataset(ps, 16000)[:16000], wd[:16000], atol=2e-4
     )
+
+
+def test_eval_cli_end_to_end(tmp_path):
+    """`python -m tango_tpu.eval gen ref` — the CLI wrapper produces the
+    reference result-key set and the --output copy."""
+    import json as json_mod
+
+    from tango_tpu.audio.wav import write_wav
+    from tango_tpu.eval.__main__ import main as eval_main
+
+    gen = tmp_path / "gen"
+    ref = tmp_path / "ref"
+    gen.mkdir(), ref.mkdir()
+    rng = np.random.RandomState(1)
+    t = np.linspace(0, 2.0, 32000, endpoint=False)
+    for i in range(2):
+        base = 0.4 * np.sin(2 * np.pi * (300 + 40 * i) * t)
+        write_wav(str(ref / f"output_{i}.wav"), base.astype(np.float32))
+        write_wav(str(gen / f"output_{i}.wav"),
+                  (base + 0.05 * rng.randn(len(t))).astype(np.float32))
+
+    out = tmp_path / "res.json"
+    result = eval_main([str(gen), str(ref), "--output", str(out)])
+    assert "frechet_distance" in result and "lsd" in result
+    assert np.isfinite(result["lsd"]) and result["lsd"] > 0
+    # the --output copy carries the same key set (values may be NaN without
+    # pretrained extractor checkpoints — NaN != NaN, so compare keys)
+    assert set(json_mod.loads(out.read_text())) == set(result)
+    assert os.path.exists(str(gen) + "_evaluation_results.json")

@@ -288,6 +288,12 @@ def make_scheduler_golden():
         data[f"{vt}_step700"] = step700.numpy()
         data[f"{vt}_step3"] = step3.numpy()
 
+    # remaining beta schedules (scheduling_ddpm.py:138-155): table-level pins
+    for sched in ("squaredcos_cap_v2", "sigmoid"):
+        s = DDPMScheduler(num_train_timesteps=1000, beta_start=0.0001,
+                          beta_end=0.02, beta_schedule=sched)
+        data[f"betas_{sched}"] = s.betas.numpy()
+
     # dynamic thresholding (Imagen, scheduling_ddpm.py:245-254) — DDPM and
     # DDIM steps through _threshold_sample; a wide-range x0 so the quantile
     # actually clamps

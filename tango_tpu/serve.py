@@ -12,6 +12,10 @@ docs/PERF.md). The CLI is the quick path:
 
     python -m tango_tpu.serve --model <snapshot> --prompt "an audio prompt" \
         --steps 100 --guidance 3 --output out.wav
+
+Server mode (`--listen PORT`) exposes the BatchingPredictor over a stdlib
+ThreadingHTTPServer: POST /generate {"prompt": ...} returns audio/wav bytes,
+concurrent requests coalesce into padded device batches (serve_http).
 """
 
 from __future__ import annotations
@@ -216,10 +220,82 @@ class BatchingPredictor(Predictor):
                     r.done.set()
 
 
+def serve_http(predictor, port: int, host: str = "127.0.0.1"):
+    """Minimal stdlib HTTP server over a (Batching)Predictor.
+
+    Endpoints:
+      GET  /healthz              -> 200 "ok" once the warmup finished
+      POST /generate  {"prompt": ..., "steps": 100, "guidance": 3.0,
+                       "seed": null}  -> 200 audio/wav bytes
+
+    ThreadingHTTPServer gives one thread per request; concurrent /generate
+    calls coalesce into padded batches inside BatchingPredictor (the measured
+    B4 throughput point, docs/PERF.md). Returns the server object — call
+    .serve_forever() (the CLI does) or .shutdown() from tests.
+    """
+    import json as json_mod
+    import tempfile
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, body: bytes, ctype: str = "text/plain"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b"ok")
+            else:
+                self._send(404, b"not found")
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, b"not found")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json_mod.loads(self.rfile.read(n) or b"{}")
+                prompt = req.get("prompt")
+                if not prompt or not isinstance(prompt, str):
+                    self._send(400, b'{"error": "missing prompt"}',
+                               "application/json")
+                    return
+                with tempfile.TemporaryDirectory() as td:
+                    path = predictor.predict(
+                        prompt,
+                        steps=int(req.get("steps", 100)),
+                        guidance=float(req.get("guidance", 3.0)),
+                        output_path=os.path.join(td, "out.wav"),
+                        seed=(int(req["seed"]) if req.get("seed") is not None
+                              else None),
+                    )
+                    with open(path, "rb") as f:
+                        wav = f.read()
+                self._send(200, wav, "audio/wav")
+            except (ValueError, TypeError, json_mod.JSONDecodeError) as e:
+                self._send(400, json_mod.dumps({"error": str(e)}).encode(),
+                           "application/json")
+            except Exception as e:  # generation failure -> 500, server lives on
+                self._send(500, json_mod.dumps({"error": str(e)}).encode(),
+                           "application/json")
+
+        def log_message(self, fmt, *args):  # quiet request log
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="tango_tpu generation CLI")
     p.add_argument("--model", type=str, default="declare-lab/tango")
-    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--prompt", type=str, default=None)
+    p.add_argument("--listen", type=int, default=None, metavar="PORT",
+                   help="serve HTTP on this port instead of one-shot "
+                        "generation (POST /generate, GET /healthz; concurrent "
+                        "requests batch via BatchingPredictor)")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--guidance", type=float, default=3.0)
     p.add_argument("--samples", type=int, default=1)
@@ -231,6 +307,20 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.samples < 1:
         p.error("--samples must be >= 1")
+    if args.listen is None and args.prompt is None:
+        p.error("--prompt is required (or --listen PORT for server mode)")
+
+    if args.listen is not None:
+        predictor = BatchingPredictor()
+        predictor.setup(args.model, quant=args.quant, music=args.music)
+        server = serve_http(predictor, args.listen)
+        print(f"serving on :{args.listen} (POST /generate, GET /healthz)",
+              flush=True)
+        try:
+            server.serve_forever()
+        finally:
+            predictor.close()
+        return
 
     from tango_tpu.audio.wav import write_wav
 

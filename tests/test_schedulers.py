@@ -76,6 +76,18 @@ def test_ddpm_learned_variance_parity(vt):
         )
 
 
+@pytest.mark.parametrize("sched", ["squaredcos_cap_v2", "sigmoid"])
+def test_remaining_beta_schedules_parity(sched):
+    """Table-level pins for the two β schedules no shipped config uses
+    (scheduling_ddpm.py:138-155) — completes all four schedule branches."""
+    g = load_golden("schedulers")
+    s = DDPMScheduler.create(SchedulerConfig(
+        beta_start=0.0001, beta_end=0.02, beta_schedule=sched,
+    ))
+    np.testing.assert_allclose(np.asarray(s.betas), g[f"betas_{sched}"],
+                               atol=1e-7)
+
+
 def test_dynamic_thresholding_parity():
     """Imagen dynamic thresholding vs the fork's _threshold_sample
     (scheduling_ddpm.py:245-254), through both the DDPM and DDIM steps."""

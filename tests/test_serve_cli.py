@@ -238,3 +238,72 @@ def test_batching_predictor_predict_after_close_raises(tmp_path, monkeypatch):
     p.close()
     with pytest.raises(RuntimeError, match="closed"):
         p.predict("late", steps=3, output_path=str(tmp_path / "late.wav"))
+
+
+def test_http_server_end_to_end(monkeypatch):
+    """--listen server mode: concurrent POST /generate requests return WAV
+    bytes and coalesce into ONE padded device batch; healthz + 400 paths."""
+    import json as json_mod
+    import threading
+    import urllib.request
+
+    import tango_tpu.pipeline as pipeline_mod
+    from tango_tpu.serve import BatchingPredictor, serve_http
+
+    stub = {}
+
+    def factory(name, **kw):
+        stub["m"] = _StubTango(name, **kw)
+        return stub["m"]
+
+    monkeypatch.setattr(pipeline_mod, "Tango", factory)
+    p = BatchingPredictor(max_batch=4, max_wait_ms=300)
+    p.setup(model="stub")
+    n_warm = len(stub["m"].batch_calls)
+    server = serve_http(p, 0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10
+        ) as r:
+            assert r.status == 200 and r.read() == b"ok"
+
+        results = {}
+
+        def post(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json_mod.dumps({"prompt": f"clip {i}", "steps": 100}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                results[i] = (r.status, r.headers["Content-Type"], r.read())
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=30)
+        assert len(results) == 3
+        for status, ctype, body in results.values():
+            assert status == 200 and ctype == "audio/wav"
+            assert body[:4] == b"RIFF" and len(body) > 1000
+        # the three concurrent posts rode one padded batch
+        served = stub["m"].batch_calls[n_warm:]
+        assert len(served) == 1 and len(served[0][0]) == 4
+
+        # bad request: missing prompt
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        p.close()

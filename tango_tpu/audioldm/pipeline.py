@@ -161,6 +161,11 @@ class AudioLDMPipeline:
     stft_config: C.StftConfig = dataclasses.field(default_factory=C.StftConfig)
     latent_f_size: int = 16
     dtype: any = jnp.float32
+    # optional ('data','model') mesh: batch rows shard over 'data' and params
+    # replicate (DP serving — AudioLDM-S is ~185M, far below one chip; the
+    # Megatron TP rules target token-level cross-attention names the FiLM
+    # UNet doesn't have). Same pattern as Tango(mesh=...)/Mustango(mesh=...).
+    mesh: Optional[object] = None
 
     unet_params: Optional[dict] = None
     vae_params: Optional[dict] = None
@@ -177,6 +182,54 @@ class AudioLDMPipeline:
         # every call dispatches op-by-op over the axon relay (~1 s/op,
         # CLAUDE.md) and re-traces the UNet scan body per call
         self._fns = {}
+        self._mesh_placed = False
+
+    # ------------------------------------------------------------------ mesh
+    def _mesh_place(self):
+        """Replicate params on the mesh once (lazy: tests and from_checkpoint
+        both assign params after/at construction)."""
+        if self.mesh is None or self._mesh_placed:
+            return
+        from tango_tpu.parallel import mesh as pmesh
+
+        rep = pmesh.replicated(self.mesh)
+        for name in ("unet_params", "vae_params", "hifigan_params"):
+            p = getattr(self, name)
+            if p is not None:
+                setattr(self, name, jax.device_put(p, rep))
+        self._mesh_placed = True
+
+    def _shard_rows(self, arrays):
+        """Shard every leaf's leading (batch) axis over 'data'; no-op meshless.
+
+        Callers pad batches to `pad_batch` multiples first; leaves whose
+        leading dim doesn't divide the data axis anyway (the batch-1 source
+        mel in style transfer, broadcast masks) replicate instead — correct,
+        just not distributed."""
+        if self.mesh is None:
+            return arrays
+        from tango_tpu.parallel import mesh as pmesh
+
+        self._mesh_place()
+        d = self.mesh.devices.shape[0]
+        row = pmesh.batch_sharding(self.mesh)
+        rep = pmesh.replicated(self.mesh)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, row if x.shape[0] % d == 0 else rep),
+            arrays,
+        )
+
+    def pad_batch(self, n: int) -> int:
+        """Round a batch up to the 'data'-axis multiple the mesh needs.
+
+        Padding is output-invariant for the leading n rows: the counter-based
+        PRNG draws row-major, so shapes differing only in the leading dim
+        share their leading rows' noise (the Tango generate_for_batch
+        property), and FiLM/GroupNorm/attention are all per-sample."""
+        if self.mesh is None:
+            return n
+        d = self.mesh.devices.shape[0]
+        return -(-n // d) * d
 
     @classmethod
     def from_checkpoint(cls, ckpt_path: str, conditioner: Optional[ClapConditioner] = None,
@@ -185,7 +238,7 @@ class AudioLDMPipeline:
                         vae_config: Optional[VAEConfig] = None,
                         hifigan_config: Optional[C.HiFiGANConfig] = None,
                         stft_config: Optional[C.StftConfig] = None,
-                        latent_f_size: int = 16) -> "AudioLDMPipeline":
+                        latent_f_size: int = 16, mesh=None) -> "AudioLDMPipeline":
         """Load the monolithic audioldm-*-full.ckpt (models.py:27-52 layout).
 
         When the ckpt carries `cond_stage_model.model.*` weights (every
@@ -216,6 +269,7 @@ class AudioLDMPipeline:
             hifigan_config=hifigan_config or C.HiFiGANConfig(),
             stft_config=stft_config or C.StftConfig(),
             latent_f_size=latent_f_size,
+            mesh=mesh,
             dtype=dtype,
             unet_params=convert_film_unet(unet_sd, unet_config),
             vae_params=conv.convert_vae(vae_sd),
@@ -270,6 +324,9 @@ class AudioLDMPipeline:
                 return latents
 
             self._fns[key] = jax.jit(run)
+        film_cond, film_uncond = self._shard_rows((film_cond, film_uncond))
+        if has_init:
+            (init_latents,) = self._shard_rows((init_latents,))
         return self._fns[key](
             self.unet_params, film_cond, film_uncond, rng, jnp.asarray(all_ts),
             guidance_scale,
@@ -338,10 +395,10 @@ class AudioLDMPipeline:
                 return latents
 
             self._fns[fkey] = jax.jit(run)
-        return self._fns[fkey](
-            self.unet_params, film_cond,
-            film_uncond if cfg else film_cond, rng,
+        film_cond, film_uncond = self._shard_rows(
+            (film_cond, film_uncond if cfg else film_cond)
         )
+        return self._fns[fkey](self.unet_params, film_cond, film_uncond, rng)
 
     def decode(self, latents) -> np.ndarray:
         key = ("decode", latents.shape)
@@ -356,6 +413,7 @@ class AudioLDMPipeline:
                 ).astype(jnp.float32)
 
             self._fns[key] = jax.jit(run)
+        (latents,) = self._shard_rows((latents,))
         return waveform_to_int16(
             np.asarray(self._fns[key](self.vae_params, self.hifigan_params, latents))
         )
@@ -369,6 +427,7 @@ class AudioLDMPipeline:
                     {"params": p}, m, k, method=self.vae.encode_first_stage
                 ).astype(jnp.float32)
             )
+        (mel,) = self._shard_rows((mel,))
         return self._fns[key](self.vae_params, mel, rng)
 
 
@@ -395,6 +454,7 @@ def text_to_audio(
     reference set_cond_audio / embed_mode="audio", pipeline.py:97-133)."""
     cond = pipeline.conditioner
     n = batchsize * max(n_candidate_gen_per_text, 1)
+    n_pad = pipeline.pad_batch(n)  # extra rows dropped after decode
     if original_audio_file_path is not None:
         if not hasattr(cond, "audio_embed"):
             raise ValueError(
@@ -405,11 +465,11 @@ def text_to_audio(
 
         wav = read_wav_file(original_audio_file_path, int(duration * 102.4) * 160)
         film_cond = jnp.asarray(
-            np.repeat(cond.audio_embed(np.asarray(wav, np.float32)), n, axis=0)
+            np.repeat(cond.audio_embed(np.asarray(wav, np.float32)), n_pad, axis=0)
         )
     else:
-        film_cond = jnp.asarray(np.repeat(cond.text_embed([text]), n, axis=0))
-    film_uncond = jnp.asarray(cond.unconditional_embed(n))
+        film_cond = jnp.asarray(np.repeat(cond.text_embed([text]), n_pad, axis=0))
+    film_uncond = jnp.asarray(cond.unconditional_embed(n_pad))
 
     rng = jax.random.PRNGKey(seed)
     latents = pipeline.sample_latents(
@@ -422,7 +482,7 @@ def text_to_audio(
     # so gate on the same max|latent| > 1e2 condition
     if float(jnp.max(jnp.abs(latents))) > 1e2:
         latents = jnp.clip(latents, -10.0, 10.0)
-    wavs = pipeline.decode(latents)
+    wavs = pipeline.decode(latents)[:n]
     if n_candidate_gen_per_text > 1:
         # reference selection (ldm.py:710-718): best-of-candidates PER SLOT
         # in slot order (candidates of slot i sit at i::batchsize), not a
@@ -475,7 +535,8 @@ def style_transfer(
     # extreme-latent guard after encode (reference pipeline.py:209-210)
     if float(jnp.max(jnp.abs(z0))) > 1e2:
         z0 = jnp.clip(z0, -10.0, 10.0)
-    z0 = jnp.repeat(z0, batchsize, axis=0)
+    b_pad = pipeline.pad_batch(batchsize)  # extra rows dropped after decode
+    z0 = jnp.repeat(z0, b_pad, axis=0)
 
     t_start_idx = int(transfer_strength * ddim_steps)
     if t_start_idx <= 0:
@@ -491,8 +552,8 @@ def style_transfer(
         )
 
         cond = pipeline.conditioner
-        film_cond = jnp.asarray(np.repeat(cond.text_embed([text]), batchsize, axis=0))
-        film_uncond = jnp.asarray(cond.unconditional_embed(batchsize))
+        film_cond = jnp.asarray(np.repeat(cond.text_embed([text]), b_pad, axis=0))
+        film_uncond = jnp.asarray(cond.unconditional_embed(b_pad))
         latents = pipeline.sample_latents(
             film_cond, film_uncond, k_samp,
             latent_t_size=z0.shape[1], ddim_steps=ddim_steps,
@@ -500,7 +561,7 @@ def style_transfer(
         )
     # the reference trims the last 3 latent time-frames before decoding
     # (pipeline.py:240-241: decode_first_stage(samples[:, :, :-3, :]))
-    return pipeline.decode(latents[:, :-3])
+    return pipeline.decode(latents[:, :-3])[:batchsize]
 
 
 def super_resolution_and_inpainting(
@@ -528,7 +589,8 @@ def super_resolution_and_inpainting(
     target_len = int(duration * 102.4)
     wav = read_wav_file(original_audio_file_path, target_len * 160)
     fbank, _ = wav_batch_to_fbank(pipeline.stft, wav, target_len)
-    mel = jnp.repeat(fbank[..., None], batchsize, axis=0)
+    b_pad = pipeline.pad_batch(batchsize)  # extra rows dropped after decode
+    mel = jnp.repeat(fbank[..., None], b_pad, axis=0)
 
     rng = jax.random.PRNGKey(seed)
     k_enc, k_init, k_step = jax.random.split(rng, 3)
@@ -545,8 +607,8 @@ def super_resolution_and_inpainting(
     mask = jnp.asarray(mask)[None, :, :, None]
 
     cond = pipeline.conditioner
-    film_cond = jnp.asarray(np.repeat(cond.text_embed([text]), batchsize, axis=0))
-    film_uncond = jnp.asarray(cond.unconditional_embed(batchsize))
+    film_cond = jnp.asarray(np.repeat(cond.text_embed([text]), b_pad, axis=0))
+    film_uncond = jnp.asarray(cond.unconditional_embed(b_pad))
     film = jnp.concatenate([film_uncond, film_cond], axis=0)
 
     sched = pipeline.scheduler
@@ -590,8 +652,9 @@ def super_resolution_and_inpainting(
 
         pipeline._fns[fkey] = jax.jit(run)
 
+    z0, film, mask = pipeline._shard_rows((z0, film, mask))
     latents = pipeline._fns[fkey](
         pipeline.unet_params, z0, film, mask, timesteps, guidance_scale,
         k_init, k_step,
     )
-    return pipeline.decode(latents)
+    return pipeline.decode(latents)[:batchsize]

@@ -360,6 +360,48 @@ def test_p_sample_loop_ddpm_path(tiny_audioldm):
     assert np.isfinite(np.asarray(lat3)).all()
 
 
+def test_text_to_audio_under_mesh(tiny_audioldm, tmp_path):
+    """AudioLDM mesh (DP) serving parity: an (8-data x 1-model) mesh
+    generation matches the meshless output row-for-row. batchsize=2 x 3
+    candidates = 6 rows pads to 8 on the mesh, so this also pins the
+    pad_batch leading-row PRNG invariance."""
+    from tango_tpu.parallel import mesh as pmesh
+
+    sharded = AudioLDMPipeline(
+        unet_config=TINY_FILM_UNET,
+        vae_config=TINY_VAE,
+        hifigan_config=TINY_HIFI,
+        stft_config=C.StftConfig(n_mel_channels=8),
+        latent_f_size=4,
+        conditioner=tiny_audioldm.conditioner,
+        mesh=pmesh.make_mesh(data=8, model=1),
+    )
+    sharded.unet_params = tiny_audioldm.unet_params
+    sharded.vae_params = tiny_audioldm.vae_params
+    sharded.hifigan_params = tiny_audioldm.hifigan_params
+
+    kw = dict(duration=8 / 25.6, ddim_steps=3, batchsize=2,
+              n_candidate_gen_per_text=3, seed=11)
+    a = text_to_audio(tiny_audioldm, "a dog barks", **kw)
+    b = text_to_audio(sharded, "a dog barks", **kw)
+    assert a.shape == b.shape == (2, a.shape[1])
+    np.testing.assert_allclose(a.astype(np.float32), b.astype(np.float32), atol=2.0)
+
+    # style transfer rides the same mesh path (batch-1 mel replicates,
+    # padded sampling rows shard)
+    from tango_tpu.audio.wav import write_wav
+
+    src = str(tmp_path / "mesh_src.wav")
+    t = np.linspace(0, 1, 16000, endpoint=False)
+    write_wav(src, (0.5 * np.sin(2 * np.pi * 330 * t)).astype(np.float32))
+    skw = dict(transfer_strength=0.5, duration=16 / 102.4, ddim_steps=4,
+               batchsize=1)
+    sa = style_transfer(tiny_audioldm, "lo-fi beat", src, **skw)
+    sb = style_transfer(sharded, "lo-fi beat", src, **skw)
+    assert sa.shape == sb.shape
+    np.testing.assert_allclose(sa.astype(np.float32), sb.astype(np.float32), atol=2.0)
+
+
 def dataclasses_replace_scheduler(pipe, **sched_kw):
     import dataclasses as _dc
 

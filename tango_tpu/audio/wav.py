@@ -30,6 +30,8 @@ def sniff_format(path: str) -> str:
     if head[:4] == b"fLaC":
         return "flac"
     if head[:3] == b"ID3":
+        if len(head) < 10:
+            return "truncated ID3 header (unsupported)"
         # ID3 tags prefix both mp3 and (rarely) FLAC — peek past the tag
         # (10-byte header + 28-bit syncsafe size + optional 10-byte footer)
         # so an ID3'd mp3 fails the preflight LOUDLY instead of degrading to

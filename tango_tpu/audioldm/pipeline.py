@@ -211,13 +211,7 @@ class AudioLDMPipeline:
         from tango_tpu.parallel import mesh as pmesh
 
         self._mesh_place()
-        d = self.mesh.devices.shape[0]
-        row = pmesh.batch_sharding(self.mesh)
-        rep = pmesh.replicated(self.mesh)
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, row if x.shape[0] % d == 0 else rep),
-            arrays,
-        )
+        return pmesh.shard_batch_or_replicate(arrays, self.mesh)
 
     def pad_batch(self, n: int) -> int:
         """Round a batch up to the 'data'-axis multiple the mesh needs.

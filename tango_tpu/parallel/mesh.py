@@ -161,6 +161,24 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 
+def shard_batch_or_replicate(batch, mesh: Mesh):
+    """Serving-path placement: shard each leaf's leading axis over 'data'
+    when it divides the axis, REPLICATE it otherwise.
+
+    Single-prompt generate() calls reach the mesh with batch-1 inputs, where
+    a hard P('data') device_put raises on divisibility; replicating is
+    correct (every data-axis replica computes the same row — latency path,
+    not throughput). Training keeps the strict `shard_batch`: silently
+    replicating a training batch would mask a real global-batch config error.
+    """
+    d = mesh.shape["data"]
+    row, rep = batch_sharding(mesh), replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, row if np.shape(x)[0] % d == 0 else rep),
+        batch,
+    )
+
+
 def shard_latents_seq(latents: jnp.ndarray, mesh: Optional[Mesh] = None) -> jnp.ndarray:
     """Sequence-parallel constraint: shard the latent time axis over 'model'.
 

@@ -374,7 +374,10 @@ class Tango:
         if self.mesh is not None:
             from tango_tpu.parallel import mesh as pmesh
 
-            cond, cond_mask, uncond, uncond_mask = pmesh.shard_batch(
+            # _or_replicate: single-prompt generate() reaches here with
+            # batch-1 rows that can't shard over 'data' — replicate those
+            # (correct latency path; generate_for_batch pads for throughput)
+            cond, cond_mask, uncond, uncond_mask = pmesh.shard_batch_or_replicate(
                 (cond, cond_mask, uncond, uncond_mask), self.mesh
             )
         latents = self._sample_fn(steps, cfg, latent_t)(

@@ -302,12 +302,13 @@ class Mustango:
         self._rng = jax.random.PRNGKey(0)
 
     def _maybe_shard_inputs(self, arrays):
-        """Shard per-batch device inputs over 'data' when serving on a mesh."""
+        """Shard per-batch device inputs over 'data' when serving on a mesh;
+        non-divisible batches (single-prompt generate) replicate instead."""
         if self.mesh is None:
             return arrays
         from tango_tpu.parallel import mesh as pmesh
 
-        return pmesh.shard_batch(arrays, self.mesh)
+        return pmesh.shard_batch_or_replicate(arrays, self.mesh)
 
     def _tokenize_text(self, prompts, max_length=128):
         batch = self.tokenizer(

@@ -181,6 +181,14 @@ def test_validate_manifest_id3_sniffs_past_tag(tmp_path):
         validate_manifest([Example(str(id3_mp3), "")])
 
 
+def test_sniff_truncated_id3_is_loud_not_indexerror(tmp_path):
+    from tango_tpu.audio.wav import sniff_format
+
+    p = tmp_path / "trunc.mp3"
+    p.write_bytes(b"ID3\x04\x00")  # 5-byte file: shorter than the ID3 header
+    assert "unsupported" in sniff_format(str(p))
+
+
 def test_native_and_python_paths_agree(monkeypatch):
     """The C subframe decoder (audio/_flac_native.c via ctypes) must be
     bit-exact with the pure-python reference path on a stream exercising

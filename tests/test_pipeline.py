@@ -213,6 +213,14 @@ def test_pipeline_generates_under_mesh():
             x.astype(np.float32), y.astype(np.float32), atol=2.0
         )
 
+    # single-prompt generate under the mesh: batch-1 rows REPLICATE instead
+    # of raising a device_put divisibility ValueError (regression)
+    sa = plain.generate("a dog barks", steps=2, seed=3)
+    sb = sharded.generate("a dog barks", steps=2, seed=3)
+    np.testing.assert_allclose(
+        sa.astype(np.float32), sb.astype(np.float32), atol=2.0
+    )
+
 
 def test_generate_duration_override(tiny_tango):
     # tiny unet has 2 levels -> factor 2; 0.5s -> latent_t ~ 12

@@ -160,3 +160,12 @@ def test_mustango_generates_under_mesh():
         np.testing.assert_allclose(
             x.astype(np.float32), y.astype(np.float32), atol=2.0
         )
+
+    # single-prompt generate under the mesh: batch-1 inputs can't shard over
+    # 'data' — they must REPLICATE (regression: this raised a device_put
+    # divisibility ValueError), and the output still matches meshless
+    sa = plain.generate("a solo cello", steps=2, guidance=3.0, seed=3)
+    sb = sharded.generate("a solo cello", steps=2, guidance=3.0, seed=3)
+    np.testing.assert_allclose(
+        sa.astype(np.float32), sb.astype(np.float32), atol=2.0
+    )

@@ -163,10 +163,16 @@ int64_t flac_decode_subframe(const uint8_t *buf, int64_t len_bytes,
         if ((rc = decode_residual(&b, block_size, order, out + order)))
             return rc;
         const int *c = FIXED_COEFFS[order];
+        /* valid subframe samples fit bps bits; rejecting the first escapee
+         * keeps every |out| < 2^32, so the accumulator below is bounded by
+         * order * 2^(coeff_bits) * 2^32 << 2^63 — no signed-overflow UB on
+         * crafted streams (same accept/reject set as the python path) */
+        const int64_t lim = (int64_t)1 << (bps - 1);
         for (int i = order; i < block_size; i++) {
             int64_t acc = 0;
             for (int j = 0; j < order; j++) acc += (int64_t)c[j] * out[i - 1 - j];
             out[i] += acc;                  /* out[i] held the residual */
+            if (out[i] >= lim || out[i] < -lim) return ERR_BAD_PARAM;
         }
     } else if (sf_type >= 32) {             /* LPC order 1-32 */
         int order = (int)sf_type - 31;
@@ -185,10 +191,14 @@ int64_t flac_decode_subframe(const uint8_t *buf, int64_t len_bytes,
             if ((rc = read_signed(&b, (int)precision, &coeffs[i]))) return rc;
         if ((rc = decode_residual(&b, block_size, order, out + order)))
             return rc;
+        /* same per-sample bps bound as the FIXED path (see comment there):
+         * keeps the int64 accumulator provably overflow-free */
+        const int64_t lim = (int64_t)1 << (bps - 1);
         for (int i = order; i < block_size; i++) {
             int64_t acc = 0;
             for (int j = 0; j < order; j++) acc += coeffs[j] * out[i - 1 - j];
             out[i] += acc >> shift;
+            if (out[i] >= lim || out[i] < -lim) return ERR_BAD_PARAM;
         }
     } else {
         return ERR_RESERVED;

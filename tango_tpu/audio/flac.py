@@ -217,6 +217,8 @@ def _decode_subframe(bits: _Bits, block_size: int, bps: int) -> np.ndarray:
     if bits.read(1):
         wasted = bits.unary() + 1
         bps -= wasted
+        if bps <= 0:
+            raise FlacError("wasted bits exceed sample bit depth")
     if sf_type == 0:  # CONSTANT
         data = [bits.read_signed(bps)] * block_size
     elif sf_type == 1:  # VERBATIM
@@ -241,6 +243,16 @@ def _decode_subframe(bits: _Bits, block_size: int, bps: int) -> np.ndarray:
         data = _predict(warmup, residual, coeffs, shift)
     else:
         raise FlacError(f"reserved subframe type {sf_type:#08b}")
+    if sf_type >= 8 and data:
+        # every valid subframe's samples fit the declared bit depth; a
+        # FIXED/LPC recurrence escaping that range means a corrupt stream
+        # (and, unchecked, unbounded python ints that overflow the int64
+        # conversion below — the C path applies the identical per-sample
+        # bound, keeping the two paths' accept/reject sets equal and the C
+        # accumulator provably inside int64)
+        lim = 1 << (bps - 1)
+        if not (-lim <= min(data) and max(data) < lim):
+            raise FlacError("decoded sample exceeds bit depth (corrupt stream)")
     if wasted:
         data = [v << wasted for v in data]
     return np.asarray(data, np.int64)

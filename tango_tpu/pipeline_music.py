@@ -424,6 +424,11 @@ class Mustango:
             beats = [feats[p][0] for p in prompts]
             chords = [feats[p][1] for p in prompts]
             chords_times = [feats[p][2] for p in prompts]
+        if chords is None or chords_times is None:
+            raise ValueError(
+                "beats/chords/chords_times must be passed together "
+                "(per-prompt lists) or all left None to run the predictors"
+            )
         assert len(beats) == len(chords) == len(chords_times) == len(prompts), (
             "beats/chords/chords_times must be per-prompt lists"
         )

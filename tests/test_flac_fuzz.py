@@ -1,0 +1,135 @@
+"""Differential mutation fuzz of the FLAC decoder (audio/flac.py + _flac_native.c).
+
+The decoder ingests UNTRUSTED bytes (training manifests point at arbitrary
+files), and half of it is C reached through ctypes — a memory-safety bug
+there is a process crash, not an exception. This fuzz pins the robustness
+contract on mutated/truncated streams:
+
+  * decoding NEVER raises anything but ValueError (FlacError subclasses it) —
+    no IndexError/KeyError/OverflowError escape from the bit-level code, and
+    the C path never corrupts memory (a segfault would kill this test run);
+  * the native-enabled and pure-python paths AGREE on every mutated input:
+    both raise, or both return bit-identical samples (the C decoder falls
+    back to python on its own errors, so a divergence means the C path
+    decoded garbage the python path rejects — the dangerous class).
+
+Deterministic seeds; a few hundred mutations over streams that exercise
+every subframe type and stereo mode. Reference behavior being replaced:
+torchaudio decode failures silently fall back to a constant waveform
+(/root/reference/tools/torch_tools.py:43-54) — here corrupt data must be
+LOUD, which is exactly what this test asserts.
+"""
+
+import numpy as np
+import pytest
+
+from tango_tpu.audio import flac as flac_mod
+from tests._flac_encoder import encode_flac
+
+
+def _streams():
+    """Small valid streams covering the decoder's feature matrix."""
+    rng = np.random.default_rng(7)
+    t = np.arange(1500)
+    smooth = (800 * np.sin(t / 40)).astype(np.int64)
+    noisy = rng.integers(-2000, 2000, size=1500).astype(np.int64)
+    stereo = np.stack([smooth, (smooth // 2 + 11)], axis=1)
+    return [
+        encode_flac(noisy, block_size=256),  # verbatim-ish default
+        encode_flac(smooth, block_size=512, kind="fixed", order=2,
+                    rice_param=5, partition_order=2),
+        encode_flac(smooth, block_size=512, kind="lpc",
+                    lpc_coeffs=[985, -312], lpc_shift=9, lpc_precision=12,
+                    rice_param=4, partition_order=1),
+        encode_flac(stereo, block_size=256, stereo_mode="mid_side"),
+        encode_flac(stereo, block_size=256, stereo_mode="left_side"),
+        encode_flac(np.full(600, -3, np.int64), block_size=300, kind="constant"),
+    ]
+
+
+def _decode_both(data: bytes):
+    """(native-enabled result, python-only result); result = ('ok', samples)
+    or ('err',). Any non-ValueError exception propagates and fails the test."""
+    results = []
+    for native in (flac_mod._native, None):
+        orig = flac_mod._native
+        flac_mod._native = native
+        try:
+            out, _, _ = flac_mod.decode_flac(data)
+            results.append(("ok", out))
+        except ValueError:
+            results.append(("err",))
+        finally:
+            flac_mod._native = orig
+    return results
+
+
+has_native = flac_mod._native is not None
+
+
+def test_mutation_fuzz_no_crash_and_paths_agree():
+    streams = _streams()
+    rng = np.random.default_rng(2024)
+    n_err = n_ok = 0
+    for si, stream in enumerate(streams):
+        arr = np.frombuffer(stream, np.uint8)
+        for mi in range(40):
+            buf = arr.copy()
+            n_flips = int(rng.integers(1, 5))
+            idx = rng.integers(0, len(buf), size=n_flips)
+            buf[idx] ^= rng.integers(1, 256, size=n_flips).astype(np.uint8)
+            native_r, python_r = _decode_both(buf.tobytes())
+            assert native_r[0] == python_r[0], (
+                f"stream {si} mutation {mi}: native={native_r[0]} "
+                f"python={python_r[0]} (flipped bytes {idx.tolist()})"
+            )
+            if native_r[0] == "ok":
+                np.testing.assert_array_equal(native_r[1], python_r[1])
+                n_ok += 1
+            else:
+                n_err += 1
+    # sanity: the fuzz actually exercised both outcomes (a mutation in
+    # padding/metadata can decode fine; one in a frame header cannot)
+    assert n_err > 0 and n_ok > 0, (n_err, n_ok)
+
+
+def test_truncation_fuzz_is_loud():
+    for stream in _streams():
+        for frac in (0.1, 0.3, 0.6, 0.9, 0.99):
+            cut = stream[: int(len(stream) * frac)]
+            native_r, python_r = _decode_both(cut)
+            # every truncation point lands inside metadata or a frame: the
+            # stream carries total_samples, so an early end must raise
+            assert native_r[0] == "err" and python_r[0] == "err", frac
+
+
+def test_garbage_prefix_suffix():
+    stream = _streams()[0]
+    rng = np.random.default_rng(5)
+    junk = rng.integers(0, 256, size=64).astype(np.uint8).tobytes()
+    # junk prefix: not a FLAC magic -> loud
+    n, p = _decode_both(junk + stream)
+    assert n[0] == "err" and p[0] == "err"
+    # junk suffix: total_samples stops the frame loop first -> decodes clean
+    n, p = _decode_both(stream + junk)
+    assert n[0] == "ok" and p[0] == "ok"
+    np.testing.assert_array_equal(n[1], p[1])
+
+
+@pytest.mark.skipif(not has_native, reason="no C toolchain")
+def test_native_rejects_wild_subframe_headers():
+    """Drive the C entry point directly with adversarial headers: every
+    return is either a valid bit position or a negative error — writes stay
+    inside the block_size buffer (numpy would trap a heap smash as a
+    corrupted out array; ASAN-class bugs crash the test process)."""
+    from tango_tpu.audio import flac_native
+
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        buf = rng.integers(0, 256, size=48).astype(np.uint8).tobytes()
+        block_size = int(rng.integers(1, 300))
+        bps = int(rng.integers(1, 33))
+        out, pos = flac_native.decode_subframe(buf, 0, block_size, bps)
+        if out is not None:
+            assert out.shape == (block_size,)
+            assert 0 <= pos <= len(buf) * 8

@@ -1270,11 +1270,170 @@ def make_snapshot_golden():
     print(f"snapshot_tiny: {n/1e6:.2f}M params ->", snap)
 
 
+def make_mustango_snapshot_golden():
+    """A CONSISTENT tiny reference-format Mustango snapshot directory
+    (tests/golden/snapshot_tiny_mustango/) in the released layout
+    (/root/reference/mustango/mustango.py:143-173): configs/{main,vae,stft,
+    music_diffusion_model}_config.json + vae/pytorch_model_vae.bin (VAE +
+    weight-normed vocoder) + ldm/pytorch_model_ldm.bin (unet.* +
+    text_encoder.* + FME./beat_embedding_layer./chord_embedding_layer.*).
+    Geometry composes end-to-end so the dress-rehearsal test can run
+    Mustango(snapshot).generate -> int16 waveform: UNet in/out == VAE
+    embed_dim (4), cross_attention_dim == T5 d_model == music-embedder
+    d_model (32), vocoder num_mels == VAE-decoded mel bins (32)."""
+    import json as _json
+    import importlib.util
+    import types
+
+    for mod in ("matplotlib", "matplotlib.pyplot", "yaml"):
+        if mod not in sys.modules:
+            try:
+                __import__(mod)
+            except ImportError:
+                sys.modules[mod] = types.ModuleType(mod)
+
+    from diffusers import UNet2DConditionModelMusic
+    from transformers import T5Config as HFT5Config, T5EncoderModel
+
+    snap = OUT / "snapshot_tiny_mustango"
+    (snap / "configs").mkdir(parents=True, exist_ok=True)
+    (snap / "vae").mkdir(exist_ok=True)
+    (snap / "ldm").mkdir(exist_ok=True)
+    torch.manual_seed(99)
+    d = 32
+
+    unet_cfg = dict(
+        in_channels=4, out_channels=4,
+        down_block_types=["CrossAttnDownBlock2DMusic", "DownBlock2D"],
+        mid_block_type="UNetMidBlock2DCrossAttnMusic",
+        up_block_types=["UpBlock2D", "CrossAttnUpBlock2DMusic"],
+        block_out_channels=[16, 32], layers_per_block=1,
+        cross_attention_dim=d, attention_head_dim=[2, 4], norm_num_groups=8,
+        use_linear_projection=True, upcast_attention=True,
+    )
+    tunet = UNet2DConditionModelMusic(**unet_cfg)
+    tunet.eval()
+    ldm_sd = {f"unet.{k}": v for k, v in tunet.state_dict().items()}
+
+    t5m = T5EncoderModel(HFT5Config(
+        vocab_size=128, d_model=d, d_kv=8, d_ff=48, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=128, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0,
+    ))
+    t5m.eval()
+    ldm_sd.update({f"text_encoder.{k}": v for k, v in t5m.state_dict().items()})
+
+    # music embedding layers at the fixture width (reference layers.py)
+    spec = importlib.util.spec_from_file_location(
+        "ref_music_layers_snap", f"{REF}/mustango/layers/layers.py"
+    )
+    ml = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ml)
+    FME = ml.Fundamental_Music_Embedding(d_model=d, base=1, if_trainable=False,
+                                          translation_bias_type="nd")
+    PE = ml.Music_PositionalEncoding(d_model=d, if_index=True,
+                                     if_global_timing=True, if_modulo_timing=False,
+                                     device="cpu")
+    beat_layer = ml.Beat_Embedding(PE, d_model=d, d_oh_beat_type=7)
+    chord_layer = ml.Chord_Embedding(FME, PE, d_model=d, d_oh_type=12, d_oh_inv=4)
+    ldm_sd.update({
+        "FME.translation_bias": FME.translation_bias.detach(),
+        "beat_embedding_layer.beat_ffn.weight": beat_layer.beat_ffn.weight.detach(),
+        "beat_embedding_layer.beat_ffn.bias": beat_layer.beat_ffn.bias.detach(),
+        "chord_embedding_layer.chord_ffn.weight": chord_layer.chord_ffn.weight.detach(),
+        "chord_embedding_layer.chord_ffn.bias": chord_layer.chord_ffn.bias.detach(),
+    })
+
+    # VAE + weight-normed vocoder, same scaffolds as make_snapshot_golden
+    import types as _t
+
+    fake_utils = _t.ModuleType("audioldm.utils")
+    fake_utils.instantiate_from_config = lambda *a, **k: None
+    fake_attn = _t.ModuleType("audioldm.latent_diffusion.attention")
+
+    class _LA(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    fake_attn.LinearAttention = _LA
+    sys.modules.setdefault("audioldm", _t.ModuleType("audioldm"))
+    sys.modules["audioldm.utils"] = fake_utils
+    sys.modules.setdefault("audioldm.latent_diffusion", _t.ModuleType("audioldm.latent_diffusion"))
+    sys.modules["audioldm.latent_diffusion.attention"] = fake_attn
+    spec2 = importlib.util.spec_from_file_location(
+        "ref_vae_modules_msnap", f"{REF}/audioldm/variational_autoencoder/modules.py"
+    )
+    vm = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(vm)
+
+    ddconfig = dict(
+        double_z=True, z_channels=4, resolution=32, in_channels=1, out_ch=1,
+        ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=[], dropout=0.0,
+    )
+    enc, dec = vm.Encoder(**ddconfig), vm.Decoder(**ddconfig)
+    quant = torch.nn.Conv2d(8, 8, 1)
+    post_quant = torch.nn.Conv2d(4, 4, 1)
+    enc.eval(), dec.eval()
+    vae_sd = {
+        **{f"encoder.{k}": v for k, v in enc.state_dict().items()},
+        **{f"decoder.{k}": v for k, v in dec.state_dict().items()},
+        **{f"quant_conv.{k}": v for k, v in quant.state_dict().items()},
+        **{f"post_quant_conv.{k}": v for k, v in post_quant.state_dict().items()},
+    }
+
+    spec_h = importlib.util.spec_from_file_location(
+        "ref_hifigan_models_msnap", f"{REF}/audioldm/hifigan/models.py"
+    )
+    hm = importlib.util.module_from_spec(spec_h)
+    spec_h.loader.exec_module(hm)
+
+    class H(dict):
+        __getattr__ = dict.__getitem__
+
+    gen = hm.Generator(H(
+        resblock_kernel_sizes=[3, 7, 11],
+        resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+        upsample_rates=[5, 4, 2, 2, 2],
+        upsample_kernel_sizes=[16, 16, 8, 4, 4],
+        upsample_initial_channel=32,
+        num_mels=32,
+    ))
+    gen.eval()
+    vae_sd.update({f"vocoder.{k}": v for k, v in gen.state_dict().items()})
+
+    torch.save(vae_sd, snap / "vae" / "pytorch_model_vae.bin")
+    torch.save(ldm_sd, snap / "ldm" / "pytorch_model_ldm.bin")
+    (snap / "configs" / "vae_config.json").write_text(_json.dumps({
+        "image_key": "fbank", "subband": 1, "embed_dim": 4, "time_shuffle": 1,
+        "scale_factor": 0.9,
+        "ddconfig": {k: list(v) if isinstance(v, tuple) else v
+                     for k, v in ddconfig.items()},
+    }))
+    (snap / "configs" / "music_diffusion_model_config.json").write_text(
+        _json.dumps(unet_cfg)
+    )
+    (snap / "configs" / "main_config.json").write_text(_json.dumps({
+        "text_encoder_name": "google/flan-t5-large",
+        "scheduler_name": "stabilityai/stable-diffusion-2-1",
+        "unet_model_name": None,
+        "unet_model_config_path": "configs/music_diffusion_model_config.json",
+        "snr_gamma": 5.0,
+    }))
+    (snap / "configs" / "stft_config.json").write_text(_json.dumps({
+        "filter_length": 1024, "hop_length": 160, "win_length": 1024,
+        "n_mel_channels": 32, "sampling_rate": 16000,
+        "mel_fmin": 0, "mel_fmax": 8000,
+    }))
+    n = sum(v.numel() for v in ldm_sd.values()) + sum(v.numel() for v in vae_sd.values())
+    print(f"snapshot_tiny_mustango: {n/1e6:.2f}M params ->", snap)
+
+
 if __name__ == "__main__":
     import sys as _sys
     only = _sys.argv[1:] if len(_sys.argv) > 1 else None
     for fn in [make_scheduler_golden, make_unet_golden, make_vae_golden,
-               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden, make_clap_text_golden, make_htsat_golden, make_deberta_golden, make_t5gen_golden, make_vggish_golden, make_pairedmel_golden, make_snapshot_golden]:
+               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden, make_clap_text_golden, make_htsat_golden, make_deberta_golden, make_t5gen_golden, make_vggish_golden, make_pairedmel_golden, make_snapshot_golden, make_mustango_snapshot_golden]:
         name = fn.__name__.replace("make_", "").replace("_golden", "")
         if only is None or name in only:
             fn()

@@ -220,13 +220,34 @@ class Mustango:
         ldm_sd = conv.load_torch_bin(f"{path}/ldm/pytorch_model_ldm.bin")
         parts = convert_mustango_ldm(ldm_sd)
         vocoder_sd = {k[len("vocoder."):]: v for k, v in vae_sd.items() if k.startswith("vocoder.")}
+        # self-describing tower geometry, same rule as
+        # utils.checkpoint.load_tango_snapshot: T5 width from the
+        # text_encoder.* shapes, vocoder widths from conv_pre — the released
+        # Mustango is flan-t5-large + the 16K-64 HiFi-GAN, but a retrained/
+        # test-scale snapshot must not silently build the wrong towers
+        from tango_tpu.models.t5 import t5_config_from_state_dict
+
+        text_sd = {
+            k[len("text_encoder."):]: v
+            for k, v in ldm_sd.items() if k.startswith("text_encoder.")
+        }
+        hifigan_config = None
+        if vocoder_sd:
+            w = vocoder_sd.get("conv_pre.weight_v", vocoder_sd.get("conv_pre.weight"))
+            hifigan_config = dataclasses.replace(
+                C.TANGO_HIFIGAN,
+                upsample_initial_channel=int(w.shape[0]),
+                num_mels=int(w.shape[1]),
+            )
         self._build(
             unet_cfg, vae_cfg,
             unet_params=parts["unet_params"],
             conditioner_params=parts["conditioner_params"],
             t5_params=parts["t5_params"],
+            t5_config=t5_config_from_state_dict(text_sd) if text_sd else None,
             vae_params=conv.convert_vae(vae_sd),
             hifigan_params=conv.convert_hifigan(vocoder_sd) if vocoder_sd else None,
+            hifigan_config=hifigan_config,
         )
         if self.predictor is None:
             try:

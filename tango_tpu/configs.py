@@ -285,11 +285,16 @@ class TrainConfig(_FromDict):
     """SFT training recipe (train.sh:1-8, train.py:100-136)."""
 
     learning_rate: float = 3e-5
-    weight_decay: float = 1e-8
+    # the reference's EFFECTIVE AdamW decay is --adam_weight_decay=1e-2
+    # (train.py:146 declared, :353 passed to AdamW); its --weight_decay=1e-8
+    # flag is declared (train.py:113) but never read
+    weight_decay: float = 1e-2
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     adam_epsilon: float = 1e-8
     num_train_epochs: int = 40
+    # cap on optimizer-update steps; None = epochs decide (train.py:121,358-383)
+    max_train_steps: Optional[int] = None
     per_device_train_batch_size: int = 2
     per_device_eval_batch_size: int = 2
     gradient_accumulation_steps: int = 4
@@ -301,6 +306,9 @@ class TrainConfig(_FromDict):
     target_length: int = 1024
     seed: Optional[int] = None
     checkpointing_steps: str = "best"
+    # in "best" mode the reference ALSO saves epoch_N every save_every
+    # epochs (train.py:166,531); "epoch" mode saves every epoch regardless
+    save_every: int = 5
 
 
 @dataclass(frozen=True)
@@ -316,7 +324,12 @@ class DPOConfig(_FromDict):
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     adam_epsilon: float = 1e-8
-    weight_decay: float = 1e-8
+    # tango2-train.py:165 (--adam_weight_decay, the one AdamW reads at :453);
+    # the declared --weight_decay=1e-8 there is never used
+    weight_decay: float = 1e-2
+    # post-SFT epoch states saved every save_every epochs (tango2-train.py:661)
+    save_every: int = 5
+    max_train_steps: Optional[int] = None
 
 
 # Canonical Tango release configs -------------------------------------------------

@@ -31,6 +31,20 @@ def parse_args(argv=None):
     p.add_argument("--audio_column", type=str, default="location")
     p.add_argument("--tango_snapshot", type=str, default=None,
                    help="reference-format snapshot dir for VAE/T5 weights")
+    p.add_argument("--hf_model", type=str, default=None,
+                   help="snapshot dir (or hub id when online) whose "
+                        "pytorch_model_main.bin initializes the UNet/T5 to "
+                        "CONTINUE training — the tango-full-ft recipe "
+                        "(reference train.py:68,311-314)")
+    p.add_argument("--prefix", type=str, default=None,
+                   help="text prefix prepended to every caption "
+                        "(reference train.py:97-98, Text2AudioDataset :205)")
+    p.add_argument("--num_examples", type=int, default=-1,
+                   help="truncate train/val manifests to the first N rows "
+                        "(reference train.py:48,213-215)")
+    p.add_argument("--save_every", type=int, default=5,
+                   help='with --checkpointing_steps best, ALSO save epoch_N '
+                        "every N epochs (reference train.py:166,531)")
     p.add_argument("--audioldm_ckpt", type=str, default=None,
                    help="audioldm-s-full.ckpt for VAE weights (models.py:27-52)")
     p.add_argument("--text_encoder_name", type=str, default="google/flan-t5-large")
@@ -43,8 +57,17 @@ def parse_args(argv=None):
     p.add_argument("--per_device_eval_batch_size", type=int, default=2)
     p.add_argument("--gradient_accumulation_steps", type=int, default=4)
     p.add_argument("--learning_rate", type=float, default=3e-5)
-    p.add_argument("--weight_decay", type=float, default=1e-8)
+    p.add_argument("--weight_decay", type=float, default=1e-8,
+                   help="accepted for reference flag parity but UNUSED, "
+                        "exactly like the reference (train.py:113 is declared, "
+                        "never read) — the effective decay is --adam_weight_decay")
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2,
+                   help="the AdamW weight decay actually applied "
+                        "(reference train.py:146, passed to AdamW at :353)")
     p.add_argument("--num_train_epochs", type=int, default=40)
+    p.add_argument("--max_train_steps", type=int, default=None,
+                   help="cap on optimizer-update steps; overrides epochs and "
+                        "sets the lr-schedule length (train.py:121,358-383)")
     p.add_argument("--num_warmup_steps", type=int, default=0)
     p.add_argument("--lr_scheduler_type", type=str, default="linear",
                    help="linear | cosine | constant | constant_with_warmup "
@@ -116,6 +139,26 @@ def main(argv=None):
 
         vae_config = dataclasses.replace(C.TANGO_VAE, scale_factor=scale)
 
+    # --hf_model: continue training from a released snapshot's main bin
+    # (train.py:311-314) — UNet weights become the INITIAL training params,
+    # and its text encoder / unet_config override the defaults when present
+    init_unet_params = None
+    if args.hf_model:
+        hf_path = args.hf_model
+        if not os.path.isdir(hf_path):
+            from huggingface_hub import snapshot_download
+
+            hf_path = snapshot_download(repo_id=args.hf_model)
+        main_loaded = ckpt_io.load_main_weights(hf_path)
+        init_unet_params = main_loaded["unet_params"]
+        if main_loaded["t5_params"] is not None:
+            t5_params = main_loaded["t5_params"]
+            t5_config = main_loaded["t5_config"]
+        if main_loaded["unet_config"] is not None and not args.unet_model_config:
+            unet_config = main_loaded["unet_config"]
+            print(f"# unet_config from {hf_path}/unet_config.json", flush=True)
+        print(f"# continuing training from {hf_path} (main bin)", flush=True)
+
     vae = AutoencoderKL(vae_config)
     if vae_params is None:
         raise SystemExit("need --tango_snapshot or --audioldm_ckpt for VAE weights")
@@ -145,7 +188,9 @@ def main(argv=None):
 
     train_cfg = TrainConfig(
         learning_rate=args.learning_rate,
-        weight_decay=args.weight_decay,
+        # args.weight_decay is accepted-but-unused, exactly like the
+        # reference (train.py:113 vs :353) — adam_weight_decay is effective
+        weight_decay=args.adam_weight_decay,
         adam_beta1=args.adam_beta1,
         adam_beta2=args.adam_beta2,
         adam_epsilon=args.adam_epsilon,
@@ -159,13 +204,22 @@ def main(argv=None):
         augment=args.augment,
         target_length=args.target_length,
         checkpointing_steps=args.checkpointing_steps,
+        max_train_steps=args.max_train_steps,
+        save_every=args.save_every,
     )
 
     # --- data -----------------------------------------------------------
+    text_prefix = args.prefix or ""
     train_ex = load_manifest(args.train_file, args.data_prefix,
-                             args.text_column, args.audio_column)
+                             args.text_column, args.audio_column,
+                             text_prefix=text_prefix)
     val_ex = load_manifest(args.validation_file, args.data_prefix,
-                           args.text_column, args.audio_column)
+                           args.text_column, args.audio_column,
+                           text_prefix=text_prefix)
+    if args.num_examples != -1:
+        # reference train.py:213-215 truncates every split
+        train_ex = train_ex[: args.num_examples]
+        val_ex = val_ex[: args.num_examples]
     if not args.skip_preflight:
         from tango_tpu.train.data import validate_manifest
 
@@ -205,6 +259,9 @@ def main(argv=None):
     )
     steps_per_epoch = max(len(train_loader) // args.gradient_accumulation_steps, 1)
     total_steps = steps_per_epoch * args.num_train_epochs
+    if args.max_train_steps is not None:
+        # the cap also sets the lr-schedule horizon (train.py:358-369)
+        total_steps = min(total_steps, args.max_train_steps)
 
     diffusion = AudioDiffusion(
         unet_config=unet_config,
@@ -233,7 +290,8 @@ def main(argv=None):
         )
         state = TrainState(params, trainer.tx.init(params), jnp.zeros((), jnp.int32))
     else:
-        state = trainer.init_state(rng)
+        # init_unet_params: --hf_model continue-training weights (or None)
+        state = trainer.init_state(rng, params=init_unet_params)
 
     t5_apply = jax.jit(lambda p, i, m: t5.apply({"params": p}, i, m))
 

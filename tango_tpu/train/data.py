@@ -34,11 +34,15 @@ class Example:
 
 
 def load_manifest(path: str, prefix: str = "", text_column: str = "captions",
-                  audio_column: str = "location") -> List[Example]:
+                  audio_column: str = "location",
+                  text_prefix: str = "") -> List[Example]:
     """Read a reference-format JSON manifest (one object or JSONL / {"data": []}).
 
     `text_column`/`audio_column` mirror the reference --text_column /
-    --audio_column flags (train.py:85-95)."""
+    --audio_column flags (train.py:85-95). `prefix` is prepended to audio
+    PATHS (a tango_tpu relocation convenience); `text_prefix` is prepended
+    to every CAPTION — the reference --prefix flag (train.py:97-98,
+    Text2AudioDataset at :205 builds `prefix + inp`)."""
     examples = []
     with open(path) as f:
         content = f.read().strip()
@@ -60,7 +64,7 @@ def load_manifest(path: str, prefix: str = "", text_column: str = "captions",
         else:
             # both caption spellings appear across reference manifests
             caption = r.get("caption", "")
-        examples.append(Example(prefix + r[audio_column], caption))
+        examples.append(Example(prefix + r[audio_column], text_prefix + caption))
     return examples
 
 

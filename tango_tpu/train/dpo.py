@@ -165,6 +165,12 @@ class DPOTrainer:
             os.makedirs(output_dir, exist_ok=True)
         num_epochs = self.cfg.num_train_epochs if num_epochs is None else num_epochs
         best_val = float("inf")
+        # cap on UPDATE steps, counted like the reference's completed_steps
+        # (tango2-train.py:140, 455-470 overrode pattern)
+        max_updates = self.cfg.max_train_steps
+        ga = max(self.cfg.gradient_accumulation_steps, 1)
+        global_step = 0
+        done = False
         for epoch in range(num_epochs):
             t0 = time.time()
             losses, accs = [], []
@@ -177,6 +183,10 @@ class DPOTrainer:
                     state, loss, metrics = self.dpo_step(state, ref_params, batch, sub)
                     accs.append(metrics["implicit_acc"])
                 losses.append(loss)
+                global_step += 1
+                if max_updates is not None and global_step // ga >= max_updates:
+                    done = True
+                    break
 
             val_loss = None
             if val_batches is not None:
@@ -207,12 +217,18 @@ class DPOTrainer:
                         jax.device_get(state.params),
                         manifest=rec,
                     )
-            if is_main and not sft_phase:  # reference saves epochs post-SFT only
+            # reference saves epoch states post-SFT only, and only every
+            # save_every epochs (tango2-train.py:661)
+            if (is_main and not sft_phase
+                    and self.cfg.save_every
+                    and (epoch + 1) % self.cfg.save_every == 0):
                 ckpt_io.save_native(
                     os.path.join(output_dir, f"epoch_{epoch}"),
                     jax.device_get(state.params),
                     manifest=rec,
                 )
+            if done:
+                break
         # always leave a final checkpoint: with sft_first_epochs >= num_epochs
         # and no validation file, neither branch above ever fires
         if is_main:

@@ -27,8 +27,22 @@ def parse_args(argv=None):
     p.add_argument("--tango_snapshot", type=str, required=True,
                    help="starting SFT checkpoint (reference-format snapshot)")
     p.add_argument("--learning_rate", type=float, default=9.6e-7)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2,
+                   help="the AdamW decay actually applied "
+                        "(tango2-train.py:165,453; the reference's "
+                        "--weight_decay is declared but never read)")
     p.add_argument("--beta_dpo", type=float, default=2000.0)
     p.add_argument("--num_train_epochs", type=int, default=5)
+    p.add_argument("--max_train_steps", type=int, default=None,
+                   help="cap on optimizer-update steps (tango2-train.py:140)")
+    p.add_argument("--save_every", type=int, default=5,
+                   help="post-SFT epoch states saved every N epochs "
+                        "(tango2-train.py:185,661)")
+    p.add_argument("--prefix", type=str, default=None,
+                   help="text prefix prepended to every caption "
+                        "(tango2-train.py DPOText2AudioDataset)")
+    p.add_argument("--num_examples", type=int, default=-1,
+                   help="truncate the preference manifest to the first N rows")
     p.add_argument("--sft_first_epochs", type=int, default=1)
     p.add_argument("--per_device_train_batch_size", type=int, default=4)
     p.add_argument("--gradient_accumulation_steps", type=int, default=4)
@@ -83,18 +97,23 @@ def main(argv=None):
 
     loaded = ckpt_io.load_tango_snapshot(args.tango_snapshot)
     vae = AutoencoderKL(loaded["vae_config"])
-    t5 = T5Encoder(FLAN_T5_LARGE)
+    # geometry inferred from the snapshot's text_encoder shapes (XL /
+    # test-scale snapshots), falling back to flan-t5-large
+    t5 = T5Encoder(loaded.get("t5_config") or FLAN_T5_LARGE)
     from transformers import AutoTokenizer
 
     tokenizer = AutoTokenizer.from_pretrained(loaded["main_config"].text_encoder_name)
 
     cfg = DPOConfig(
         learning_rate=args.learning_rate,
+        weight_decay=args.adam_weight_decay,
         beta_dpo=args.beta_dpo,
         num_train_epochs=args.num_train_epochs,
         sft_first_epochs=args.sft_first_epochs,
         per_device_train_batch_size=args.per_device_train_batch_size,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
+        max_train_steps=args.max_train_steps,
+        save_every=args.save_every,
     )
     mesh = pmesh.make_mesh(data=-1, model=args.model_parallel)
     data_size = mesh.shape["data"]
@@ -112,6 +131,11 @@ def main(argv=None):
     t5_params = jax.device_put(loaded["t5_params"], pmesh.replicated(mesh))
 
     rows = load_preference_manifest(args.train_file)
+    if args.num_examples != -1:
+        rows = rows[: args.num_examples]  # tango2-train.py:238-240
+    if args.prefix:
+        # DPOText2AudioDataset builds prefix + text for every caption
+        rows = [{**r, "captions": args.prefix + r["captions"]} for r in rows]
     # preflight both preference branches: an mp3-pointing audio-alpaca dump
     # must fail loudly, not train on constant-waveform fallbacks
     from tango_tpu.train.data import Example, validate_manifest

@@ -112,8 +112,15 @@ class SFTTrainer:
         self._train_step = None
         self._eval_step = None
 
-    def init_state(self, rng) -> TrainState:
-        params = self.diffusion.init_params(rng)
+    def init_state(self, rng, params=None) -> TrainState:
+        """Fresh optimizer state; `params` starts training from GIVEN weights
+        (the reference --hf_model continue-training path, train.py:311-314 —
+        e.g. tango-full-ft from the released snapshot) instead of a random
+        init."""
+        if params is None:
+            params = self.diffusion.init_params(rng)
+        else:
+            params = jax.tree_util.tree_map(jnp.asarray, params)
         if self.mesh is not None:
             params = pmesh.shard_params(params, self.mesh)
         opt_state = self.tx.init(params)
@@ -199,6 +206,10 @@ class SFTTrainer:
             )
         save_every = int(cs) if cs.isdigit() else None
         global_step = 0
+        # cap on UPDATE steps (micro-batches / grad-accum), train.py:358-383
+        max_updates = self.cfg.max_train_steps
+        ga = max(self.cfg.gradient_accumulation_steps, 1)
+        done = False
 
         for epoch in range(num_epochs):
             t0 = time.time()
@@ -217,6 +228,9 @@ class SFTTrainer:
                         jax.device_get(state.params),
                         manifest={"epoch": epoch, "step": global_step},
                     )
+                if max_updates is not None and global_step // ga >= max_updates:
+                    done = True
+                    break
             train_loss = float(jnp.stack(losses).mean()) if losses else 0.0
 
             vlosses = []
@@ -245,10 +259,17 @@ class SFTTrainer:
                         jax.device_get(state.params),
                         manifest={"epoch": epoch, "val_loss": val_loss},
                     )
-            if is_main and self.cfg.checkpointing_steps == "epoch":
+            periodic = (
+                cs == "best" and self.cfg.save_every
+                and (epoch + 1) % self.cfg.save_every == 0
+            )  # "best" mode also saves epoch states every save_every epochs
+            #    (reference train.py:531)
+            if is_main and (self.cfg.checkpointing_steps == "epoch" or periodic):
                 ckpt_io.save_native(
                     os.path.join(output_dir, f"epoch_{epoch}"),
                     jax.device_get(state.params),
                     manifest={"epoch": epoch, "val_loss": val_loss},
                 )
+            if done:
+                break
         return state

@@ -38,6 +38,30 @@ def split_main_state_dict(sd: Dict[str, np.ndarray]):
     return unet, text, rest
 
 
+def load_main_weights(path: str) -> Dict[str, Any]:
+    """Load ONLY pytorch_model_main.bin from a snapshot directory — the
+    reference --hf_model continue-training path (train.py:311-314 /
+    tango2-train.py:401-404 load the main state dict into an already-built
+    model). Returns {unet_params, t5_params (or None), t5_config (or None),
+    unet_config (or None — from the dir's unet_config.json when shipped)}.
+    """
+    sd = conv.load_torch_bin(os.path.join(path, "pytorch_model_main.bin"))
+    unet_sd, text_sd, _ = split_main_state_dict(sd)
+    from tango_tpu.models.t5 import convert_t5_encoder, t5_config_from_state_dict
+
+    unet_config = None
+    cfg_path = os.path.join(path, "unet_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            unet_config = C.UNetConfig.from_dict(json.load(f))
+    return {
+        "unet_params": conv.convert_unet(unet_sd),
+        "t5_params": convert_t5_encoder(text_sd) if text_sd else None,
+        "t5_config": t5_config_from_state_dict(text_sd) if text_sd else None,
+        "unet_config": unet_config,
+    }
+
+
 def load_tango_snapshot(path: str) -> Dict[str, Any]:
     """Load a reference-format Tango snapshot directory into tango_tpu form.
 

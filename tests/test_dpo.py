@@ -82,7 +82,11 @@ def test_dpo_fit_validation_and_best_checkpoint(tmp_path):
     trainer = DPOTrainer(
         diff, vae, vae_params,
         DPOConfig(gradient_accumulation_steps=1, learning_rate=1e-4,
-                  sft_first_epochs=1, num_train_epochs=2),
+                  sft_first_epochs=1, num_train_epochs=2,
+                  # save_every=1 so the 2-epoch run exercises the epoch-save
+                  # path; the reference default 5 saves only every 5th
+                  # post-SFT epoch (tango2-train.py:185,661)
+                  save_every=1),
         total_steps=4,
     )
     params0 = diff.init_params(jax.random.PRNGKey(1))

@@ -185,3 +185,105 @@ def test_fit_numeric_checkpointing_steps(tmp_path):
                 lambda: iter([]), jax.random.PRNGKey(3), str(tmp_path / "bad"),
                 num_epochs=1,
             )
+
+
+def test_trainconfig_effective_decay_matches_reference_recipe():
+    """The reference's AdamW decay is --adam_weight_decay=1e-2 (train.py:146
+    passed at :353); its --weight_decay=1e-8 is declared but never read.
+    Pin the recipe default so a refactor can't silently re-wire the dead
+    flag."""
+    assert TrainConfig().weight_decay == 1e-2
+    assert C.DPOConfig().weight_decay == 1e-2
+
+
+def test_init_state_from_given_params():
+    """--hf_model continue-training path (train.py:311-314): init_state must
+    start from the GIVEN weights, not a random init."""
+    trainer = make_trainer()
+    params0 = trainer.diffusion.init_params(jax.random.PRNGKey(42))
+    state = trainer.init_state(jax.random.PRNGKey(1), params=params0)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(params0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_max_train_steps_stops_early(tmp_path):
+    """max_train_steps caps optimizer updates (train.py:121,358-383): with a
+    3-batch loader and max_train_steps=2, fit must run exactly 2 steps."""
+    trainer = make_trainer(max_train_steps=2)
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    batch = _batch()
+    n_served = [0]
+
+    def batches():
+        for _ in range(3):
+            n_served[0] += 1
+            yield batch
+
+    out = trainer.fit(
+        state, batches, lambda: iter([batch]), jax.random.PRNGKey(3),
+        str(tmp_path / "capped"), num_epochs=4,
+    )
+    assert int(out.step) == 2
+    assert n_served[0] == 2  # stopped INSIDE the first epoch, no extra epochs
+
+
+def test_fit_best_mode_saves_epoch_every_save_every(tmp_path):
+    """checkpointing_steps='best' ALSO saves epoch_N every save_every epochs
+    (reference train.py:166,531) — epoch_1 (the 2nd) with save_every=2,
+    nothing at epochs 0/2."""
+    trainer = make_trainer(save_every=2)
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    batch = _batch()
+    out = str(tmp_path / "periodic")
+    trainer.fit(
+        state, lambda: iter([batch]), lambda: iter([batch]),
+        jax.random.PRNGKey(3), out, num_epochs=3,
+    )
+    assert not os.path.exists(os.path.join(out, "epoch_0"))
+    assert os.path.exists(os.path.join(out, "epoch_1"))
+    assert not os.path.exists(os.path.join(out, "epoch_2"))
+
+
+def test_load_manifest_text_prefix(tmp_path):
+    """--prefix prepends to CAPTIONS (train.py:97,205); data_prefix stays a
+    path-only convenience."""
+    import json
+
+    from tango_tpu.train.data import load_manifest
+
+    p = tmp_path / "m.json"
+    p.write_text(json.dumps({"location": "a.wav", "captions": "dog barks"}) + "\n")
+    ex = load_manifest(str(p), prefix="/data/", text_prefix="Audio: ")
+    assert ex[0].location == "/data/a.wav"
+    assert ex[0].caption == "Audio: dog barks"
+
+
+def test_load_main_weights_snapshot():
+    """utils.checkpoint.load_main_weights (the --hf_model loader) reads ONLY
+    pytorch_model_main.bin: converted UNet params, T5 geometry inferred from
+    shapes, unet_config.json picked up when shipped."""
+    import pathlib
+
+    import pytest
+
+    snap = pathlib.Path(__file__).parent / "golden" / "snapshot_tiny"
+    if not (snap / "pytorch_model_main.bin").exists():
+        pytest.skip("snapshot_tiny fixture not generated")
+    from tango_tpu.utils.checkpoint import load_main_weights
+
+    got = load_main_weights(str(snap))
+    assert got["t5_config"].d_model == 32
+    assert got["unet_config"] is not None and got["unet_config"].in_channels == 4
+    assert got["t5_params"] is not None
+    # params must plug straight into init_state as the continue-training init
+    diffusion = AudioDiffusion(
+        unet_config=got["unet_config"], latent_t_size=8, latent_f_size=4
+    )
+    ref = diffusion.init_params(jax.random.PRNGKey(0))
+    got_leaves = jax.tree_util.tree_leaves(got["unet_params"])
+    ref_leaves = jax.tree_util.tree_leaves(ref)
+    assert len(got_leaves) == len(ref_leaves)
+    assert sorted(np.shape(g) for g in got_leaves) == sorted(
+        np.shape(r) for r in ref_leaves
+    )

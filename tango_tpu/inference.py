@@ -26,7 +26,14 @@ def parse_args(argv=None):
     p.add_argument("--model", type=str, required=True, help="snapshot dir or HF repo id")
     p.add_argument("--test_file", type=str, required=True)
     p.add_argument("--text_key", type=str, default="captions")
-    p.add_argument("--reference_dir", type=str, default=None)
+    p.add_argument("--reference_dir", "--test_references", dest="reference_dir",
+                   type=str, default=None,
+                   help="ground-truth wav dir (the reference --test_references)")
+    p.add_argument("--unet_ckpt", type=str, default=None,
+                   help="natively-trained UNet checkpoint dir (saved/<ts>/best "
+                        "from tango-train) evaluated over --model's frozen "
+                        "VAE/T5/vocoder — the reference train->eval loop "
+                        "(inference.py:74-101)")
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--num_steps", type=int, default=200)
     p.add_argument("--guidance", type=float, default=3.0)
@@ -70,7 +77,7 @@ def main(argv=None):
 
     prompts = load_prompts(args)
 
-    tango = Tango(args.model)
+    tango = Tango(args.model, unet_ckpt=args.unet_ckpt)
     t0 = time.time()
     waves = tango.generate_for_batch(
         prompts,

@@ -22,7 +22,12 @@ def parse_args(argv=None):
     p.add_argument("--model", type=str, required=True)
     p.add_argument("--test_file", type=str, required=True)
     p.add_argument("--text_key", type=str, default="captions")
-    p.add_argument("--reference_dir", type=str, default=None)
+    p.add_argument("--reference_dir", "--test_references", dest="reference_dir",
+                   type=str, default=None,
+                   help="ground-truth wav dir (the reference --test_references)")
+    p.add_argument("--unet_ckpt", type=str, default=None,
+                   help="natively-trained (DPO) UNet checkpoint dir evaluated "
+                        "over --model's frozen components")
     p.add_argument("--cnn14_ckpt", type=str, default=None)
     p.add_argument("--vggish_ckpt", type=str, default=None)
     p.add_argument("--clap_ckpt", type=str, default=None,
@@ -68,7 +73,7 @@ def main(argv=None):
 
     prompts = load_prompts(args)
 
-    tango = Tango(args.model)
+    tango = Tango(args.model, unet_ckpt=args.unet_ckpt)
     t0 = time.time()
     waves = tango.generate_for_batch(
         prompts, steps=args.num_steps, guidance=args.guidance,

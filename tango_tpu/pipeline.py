@@ -59,6 +59,7 @@ class Tango:
         cast_params: bool = True,
         mesh=None,
         quant: Optional[str] = None,
+        unet_ckpt: Optional[str] = None,
     ):
         self.dtype = dtype or _default_dtype()
         self.max_text_length = max_text_length
@@ -88,6 +89,13 @@ class Tango:
 
                 path = snapshot_download(repo_id=name_or_path)
             loaded = ckpt.load_tango_snapshot(path)
+            if unet_ckpt is not None:
+                # evaluate a NATIVELY-trained UNet (saved/<ts>/best from the
+                # trainers — orbax, UNet params only) over the snapshot's
+                # frozen VAE/T5/vocoder: the reference's train->eval loop
+                # (inference.py:74-101 rebuilds the model from original_args
+                # and loads the trained state the same way)
+                loaded["unet_params"], _ = ckpt.load_native(unet_ckpt)
             self._build(
                 unet_config=loaded["unet_config"],
                 vae_config=loaded["vae_config"],

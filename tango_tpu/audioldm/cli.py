@@ -22,7 +22,14 @@ def parse_args(argv=None):
     p.add_argument("-tl", "--text_list", type=str, default="")
     p.add_argument("-f", "--file_path", type=str, default=None)
     p.add_argument("--transfer_strength", type=float, default=0.5)
-    p.add_argument("-ckpt", "--ckpt_path", type=str, required=True)
+    p.add_argument("-ckpt", "--ckpt_path", type=str, default=None,
+                   help="monolithic audioldm ckpt; when absent --model_name "
+                        "resolves through the registry (download + cache)")
+    p.add_argument("--model_name", type=str, default="audioldm-s-full",
+                   choices=["audioldm-s-full", "audioldm-l-full",
+                            "audioldm-s-full-v2", "audioldm-m-full"],
+                   help="registry model used when no --ckpt_path is given "
+                        "(reference audioldm/__main__.py:55-62)")
     p.add_argument("-s", "--save_path", type=str, default="./output")
     p.add_argument("-dur", "--duration", type=float, default=10.0)
     p.add_argument("-gs", "--guidance_scale", type=float, default=2.5)
@@ -46,7 +53,14 @@ def main(argv=None):
     if args.mode in ("transfer", "inpainting") and not args.file_path:
         raise SystemExit(f"--mode {args.mode} requires a source audio file (-f/--file_path)")
     os.makedirs(args.save_path, exist_ok=True)
-    pipeline = build_model(args.ckpt_path)
+    ckpt_path = args.ckpt_path
+    if ckpt_path is None:
+        # reference default path: resolve --model_name via the registry
+        # (zenodo download + local cache, audioldm/utils.py:204-281)
+        from tango_tpu.registry import resolve
+
+        ckpt_path = resolve(args.model_name)
+    pipeline = build_model(ckpt_path)
 
     prompts = []
     if args.text_list:

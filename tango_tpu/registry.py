@@ -32,6 +32,12 @@ REGISTRY = {
         # record 7813012, NOT 7698295 (reference audioldm/utils.py:246)
         "url": "https://zenodo.org/record/7813012/files/audioldm-m-full.ckpt?download=1",
     },
+    "audioldm-s-full-v2": {
+        "kind": "audioldm_ckpt",
+        "path": os.path.join(CACHE_ROOT, "audioldm-s-full-v2.ckpt"),
+        # note the file is named full-s-v2 on zenodo (utils.py:220-226)
+        "url": "https://zenodo.org/record/7698295/files/audioldm-full-s-v2.ckpt?download=1",
+    },
     # HF snapshot repos (tango.py:10, mustango.py:142, README tables)
     "declare-lab/tango": {"kind": "tango_snapshot"},
     "declare-lab/tango-full-ft-audiocaps": {"kind": "tango_snapshot"},

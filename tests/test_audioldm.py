@@ -450,3 +450,31 @@ def test_cli_transfer_requires_file_path(tmp_path):
     with pytest.raises(SystemExit, match="requires a source audio"):
         main(["--mode", "transfer", "-t", "x", "--ckpt", str(tmp_path / "nope.ckpt"),
               "--save_path", str(tmp_path)])
+
+
+def test_cli_model_name_resolves_via_registry(tmp_path, monkeypatch):
+    """Without --ckpt_path the CLI resolves --model_name through the registry
+    (the reference's default path, audioldm/__main__.py:55-62,152) — and the
+    registry knows every reference choice incl. the zenodo full-s-v2 naming
+    quirk (utils.py:220-226)."""
+    from tango_tpu import registry
+    from tango_tpu.audioldm import cli as aldm_cli
+
+    for name in ("audioldm-s-full", "audioldm-l-full", "audioldm-s-full-v2",
+                 "audioldm-m-full"):
+        assert registry.REGISTRY[name]["url"].startswith("https://zenodo.org/")
+    assert "full-s-v2" in registry.REGISTRY["audioldm-s-full-v2"]["url"]
+
+    calls = []
+
+    def fake_resolve(name, download=True):
+        calls.append(name)
+        raise RuntimeError("stop-after-resolve")
+
+    monkeypatch.setattr(registry, "resolve", fake_resolve)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="stop-after-resolve"):
+        aldm_cli.main(["-t", "x", "--model_name", "audioldm-s-full-v2",
+                       "--save_path", str(tmp_path)])
+    assert calls == ["audioldm-s-full-v2"]

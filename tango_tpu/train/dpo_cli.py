@@ -201,6 +201,8 @@ def main(argv=None):
     val_batches = None
     if args.validation_file:
         vrows = load_preference_manifest(args.validation_file)
+        if args.prefix:  # the reference prefixes every split's captions
+            vrows = [{**r, "captions": args.prefix + r["captions"]} for r in vrows]
 
         def val_batches():
             # include the tail: pad the final partial batch by repeating rows

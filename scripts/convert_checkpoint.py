@@ -4,6 +4,11 @@
     python scripts/convert_checkpoint.py audioldm <ckpt.ckpt> <out_dir>
     python scripts/convert_checkpoint.py mustango <snapshot_dir> <out_dir>
 
+Reverse direction (publish a TPU-trained UNet back to the torch ecosystem):
+
+    python scripts/convert_checkpoint.py export-main <snapshot_dir> \
+        <trained_unet_ckpt|-> <out pytorch_model_main.bin>
+
 One-time conversion; afterwards pipelines can load with
 tango_tpu.utils.checkpoint.load_native (no torch import needed at serve time).
 """
@@ -75,6 +80,24 @@ def main():
             "hifigan": conv.convert_hifigan(vocoder_sd) if vocoder_sd else None,
         }
         manifest = {"kind": "mustango"}
+    elif kind == "export-main":
+        # REVERSE direction: a natively-trained UNet checkpoint (orbax, from
+        # the trainers) + the source snapshot's frozen T5 -> the reference's
+        # pytorch_model_main.bin, strict-loadable by torch/diffusers
+        # (tests/test_export.py pins export(convert(sd)) == sd bit-exactly).
+        #   python scripts/convert_checkpoint.py export-main \
+        #       <tango_snapshot> <trained_unet_ckpt|-> <out.bin>
+        # pass '-' as the ckpt to export the snapshot's own UNet unchanged.
+        out_bin = sys.argv[4]
+        from tango_tpu.utils.export import save_main_bin
+
+        loaded = ckpt_io.load_tango_snapshot(src)
+        unet_params = loaded["unet_params"]
+        if dst != "-":
+            unet_params, _ = ckpt_io.load_native(dst)
+        save_main_bin(out_bin, unet_params, loaded["t5_params"])
+        print(f"exported main bin -> {out_bin}")
+        return
     else:
         raise SystemExit(f"unknown kind {kind}")
 

@@ -1,0 +1,160 @@
+"""tango_tpu param-pytree -> reference torch state-dict exporters.
+
+The inverse of utils/convert.py for the `pytorch_model_main.bin` layout
+(unet.* + text_encoder.*, /root/reference/tango.py:16-28): a UNet trained
+with tango_tpu (native orbax checkpoints) exports back into the reference
+snapshot format, so the torch ecosystem — the reference's own inference.py,
+diffusers' UNet2DConditionModel.load_state_dict — can consume TPU-trained
+weights. Exactness contract: `export(convert(sd)) == sd` bit-for-bit for
+every supported key (pinned by tests/test_export.py on the reference-format
+snapshot fixtures, including the Mustango music UNet's attentions2/3
+streams).
+
+Layout inversions (see convert.py:13-17):
+  kernel (kh,kw,I,O) -> Conv2d (O,I,kh,kw)     kernel (I,O) -> Linear (O,I)
+  fused to_qkv / to_kv kernels -> split to_q/to_k/to_v  (pure concat inverse)
+  flattened GroupNorm <name>_scale/_bias -> <name>.weight/.bias
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def unfuse_attention_params(params: dict) -> dict:
+    """Inverse of convert.fuse_attention_params: split fused projection
+    kernels back into per-projection weights (equal-width concat inverse)."""
+
+    def walk(node, name=""):
+        if not isinstance(node, dict):
+            return node
+        out = {k: walk(v, k) for k, v in node.items()}
+        if name == "attn1" and "to_qkv" in out:
+            q, k, v = np.split(out.pop("to_qkv")["kernel"], 3, axis=1)
+            out["to_q"], out["to_k"], out["to_v"] = (
+                {"kernel": q}, {"kernel": k}, {"kernel": v},
+            )
+        elif name == "attn2" and "to_kv" in out:
+            k, v = np.split(out.pop("to_kv")["kernel"], 2, axis=1)
+            out["to_k"], out["to_v"] = {"kernel": k}, {"kernel": v}
+        return out
+
+    return walk(params)
+
+
+_GN_LEAF = re.compile(r"^(norm|norm1|norm2|conv_norm_out|group_norm)_(scale|bias)$")
+_PART_RULES = [
+    (re.compile(r"^(down_blocks|up_blocks|resnets|transformer_blocks|"
+                r"downsamplers|upsamplers)_(\d+)$"), r"\1.\2"),
+    (re.compile(r"^attentions_(\d+)_extra1$"), r"attentions2.\1"),
+    (re.compile(r"^attentions_(\d+)_extra2$"), r"attentions3.\1"),
+    (re.compile(r"^attentions_(\d+)$"), r"attentions.\1"),
+]
+_PART_MAP = {"to_out_0": "to_out.0", "net_0_proj": "net.0.proj", "net_2": "net.2"}
+
+
+def _torch_parts(parts):
+    out = []
+    for p in parts:
+        for rx, rep in _PART_RULES:
+            p2 = rx.sub(rep, p)
+            if p2 != p:
+                p = p2
+                break
+        out.append(_PART_MAP.get(p, p))
+    return out
+
+
+def export_unet(params: dict) -> Dict[str, np.ndarray]:
+    """tango_tpu.models.unet params -> diffusers UNet2DConditionModel(Music)
+    state dict (numpy values, torch naming/layout)."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node, parts):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, parts + [k])
+            else:
+                flat["/".join(parts + [k])] = np.asarray(v, np.float32)
+
+    walk(unfuse_attention_params(params), [])
+
+    out: Dict[str, np.ndarray] = {}
+    for path, w in flat.items():
+        parts = path.split("/")
+        leaf = parts[-1]
+        m = _GN_LEAF.match(leaf)
+        if m:  # flattened GroupNorm leaf
+            parts = parts[:-1] + [m.group(1),
+                                  "weight" if m.group(2) == "scale" else "bias"]
+        elif leaf == "scale":  # transformer-block LayerNorm subtree
+            parts = parts[:-1] + ["weight"]
+        elif leaf == "bias":
+            pass
+        elif leaf == "kernel":
+            if w.ndim == 4:
+                w = np.transpose(w, (3, 2, 0, 1))  # (kh,kw,I,O) -> (O,I,kh,kw)
+            elif w.ndim == 2:
+                w = np.transpose(w)
+            else:
+                raise ValueError(f"unhandled kernel rank for {path}: {w.shape}")
+            parts = parts[:-1] + ["weight"]
+        else:
+            raise ValueError(f"unhandled UNet param leaf {path}")
+        out[".".join(_torch_parts(parts))] = np.ascontiguousarray(w)
+    return out
+
+
+def export_t5_encoder(params: dict) -> Dict[str, np.ndarray]:
+    """T5Encoder params -> HF torch T5EncoderModel state dict (incl. the tied
+    encoder.embed_tokens alias HF serializes alongside shared.weight)."""
+    emb = np.asarray(params["token_embedding"], np.float32)
+    out: Dict[str, np.ndarray] = {
+        "shared.weight": emb,
+        "encoder.embed_tokens.weight": emb,
+        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight":
+            np.asarray(params["relative_attention_bias"], np.float32),
+        "encoder.final_layer_norm.weight":
+            np.asarray(params["final_layer_norm"]["weight"], np.float32),
+    }
+    i = 0
+    while f"block_{i}" in params:
+        blk = params[f"block_{i}"]
+        pre = f"encoder.block.{i}.layer."
+        out[pre + "0.layer_norm.weight"] = np.asarray(blk["ln_attn"]["weight"], np.float32)
+        out[pre + "1.layer_norm.weight"] = np.asarray(blk["ln_ff"]["weight"], np.float32)
+        for name in ("q", "k", "v", "o"):
+            out[pre + f"0.SelfAttention.{name}.weight"] = np.ascontiguousarray(
+                np.asarray(blk["attn"][name]["kernel"], np.float32).T
+            )
+        for name in blk["ff"]:  # wi / wi_0 / wi_1 / wo
+            out[pre + f"1.DenseReluDense.{name}.weight"] = np.ascontiguousarray(
+                np.asarray(blk["ff"][name]["kernel"], np.float32).T
+            )
+        i += 1
+    return out
+
+
+def export_main_state_dict(unet_params: dict,
+                           t5_params: Optional[dict] = None) -> Dict[str, np.ndarray]:
+    """The pytorch_model_main.bin key set: unet.* (+ text_encoder.* when T5
+    params are given — the reference main bin carries the frozen encoder)."""
+    sd = {f"unet.{k}": v for k, v in export_unet(unet_params).items()}
+    if t5_params is not None:
+        sd.update({f"text_encoder.{k}": v
+                   for k, v in export_t5_encoder(t5_params).items()})
+    return sd
+
+
+def save_main_bin(path: str, unet_params: dict,
+                  t5_params: Optional[dict] = None) -> None:
+    """torch.save an exported main state dict (torch imported here only —
+    the converters-only rule, convert.py:29)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_main_state_dict(unet_params, t5_params).items()}
+    torch.save(sd, path)

@@ -1,0 +1,90 @@
+"""Native -> torch export (utils/export.py): exact round-trip.
+
+export(convert(sd)) must equal the original reference-format state dict
+bit-for-bit, key-for-key — proving a TPU-trained UNet can be written back
+into pytorch_model_main.bin (reference tango.py:16-28) and consumed by the
+torch ecosystem with strict load semantics. Run against BOTH reference-format
+fixtures: the Tango snapshot (cross-attn UNet + T5) and the Mustango
+snapshot (triple-stream music UNet with attentions2/3).
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from tango_tpu.utils.convert import convert_unet, load_torch_bin
+from tango_tpu.utils.checkpoint import split_main_state_dict
+from tango_tpu.utils.export import (
+    export_main_state_dict,
+    export_t5_encoder,
+    export_unet,
+)
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+
+def _roundtrip_assert(orig: dict, exported: dict):
+    assert set(exported) == set(orig), (
+        sorted(set(orig) - set(exported))[:5],
+        sorted(set(exported) - set(orig))[:5],
+    )
+    for k in orig:
+        np.testing.assert_array_equal(exported[k], orig[k], err_msg=k)
+
+
+def test_main_bin_roundtrip_tango():
+    p = GOLDEN / "snapshot_tiny" / "pytorch_model_main.bin"
+    if not p.exists():
+        pytest.skip("snapshot_tiny fixture not generated")
+    sd = load_torch_bin(str(p))
+    unet_sd, text_sd, rest = split_main_state_dict(sd)
+    assert not rest
+    from tango_tpu.models.t5 import convert_t5_encoder
+
+    exported = export_main_state_dict(
+        convert_unet(unet_sd), convert_t5_encoder(text_sd)
+    )
+    _roundtrip_assert(sd, exported)
+
+
+def test_unet_roundtrip_music():
+    """The music UNet's extra attention streams (attentions2/attentions3 ->
+    _extra1/_extra2) must invert too."""
+    p = GOLDEN / "snapshot_tiny_mustango" / "ldm" / "pytorch_model_ldm.bin"
+    if not p.exists():
+        pytest.skip("snapshot_tiny_mustango fixture not generated")
+    sd = load_torch_bin(str(p))
+    unet_sd = {k[len("unet."):]: v for k, v in sd.items() if k.startswith("unet.")}
+    exported = export_unet(convert_unet(unet_sd))
+    _roundtrip_assert(unet_sd, exported)
+
+
+def test_t5_roundtrip():
+    p = GOLDEN / "snapshot_tiny_mustango" / "ldm" / "pytorch_model_ldm.bin"
+    if not p.exists():
+        pytest.skip("snapshot_tiny_mustango fixture not generated")
+    sd = load_torch_bin(str(p))
+    text_sd = {k[len("text_encoder."):]: v for k, v in sd.items()
+               if k.startswith("text_encoder.")}
+    from tango_tpu.models.t5 import convert_t5_encoder
+
+    _roundtrip_assert(text_sd, export_t5_encoder(convert_t5_encoder(text_sd)))
+
+
+def test_save_main_bin_torch_loadable(tmp_path):
+    """The written bin is a real torch file the reference's
+    torch.load + model.load_state_dict path accepts (tango.py:22-28), and the
+    exported snapshot round-trips through OUR loader too."""
+    src = GOLDEN / "snapshot_tiny" / "pytorch_model_main.bin"
+    if not src.exists():
+        pytest.skip("snapshot_tiny fixture not generated")
+    sd = load_torch_bin(str(src))
+    unet_sd, text_sd, _ = split_main_state_dict(sd)
+    from tango_tpu.models.t5 import convert_t5_encoder
+    from tango_tpu.utils.export import save_main_bin
+
+    out = tmp_path / "pytorch_model_main.bin"
+    save_main_bin(str(out), convert_unet(unet_sd), convert_t5_encoder(text_sd))
+    again = load_torch_bin(str(out))
+    _roundtrip_assert(sd, again)

@@ -98,6 +98,34 @@ def main():
         save_main_bin(out_bin, unet_params, loaded["t5_params"])
         print(f"exported main bin -> {out_bin}")
         return
+    elif kind == "export-snapshot":
+        # assemble a COMPLETE publishable reference-format snapshot dir: the
+        # frozen vae/stft bins + config JSONs copy over from the source
+        # snapshot unchanged; the main bin is freshly exported from the
+        # trained UNet (tango.py:12-28 layout — the reference Tango class
+        # loads the result as-is).
+        #   python scripts/convert_checkpoint.py export-snapshot \
+        #       <tango_snapshot> <trained_unet_ckpt|-> <out_dir>
+        import shutil
+
+        out_dir = sys.argv[4]
+        from tango_tpu.utils.export import save_main_bin
+
+        os.makedirs(out_dir, exist_ok=True)
+        loaded = ckpt_io.load_tango_snapshot(src)
+        unet_params = loaded["unet_params"]
+        if dst != "-":
+            unet_params, _ = ckpt_io.load_native(dst)
+        for name in ("pytorch_model_vae.bin", "pytorch_model_stft.bin",
+                     "vae_config.json", "stft_config.json", "main_config.json",
+                     "unet_config.json"):
+            p = os.path.join(src, name)
+            if os.path.exists(p):
+                shutil.copy2(p, os.path.join(out_dir, name))
+        save_main_bin(os.path.join(out_dir, "pytorch_model_main.bin"),
+                      unet_params, loaded["t5_params"])
+        print(f"exported reference-format snapshot -> {out_dir}")
+        return
     else:
         raise SystemExit(f"unknown kind {kind}")
 

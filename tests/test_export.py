@@ -88,3 +88,35 @@ def test_save_main_bin_torch_loadable(tmp_path):
     save_main_bin(str(out), convert_unet(unet_sd), convert_t5_encoder(text_sd))
     again = load_torch_bin(str(out))
     _roundtrip_assert(sd, again)
+
+
+def test_export_snapshot_mode_reloads(tmp_path, monkeypatch):
+    """convert_checkpoint.py export-snapshot assembles a complete
+    reference-format snapshot (frozen vae/stft/config files copied, main bin
+    freshly exported) that OUR loader — and by the bit-exact round-trip,
+    the reference's — consumes directly."""
+    src = GOLDEN / "snapshot_tiny"
+    if not src.exists():
+        pytest.skip("snapshot_tiny fixture not generated")
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_checkpoint",
+        pathlib.Path(__file__).parents[1] / "scripts" / "convert_checkpoint.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "snap_out"
+    monkeypatch.setattr(sys, "argv", [
+        "convert_checkpoint.py", "export-snapshot", str(src), "-", str(out)])
+    mod.main()
+
+    import numpy as np
+
+    from tango_tpu.pipeline import Tango
+    from tests.test_pipeline import StubTokenizer
+
+    t = Tango(str(out), tokenizer=StubTokenizer())
+    w = np.asarray(t.generate("a dog barks", steps=2, seed=0))
+    assert w.dtype == np.int16 and np.abs(w).max() > 0

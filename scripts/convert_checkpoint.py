@@ -126,6 +126,33 @@ def main():
                       unet_params, loaded["t5_params"])
         print(f"exported reference-format snapshot -> {out_dir}")
         return
+    elif kind == "export-mustango":
+        # TPU-trained music UNet -> complete released-Mustango layout
+        # (mustango.py:143-173: configs/ + vae/ + ldm/; beats/chords predictor
+        # dirs copy over when the source ships them).
+        #   python scripts/convert_checkpoint.py export-mustango \
+        #       <mustango_snapshot> <trained_unet_ckpt|-> <out_dir>
+        import shutil
+
+        out_dir = sys.argv[4]
+        from tango_tpu.pipeline_music import convert_mustango_ldm
+        from tango_tpu.utils import convert as conv
+        from tango_tpu.utils.export import save_ldm_bin
+
+        ldm_sd = conv.load_torch_bin(f"{src}/ldm/pytorch_model_ldm.bin")
+        parts = convert_mustango_ldm(ldm_sd)
+        unet_params = parts["unet_params"]
+        if dst != "-":
+            unet_params, _ = ckpt_io.load_native(dst)
+        os.makedirs(os.path.join(out_dir, "ldm"), exist_ok=True)
+        for sub in ("configs", "vae", "stft", "beats", "chords"):
+            p = os.path.join(src, sub)
+            if os.path.isdir(p):
+                shutil.copytree(p, os.path.join(out_dir, sub), dirs_exist_ok=True)
+        save_ldm_bin(os.path.join(out_dir, "ldm", "pytorch_model_ldm.bin"),
+                     unet_params, parts["t5_params"], parts["conditioner_params"])
+        print(f"exported mustango snapshot -> {out_dir}")
+        return
     else:
         raise SystemExit(f"unknown kind {kind}")
 

@@ -138,6 +138,51 @@ def export_t5_encoder(params: dict) -> Dict[str, np.ndarray]:
     return out
 
 
+def export_music_conditioner(params: dict) -> Dict[str, np.ndarray]:
+    """MusicConditioner params -> the Mustango ldm-bin music-layer keys
+    (mustango/models.py:399-403; inverse of models/music.py
+    convert_music_conditioner)."""
+    return {
+        "FME.translation_bias": np.asarray(params["fme_translation_bias"], np.float32),
+        "beat_embedding_layer.beat_ffn.weight": np.ascontiguousarray(
+            np.asarray(params["beat_ffn"]["kernel"], np.float32).T
+        ),
+        "beat_embedding_layer.beat_ffn.bias": np.asarray(
+            params["beat_ffn"]["bias"], np.float32
+        ),
+        "chord_embedding_layer.chord_ffn.weight": np.ascontiguousarray(
+            np.asarray(params["chord_ffn"]["kernel"], np.float32).T
+        ),
+        "chord_embedding_layer.chord_ffn.bias": np.asarray(
+            params["chord_ffn"]["bias"], np.float32
+        ),
+    }
+
+
+def export_ldm_state_dict(unet_params: dict, t5_params: Optional[dict] = None,
+                          conditioner_params: Optional[dict] = None,
+                          ) -> Dict[str, np.ndarray]:
+    """The Mustango ldm/pytorch_model_ldm.bin key set: unet.* +
+    text_encoder.* + the flat music-layer keys (pipeline_music.
+    convert_mustango_ldm's exact inverse)."""
+    sd = {f"unet.{k}": v for k, v in export_unet(unet_params).items()}
+    if t5_params is not None:
+        sd.update({f"text_encoder.{k}": v
+                   for k, v in export_t5_encoder(t5_params).items()})
+    if conditioner_params is not None:
+        sd.update(export_music_conditioner(conditioner_params))
+    return sd
+
+
+def save_ldm_bin(path: str, unet_params: dict, t5_params: Optional[dict] = None,
+                 conditioner_params: Optional[dict] = None) -> None:
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+          export_ldm_state_dict(unet_params, t5_params, conditioner_params).items()}
+    torch.save(sd, path)
+
+
 def export_main_state_dict(unet_params: dict,
                            t5_params: Optional[dict] = None) -> Dict[str, np.ndarray]:
     """The pytorch_model_main.bin key set: unet.* (+ text_encoder.* when T5

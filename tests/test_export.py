@@ -120,3 +120,46 @@ def test_export_snapshot_mode_reloads(tmp_path, monkeypatch):
     t = Tango(str(out), tokenizer=StubTokenizer())
     w = np.asarray(t.generate("a dog barks", steps=2, seed=0))
     assert w.dtype == np.int16 and np.abs(w).max() > 0
+
+
+def test_ldm_bin_roundtrip_and_mustango_export(tmp_path, monkeypatch):
+    """Full Mustango two-way migration: the ldm bin round-trips bit-exactly
+    (unet + text_encoder + music-layer keys), and export-mustango assembles
+    a released-layout snapshot OUR Mustango loader reloads and samples."""
+    src = GOLDEN / "snapshot_tiny_mustango"
+    if not src.exists():
+        pytest.skip("snapshot_tiny_mustango fixture not generated")
+    from tango_tpu.pipeline_music import convert_mustango_ldm
+    from tango_tpu.utils.export import export_ldm_state_dict
+
+    sd = load_torch_bin(str(src / "ldm" / "pytorch_model_ldm.bin"))
+    parts = convert_mustango_ldm(sd)
+    exported = export_ldm_state_dict(
+        parts["unet_params"], parts["t5_params"], parts["conditioner_params"]
+    )
+    _roundtrip_assert(sd, exported)
+
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_checkpoint_m",
+        pathlib.Path(__file__).parents[1] / "scripts" / "convert_checkpoint.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "mus_out"
+    monkeypatch.setattr(sys, "argv", [
+        "convert_checkpoint.py", "export-mustango", str(src), "-", str(out)])
+    mod.main()
+
+    import numpy as np
+
+    from tango_tpu.pipeline_music import Mustango
+    from tests.test_pipeline import StubTokenizer
+
+    m = Mustango(str(out), tokenizer=StubTokenizer())
+    w = np.asarray(m.generate("a jazzy tune", steps=2, guidance=3.0,
+                              beats=[[[0.5], [1.0]]], chords=["Gm"],
+                              chords_times=[0.4], seed=0))
+    assert w.dtype == np.int16 and np.abs(w).max() > 0

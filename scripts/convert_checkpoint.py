@@ -1,19 +1,10 @@
-"""Convert reference torch checkpoints to native tango_tpu (orbax) format.
+"""Convert checkpoints between reference torch and native formats.
 
-    python scripts/convert_checkpoint.py tango <snapshot_dir> <out_dir>
-    python scripts/convert_checkpoint.py audioldm <ckpt.ckpt> <out_dir>
-    python scripts/convert_checkpoint.py mustango <snapshot_dir> <out_dir>
-
-Reverse direction (publish a TPU-trained UNet back to the torch ecosystem):
-
-    python scripts/convert_checkpoint.py export-main <snapshot_dir> \
-        <trained_unet_ckpt|-> <out pytorch_model_main.bin>
-
-One-time conversion; afterwards pipelines can load with
-tango_tpu.utils.checkpoint.load_native (no torch import needed at serve time).
+Delegates to tango_tpu.convert_cli (also installed as `tango-convert`);
+kept as a repo script for the documented scripts/ workflows. Forces CPU
+under the axon relay so conversion never depends on the TPU tunnel.
 """
 
-import json
 import os
 import sys
 
@@ -27,139 +18,7 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 
     jax.config.update("jax_platforms", "cpu")
 
-
-def main():
-    kind, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
-    from tango_tpu.utils import checkpoint as ckpt_io
-
-    if kind == "tango":
-        loaded = ckpt_io.load_tango_snapshot(src)
-        tree = {
-            "unet": loaded["unet_params"],
-            "vae": loaded["vae_params"],
-            "t5": loaded["t5_params"],
-            "hifigan": loaded["hifigan_params"],
-        }
-        manifest = {
-            "kind": "tango",
-            "unet_config": loaded["unet_config"].to_dict(),
-            "vae_config": loaded["vae_config"].to_dict(),
-            "stft_config": loaded["stft_config"].to_dict(),
-            "main_config": loaded["main_config"].to_dict(),
-        }
-    elif kind == "audioldm":
-        vae_params, hifigan_params, scale = ckpt_io.load_audioldm_ckpt(src)
-        from tango_tpu.models.audioldm_unet import convert_film_unet
-        from tango_tpu.utils import convert as conv
-
-        sd = conv.load_torch_bin(src)
-        unet_sd = {
-            k[len("model.diffusion_model."):]: v
-            for k, v in sd.items()
-            if k.startswith("model.diffusion_model.")
-        }
-        tree = {
-            "unet": convert_film_unet(unet_sd) if unet_sd else None,
-            "vae": vae_params,
-            "hifigan": hifigan_params,
-        }
-        manifest = {"kind": "audioldm", "scale_factor": scale}
-    elif kind == "mustango":
-        from tango_tpu.pipeline_music import convert_mustango_ldm
-        from tango_tpu.utils import convert as conv
-
-        vae_sd = conv.load_torch_bin(f"{src}/vae/pytorch_model_vae.bin")
-        ldm_sd = conv.load_torch_bin(f"{src}/ldm/pytorch_model_ldm.bin")
-        parts = convert_mustango_ldm(ldm_sd)
-        vocoder_sd = {k[8:]: v for k, v in vae_sd.items() if k.startswith("vocoder.")}
-        tree = {
-            "unet": parts["unet_params"],
-            "t5": parts["t5_params"],
-            "conditioner": parts["conditioner_params"],
-            "vae": conv.convert_vae(vae_sd),
-            "hifigan": conv.convert_hifigan(vocoder_sd) if vocoder_sd else None,
-        }
-        manifest = {"kind": "mustango"}
-    elif kind == "export-main":
-        # REVERSE direction: a natively-trained UNet checkpoint (orbax, from
-        # the trainers) + the source snapshot's frozen T5 -> the reference's
-        # pytorch_model_main.bin, strict-loadable by torch/diffusers
-        # (tests/test_export.py pins export(convert(sd)) == sd bit-exactly).
-        #   python scripts/convert_checkpoint.py export-main \
-        #       <tango_snapshot> <trained_unet_ckpt|-> <out.bin>
-        # pass '-' as the ckpt to export the snapshot's own UNet unchanged.
-        out_bin = sys.argv[4]
-        from tango_tpu.utils.export import save_main_bin
-
-        loaded = ckpt_io.load_tango_snapshot(src)
-        unet_params = loaded["unet_params"]
-        if dst != "-":
-            unet_params, _ = ckpt_io.load_native(dst)
-        save_main_bin(out_bin, unet_params, loaded["t5_params"])
-        print(f"exported main bin -> {out_bin}")
-        return
-    elif kind == "export-snapshot":
-        # assemble a COMPLETE publishable reference-format snapshot dir: the
-        # frozen vae/stft bins + config JSONs copy over from the source
-        # snapshot unchanged; the main bin is freshly exported from the
-        # trained UNet (tango.py:12-28 layout — the reference Tango class
-        # loads the result as-is).
-        #   python scripts/convert_checkpoint.py export-snapshot \
-        #       <tango_snapshot> <trained_unet_ckpt|-> <out_dir>
-        import shutil
-
-        out_dir = sys.argv[4]
-        from tango_tpu.utils.export import save_main_bin
-
-        os.makedirs(out_dir, exist_ok=True)
-        loaded = ckpt_io.load_tango_snapshot(src)
-        unet_params = loaded["unet_params"]
-        if dst != "-":
-            unet_params, _ = ckpt_io.load_native(dst)
-        for name in ("pytorch_model_vae.bin", "pytorch_model_stft.bin",
-                     "vae_config.json", "stft_config.json", "main_config.json",
-                     "unet_config.json"):
-            p = os.path.join(src, name)
-            if os.path.exists(p):
-                shutil.copy2(p, os.path.join(out_dir, name))
-        save_main_bin(os.path.join(out_dir, "pytorch_model_main.bin"),
-                      unet_params, loaded["t5_params"])
-        print(f"exported reference-format snapshot -> {out_dir}")
-        return
-    elif kind == "export-mustango":
-        # TPU-trained music UNet -> complete released-Mustango layout
-        # (mustango.py:143-173: configs/ + vae/ + ldm/; beats/chords predictor
-        # dirs copy over when the source ships them).
-        #   python scripts/convert_checkpoint.py export-mustango \
-        #       <mustango_snapshot> <trained_unet_ckpt|-> <out_dir>
-        import shutil
-
-        out_dir = sys.argv[4]
-        from tango_tpu.pipeline_music import convert_mustango_ldm
-        from tango_tpu.utils import convert as conv
-        from tango_tpu.utils.export import save_ldm_bin
-
-        ldm_sd = conv.load_torch_bin(f"{src}/ldm/pytorch_model_ldm.bin")
-        parts = convert_mustango_ldm(ldm_sd)
-        unet_params = parts["unet_params"]
-        if dst != "-":
-            unet_params, _ = ckpt_io.load_native(dst)
-        os.makedirs(os.path.join(out_dir, "ldm"), exist_ok=True)
-        for sub in ("configs", "vae", "stft", "beats", "chords"):
-            p = os.path.join(src, sub)
-            if os.path.isdir(p):
-                shutil.copytree(p, os.path.join(out_dir, sub), dirs_exist_ok=True)
-        save_ldm_bin(os.path.join(out_dir, "ldm", "pytorch_model_ldm.bin"),
-                     unet_params, parts["t5_params"], parts["conditioner_params"])
-        print(f"exported mustango snapshot -> {out_dir}")
-        return
-    else:
-        raise SystemExit(f"unknown kind {kind}")
-
-    tree = {k: v for k, v in tree.items() if v is not None}
-    ckpt_io.save_native(dst, tree, manifest)
-    print(f"converted {kind} checkpoint -> {dst}")
-
+from tango_tpu.convert_cli import main  # noqa: E402
 
 if __name__ == "__main__":
     main()

@@ -118,6 +118,13 @@ def main(argv=None):
             p = os.path.join(src, name)
             if os.path.exists(p):
                 shutil.copy2(p, os.path.join(out_dir, name))
+        # snapshots may ship a scheduler/ dir that load_tango_snapshot honors
+        # over the SD-2.1 fallback — dropping it would silently reload the
+        # export with different diffusion coefficients
+        sched_dir = os.path.join(src, "scheduler")
+        if os.path.isdir(sched_dir):
+            shutil.copytree(sched_dir, os.path.join(out_dir, "scheduler"),
+                            dirs_exist_ok=True)
         save_main_bin(os.path.join(out_dir, "pytorch_model_main.bin"),
                       unet_params, loaded["t5_params"])
         print(f"exported reference-format snapshot -> {out_dir}")

@@ -140,7 +140,10 @@ def process_local_batch_slice(mesh: Mesh, global_batch_size: int) -> slice:
     # range for the single np slice below — true for the process-major device
     # order make_mesh uses (jax.devices() sorts by process)
     for (_, prev_stop), (start, _) in zip(spans, spans[1:]):
-        assert prev_stop == start, f"non-contiguous local batch rows: {spans}"
+        # data-integrity invariant: must survive `python -O` (a silent wrong
+        # slice here corrupts every multi-host batch), so not an assert
+        if prev_stop != start:
+            raise RuntimeError(f"non-contiguous local batch rows: {spans}")
     return slice(spans[0][0], spans[-1][1])
 
 

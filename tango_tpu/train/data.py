@@ -86,9 +86,9 @@ def validate_manifest(examples: Sequence[Example], max_report: int = 20) -> None
             fmt = sniff_format(ex.location)
         except OSError as e:
             bad.append(f"{ex.location}: {e.strerror or e}")
-            continue
-        if fmt not in ("wav", "flac"):
-            bad.append(f"{ex.location}: {fmt}")
+        else:
+            if fmt not in ("wav", "flac"):
+                bad.append(f"{ex.location}: {fmt}")
         if len(bad) > max_report:
             break
     if bad:

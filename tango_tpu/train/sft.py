@@ -71,7 +71,10 @@ def make_schedule(cfg: TrainConfig, total_steps: int):
             f"lr_scheduler_type {kind!r} not supported "
             "(linear/cosine/constant/constant_with_warmup)"
         )
-    if cfg.num_warmup_steps > 0:
+    # HF get_scheduler("constant") ignores num_warmup_steps entirely
+    # (transformers.optimization.get_constant_schedule takes no warmup arg);
+    # only the other kinds get the warmup join.
+    if cfg.num_warmup_steps > 0 and kind != "constant":
         warmup = optax.linear_schedule(0.0, cfg.learning_rate, cfg.num_warmup_steps)
         schedule = optax.join_schedules([warmup, schedule], [cfg.num_warmup_steps])
     return schedule

@@ -103,7 +103,7 @@ def test_pyproject_console_scripts_resolve():
 
     with open(REPO / "pyproject.toml", "rb") as f:
         scripts = tomllib.load(f)["project"]["scripts"]
-    assert len(scripts) == 7
+    assert len(scripts) == 8
     for name, target in scripts.items():
         mod_name, func_name = target.split(":")
         fn = getattr(importlib.import_module(mod_name), func_name)

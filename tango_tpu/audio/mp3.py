@@ -470,8 +470,16 @@ def _requantize(is_, g: _Granule, h: _FrameHeader):
 
 
 def _stereo_process(xr, g_r: _Granule, h: _FrameHeader, nonzero_r: int):
-    """MS and intensity stereo (ISO 2.4.3.4.9). xr: (2, 576) in-place."""
+    """MS and intensity stereo (ISO 2.4.3.4.9). xr: (2, 576) in-place.
+
+    nonzero_r must be the right channel's last-nonzero-line extent (NOT the
+    huffman positional extent): libmpg123 starts the intensity zone at the
+    first scalefactor band at/after the last nonzero value, so trailing
+    all-zero count1 quads do not push the zone out (pinned empirically,
+    tests/test_mp3.py). With MS also enabled, intensity bands split the
+    PRE-MS left value (equivalently sqrt(2) x the MS mid) — also pinned."""
     sr = h.sample_rate
+    pre_left = xr[0].copy()
     if h.ms_stereo:
         m = xr[0].copy()
         s = xr[1].copy()
@@ -480,6 +488,10 @@ def _stereo_process(xr, g_r: _Granule, h: _FrameHeader, nonzero_r: int):
         xr[1] = (m - s) * inv
     if not h.intensity_stereo:
         return
+    if h.ms_stereo:
+        xr_src = pre_left
+    else:
+        xr_src = None  # band values read from xr[0] at apply time
     # intensity: bands at/above the right channel's rzero bound take the
     # left channel's magnitude split by is_pos (the right's scalefactor)
     if g_r.block_type == 2:
@@ -498,22 +510,23 @@ def _stereo_process(xr, g_r: _Granule, h: _FrameHeader, nonzero_r: int):
                 if start < nonzero_r or start >= 576:
                     continue
                 is_pos = g_r.scalefac_s[sfb][w]
-                _apply_intensity(xr, start, min(start + width, 576), is_pos, h, g_r)
+                _apply_intensity(xr, start, min(start + width, 576), is_pos, h, g_r, xr_src)
         if g_r.mixed_block and nonzero_r < nlong:
             for sfb, (lo, hi) in enumerate(_band_spans_long(sr)):
                 if lo >= nlong:
                     break
                 if lo < nonzero_r:
                     continue
-                _apply_intensity(xr, lo, hi, g_r.scalefac_l[sfb], h, g_r)
+                _apply_intensity(xr, lo, hi, g_r.scalefac_l[sfb], h, g_r, xr_src)
     else:
         for sfb, (lo, hi) in enumerate(_band_spans_long(sr)):
             if lo < nonzero_r:
                 continue
-            _apply_intensity(xr, lo, min(hi, 576), g_r.scalefac_l[sfb], h, g_r)
+            _apply_intensity(xr, lo, min(hi, 576), g_r.scalefac_l[sfb], h, g_r, xr_src)
 
 
-def _apply_intensity(xr, lo, hi, is_pos, h: _FrameHeader, g_r: _Granule):
+def _apply_intensity(xr, lo, hi, is_pos, h: _FrameHeader, g_r: _Granule,
+                     xr_src=None):
     if not h.lsf:
         if is_pos == 7:
             return  # illegal position: leave the band as-is (MS result)
@@ -531,7 +544,7 @@ def _apply_intensity(xr, lo, hi, is_pos, h: _FrameHeader, g_r: _Granule):
                 l_ratio, r_ratio = k, 1.0
             else:
                 l_ratio, r_ratio = 1.0, k
-    band = xr[0, lo:hi].copy()
+    band = (xr_src[lo:hi] if xr_src is not None else xr[0, lo:hi]).copy()
     xr[0, lo:hi] = band * l_ratio
     xr[1, lo:hi] = band * r_ratio
 
@@ -827,8 +840,12 @@ class _DecoderState:
                 end_pos = start_pos + g.part2_3_length
                 if g.part2_bits > g.part2_3_length:
                     raise Mp3Error("scalefactors exceed part2_3_length")
-                is_, nz = _decode_huffman(mb, g, h, end_pos)
-                nonzero[ch] = nz
+                is_, _pos = _decode_huffman(mb, g, h, end_pos)
+                # intensity zone bound = last NONZERO line, not the huffman
+                # positional extent (trailing all-zero count1 quads do not
+                # count) — pinned against libmpg123 in tests/test_mp3.py
+                nzi = np.nonzero(is_)[0]
+                nonzero[ch] = int(nzi[-1]) + 1 if len(nzi) else 0
                 xr_ch[ch] = _requantize(is_, g, h)
             if nch == 2:
                 _stereo_process(xr_ch, granules[gr][1], h, nonzero[1])

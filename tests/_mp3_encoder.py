@@ -1,0 +1,332 @@
+"""Constrained MPEG Layer III encoder for decoder validation.
+
+NOT a real audio encoder: it assembles syntactically valid Layer III
+bitstreams from explicit granule specs (raw spectral integers + side-info
+fields), so tests can exercise every decoder path — each Huffman table,
+ESC/linbits, both count1 tables, all block types incl. mixed, subblock
+gains, scfsi reuse, preflag, MS/intensity stereo, every MPEG version and
+sample rate — and compare tango_tpu.audio.mp3 against the system decoder
+(libmpg123 via pygame) on the exact same bytes.
+
+The reference ingests mp3 through torchaudio (tools/torch_tools.py:43-54);
+this encoder is the in-repo ground-truth generator standing in for
+torchaudio's test fixtures.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from tango_tpu.audio import mp3_tables as T
+
+_SR_INDEX = {sr: i for ver, srs in T.SAMPLE_RATES.items() for i, sr in enumerate(srs)}
+_VER_CODE = {"2.5": 0, "2": 2, "1": 3}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: List[int] = []
+
+    def write(self, value: int, n: int):
+        if n == 0:
+            if value:
+                raise ValueError("nonzero value in a 0-bit field (check "
+                                 "scalefac_compress slen widths)")
+            return
+        if value < 0 or value >= (1 << n):
+            raise ValueError(f"value {value} does not fit in {n} bits")
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def write_code(self, code: str):
+        for c in code:
+            self.bits.append(1 if c == "1" else 0)
+
+    @property
+    def nbits(self) -> int:
+        return len(self.bits)
+
+    def to_bytes(self) -> bytes:
+        out = bytearray()
+        acc = 0
+        n = 0
+        for b in self.bits:
+            acc = (acc << 1) | b
+            n += 1
+            if n == 8:
+                out.append(acc)
+                acc = n = 0
+        if n:
+            out.append(acc << (8 - n))
+        return bytes(out)
+
+
+def _build_encoders():
+    big = {}
+    for tid, codes in T.HUFFMAN_CODES.items():
+        big[tid] = {xy: c for c, xy in codes.items()}
+    quads = []
+    for q in (T.QUAD_A, T.QUAD_B):
+        quads.append({v: c for c, v in q.items()})
+    return big, quads
+
+
+_BIG_ENC, _QUAD_ENC = _build_encoders()
+
+
+@dataclass
+class GranuleSpec:
+    spectrum: np.ndarray                      # int lines, len 576
+    block_type: int = 0                       # 0 long, 1 start, 2 short, 3 stop
+    mixed: bool = False
+    global_gain: int = 160
+    scalefac_compress: int = 0                # MPEG-1 index / LSF raw value
+    scalefac_l: Sequence[int] = field(default_factory=lambda: [0] * 21)
+    scalefac_s: Sequence[Sequence[int]] = field(
+        default_factory=lambda: [[0, 0, 0] for _ in range(12)])
+    subblock_gain: Sequence[int] = (0, 0, 0)
+    table_select: Sequence[int] = (1, 1, 1)
+    region0_count: int = 4
+    region1_count: int = 3
+    preflag: int = 0
+    scalefac_scale: int = 0
+    count1table_select: int = 0
+
+    @property
+    def window_switching(self) -> bool:
+        return self.block_type != 0
+
+
+def _split_spectrum(spec: np.ndarray):
+    """-> (big_end, count1_end): big-value region is pairs of arbitrary ints,
+    count1 region quads of {-1,0,1}, rzero the rest."""
+    nz = np.nonzero(spec)[0]
+    if len(nz) == 0:
+        return 0, 0
+    last = int(nz[-1])
+    # big_end: smallest even index such that everything at/after it is
+    # in {-1,0,1} (and can be carried by count1 quads)
+    big_end = last + 1
+    while big_end > 0 and abs(int(spec[big_end - 1])) <= 1:
+        big_end -= 1
+    big_end += big_end & 1
+    if big_end // 2 > 288:
+        raise ValueError("big_values would exceed 288")
+    count1_end = big_end + ((last + 1 - big_end + 3) // 4) * 4
+    count1_end = min(count1_end, 576)
+    return big_end, count1_end
+
+
+def _encode_big_pair(w: _BitWriter, x: int, y: int, table: int):
+    base = T.TABLE_ALIAS.get(table, table)
+    linbits = T.LINBITS.get(table, 0)
+    ax, ay = abs(x), abs(y)
+    cx, cy = min(ax, 15), min(ay, 15)
+    if (ax > 15 or ay > 15) and not linbits:
+        raise ValueError(f"value {max(ax, ay)} needs a linbits table, got {table}")
+    if ax > 15 + ((1 << linbits) - 1) or ay > 15 + ((1 << linbits) - 1):
+        raise ValueError(f"value exceeds table {table} linbits range")
+    if linbits and ax >= 15:
+        cx = 15
+    if linbits and ay >= 15:
+        cy = 15
+    if cx > 15 or cy > 15 or (cx, cy) not in _BIG_ENC[base]:
+        raise ValueError(f"({cx},{cy}) not in table {base}")
+    w.write_code(_BIG_ENC[base][(cx, cy)])
+    if cx == 15 and linbits:
+        w.write(ax - 15, linbits)
+    if ax:
+        w.write(1 if x < 0 else 0, 1)
+    if cy == 15 and linbits:
+        w.write(ay - 15, linbits)
+    if ay:
+        w.write(1 if y < 0 else 0, 1)
+
+
+def _encode_granule_main(w: _BitWriter, g: GranuleSpec, sr: int, lsf: bool,
+                         scfsi=None, gr: int = 0, intensity_ch: bool = False):
+    """scalefactors + huffman bits; returns (part2_3_length, big_values)."""
+    start = w.nbits
+    spec = np.asarray(g.spectrum, np.int64)
+    if spec.shape != (576,):
+        raise ValueError("spectrum must have 576 lines")
+    big_end, count1_end = _split_spectrum(spec)
+
+    # ---- scalefactors
+    if not lsf:
+        slen1 = T.SLEN1[g.scalefac_compress]
+        slen2 = T.SLEN2[g.scalefac_compress]
+        if g.block_type == 2:
+            if g.mixed:
+                for sfb in range(8):
+                    w.write(g.scalefac_l[sfb], slen1)
+                first_short = 3
+            else:
+                first_short = 0
+            for sfb in range(first_short, 12):
+                slen = slen1 if sfb < 6 else slen2
+                for wnd in range(3):
+                    w.write(g.scalefac_s[sfb][wnd], slen)
+        else:
+            groups = ((0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2))
+            for gi, (lo, hi, slen) in enumerate(groups):
+                if gr == 1 and scfsi and scfsi[gi]:
+                    continue  # reused from granule 0
+                for sfb in range(lo, hi):
+                    w.write(g.scalefac_l[sfb], slen)
+    else:
+        from tango_tpu.audio.mp3 import _Granule, _lsf_slen_and_class
+        gg = _Granule()
+        gg.scalefac_compress = g.scalefac_compress
+        gg.block_type = g.block_type
+        gg.mixed_block = 1 if g.mixed else 0
+        gg.preflag = 0
+        slen, nr = _lsf_slen_and_class(gg, intensity_ch)
+        if g.block_type == 2:
+            if g.mixed:
+                vals = list(g.scalefac_l[:6])
+                for sfb in range(3, 3 + (sum(nr) - 6) // 3):
+                    vals.extend(g.scalefac_s[sfb])
+            else:
+                vals = []
+                for sfb in range(sum(nr) // 3):
+                    vals.extend(g.scalefac_s[sfb])
+        else:
+            vals = list(g.scalefac_l[:sum(nr)])
+        if len(vals) != sum(nr):
+            raise ValueError(f"need {sum(nr)} scalefactors, got {len(vals)}")
+        i = 0
+        for n, sl in zip(nr, slen):
+            for _ in range(n):
+                w.write(vals[i], sl)
+                i += 1
+
+    # ---- huffman: regions
+    long_band = T.SFB_LONG[sr]
+    if g.window_switching:
+        if g.block_type == 2 and not g.mixed:
+            region1_start = 36
+        else:
+            region1_start = long_band[8]
+        region2_start = 576
+    else:
+        region1_start = long_band[min(g.region0_count + 1, 22)]
+        region2_start = long_band[min(g.region0_count + 1 + g.region1_count + 1, 22)]
+
+    for pos in range(0, big_end, 2):
+        if pos < region1_start:
+            tsel = g.table_select[0]
+        elif pos < region2_start:
+            tsel = g.table_select[1]
+        else:
+            tsel = g.table_select[2]
+        x, y = int(spec[pos]), int(spec[pos + 1])
+        if tsel == 0:
+            if x or y:
+                raise ValueError("table 0 region contains nonzero values")
+            continue
+        _encode_big_pair(w, x, y, tsel)
+
+    qenc = _QUAD_ENC[g.count1table_select]
+    for pos in range(big_end, count1_end, 4):
+        quad = tuple(abs(int(v)) for v in spec[pos:pos + 4])
+        w.write_code(qenc[quad])
+        for v in spec[pos:pos + 4]:
+            if v:
+                w.write(1 if v < 0 else 0, 1)
+
+    return w.nbits - start, big_end // 2
+
+
+def encode_frame(granules, *, sr: int = 44100, version: str = "1",
+                 mode: int = 3, mode_ext: int = 0, bitrate: int = 320,
+                 scfsi: Optional[list] = None, padding: int = 0) -> bytes:
+    """granules: [gr][ch] GranuleSpec — shapes (2, nch) for MPEG-1,
+    (1, nch) for MPEG-2/2.5. Returns one complete frame."""
+    lsf = version != "1"
+    nch = 1 if mode == 3 else 2
+    ngr = 1 if lsf else 2
+    if len(granules) != ngr or any(len(row) != nch for row in granules):
+        raise ValueError(f"need granules[{ngr}][{nch}]")
+    if scfsi is None:
+        scfsi = [[0, 0, 0, 0] for _ in range(nch)]
+
+    br_table = T.BITRATES_V1_L3 if not lsf else T.BITRATES_V2_L3
+    br_idx = br_table.index(bitrate)
+    coef = 144 if not lsf else 72
+    frame_bytes = coef * bitrate * 1000 // sr + padding
+
+    # ---- main data (scalefactors + huffman), per granule per channel
+    mw = _BitWriter()
+    fields = []  # (part2_3_length, big_values) in stream order
+    for gr in range(ngr):
+        for ch in range(nch):
+            is_int = (mode == 1 and (mode_ext & 1) and ch == 1)
+            p23, bv = _encode_granule_main(
+                mw, granules[gr][ch], sr, lsf,
+                scfsi=scfsi[ch], gr=gr, intensity_ch=is_int)
+            fields.append((p23, bv))
+    main = mw.to_bytes()
+
+    # ---- side info
+    sw = _BitWriter()
+    if not lsf:
+        sw.write(0, 9)  # main_data_begin = 0 (no reservoir)
+        sw.write(0, 5 if nch == 1 else 3)
+        for ch in range(nch):
+            for b in scfsi[ch]:
+                sw.write(b, 1)
+    else:
+        sw.write(0, 8)
+        sw.write(0, 1 if nch == 1 else 2)
+    fi = 0
+    for gr in range(ngr):
+        for ch in range(nch):
+            g = granules[gr][ch]
+            p23, bv = fields[fi]
+            fi += 1
+            sw.write(p23, 12)
+            sw.write(bv, 9)
+            sw.write(g.global_gain, 8)
+            sw.write(g.scalefac_compress, 9 if lsf else 4)
+            sw.write(1 if g.window_switching else 0, 1)
+            if g.window_switching:
+                sw.write(g.block_type, 2)
+                sw.write(1 if g.mixed else 0, 1)
+                sw.write(g.table_select[0], 5)
+                sw.write(g.table_select[1], 5)
+                for sb in g.subblock_gain:
+                    sw.write(sb, 3)
+            else:
+                for t in g.table_select:
+                    sw.write(t, 5)
+                sw.write(g.region0_count, 4)
+                sw.write(g.region1_count, 3)
+            if not lsf:
+                sw.write(g.preflag, 1)
+            sw.write(g.scalefac_scale, 1)
+            sw.write(g.count1table_select, 1)
+    side = sw.to_bytes()
+    expect_side = (17 if nch == 1 else 32) if not lsf else (9 if nch == 1 else 17)
+    if len(side) != expect_side:
+        raise AssertionError(f"side info {len(side)} != {expect_side}")
+
+    # ---- header
+    hdr = bytearray(4)
+    hdr[0] = 0xFF
+    hdr[1] = 0xE0 | (_VER_CODE[version] << 3) | (1 << 1) | 1  # layer III, no CRC
+    hdr[2] = (br_idx << 4) | (_SR_INDEX[sr] << 2) | ((1 if padding else 0) << 1)
+    hdr[3] = (mode << 6) | (mode_ext << 4)
+
+    payload = frame_bytes - 4 - len(side)
+    if len(main) > payload:
+        raise ValueError(f"main data {len(main)} exceeds payload {payload} "
+                         f"(raise bitrate)")
+    return bytes(hdr) + side + main + b"\x00" * (payload - len(main))
+
+
+def encode_stream(frames_of_granules, **kw) -> bytes:
+    return b"".join(encode_frame(g, **kw) for g in frames_of_granules)

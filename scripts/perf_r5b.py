@@ -1,0 +1,340 @@
+"""Round-5 attention speed-of-light closure (VERDICT r4 next #1b).
+
+The flash kernel delivers ~20 ms of the ~58 ms CFG-B8 UNet eval against a
+13.3 ms MXU-ceiling-adjusted SOL. This script decomposes that residual
+term-by-term INSIDE the full jitted eval (the only truthful methodology on
+this relay — docs/PERF.md), by swapping diagnostic kernels that remove one
+pass each:
+
+  base          production static-shift kernel via the same harness shim
+                (apples-to-apples baseline for every delta below)
+  none          attention core -> identity at the mha level (total
+                attention cost incl. pallas launch + DMA)
+  d_io          kernel DMAs q/k/v blocks, writes o=q (+ trivial k use so the
+                DMA isn't dead): launch + block-copy floor
+  d_no_qk       (BQ,Skv) logits built by broadcast instead of the MXU dot:
+                delta = QK^T MXU time
+  d_no_exp2     exp2 removed (p = clamped logits): delta = exp2 VPU time
+  d_no_sum      denominator pass removed (denom=1): delta = row-sum VPU time
+  d_no_pv       PV dot removed (acc = p[:, :D] slice): delta = PV MXU time
+  d_no_cast     PV dot in f32 p (no bf16 cast of p): delta = cast pass cost
+                (f32 MXU runs slower; interpret with care — reported anyway)
+
+Recovery candidates (production math, different schedule):
+
+  bq256 / bq1024   q-block sweep for the static-shift kernel (the old sweep
+                   predates deferred-div + exp2 + static-shift)
+  par              dimension_semantics=("parallel","parallel") on the v1 call
+
+python scripts/perf_r5b.py [names...]
+default: base none d_io d_no_qk d_no_exp2 d_no_sum d_no_pv bq256 bq1024 par
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tango_tpu.ops import flash_attention as fa
+
+LOG2_E = fa.LOG2_E
+SHIFT = fa._SOFTMAX_SHIFT
+CLAMP = fa._SOFTMAX_CLAMP
+
+
+def out(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def chain_ms(fn, x0, iters=8, reps=3):
+    @jax.jit
+    def run(x):
+        y, _ = jax.lax.scan(lambda c, _: (fn(c), None), x, None, length=iters)
+        return y
+
+    def sync(y):
+        float(jnp.ravel(y)[0])
+
+    t0 = time.perf_counter()
+    sync(run(x0))
+    cs = time.perf_counter() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(run(x0))
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts)) * 1e3, cs
+
+
+# ------------------------------------------------------- diagnostic kernels
+
+
+def _k_prod(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    qs = (q.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype)
+    logits = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp2(jnp.minimum(logits - SHIFT, CLAMP))
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / jnp.where(denom == 0.0, 1.0, denom)).astype(o_ref.dtype)
+
+
+def _k_io(q_ref, k_ref, v_ref, o_ref, *, scale):
+    # touch k/v so their DMAs are live; no (BQ,Skv) tensor exists
+    q = q_ref[0]
+    bq = q.shape[0]
+    kv = (k_ref[0][:bq] + v_ref[0][:bq]).astype(jnp.float32)
+    o_ref[0] = (q.astype(jnp.float32) * scale + kv * 1e-30).astype(o_ref.dtype)
+
+
+def _k_no_qk(q_ref, k_ref, v_ref, o_ref, *, scale):
+    # (BQ,Skv) tensor exists (broadcast of q's first lane) but no MXU dot;
+    # k goes untouched (its block DMA may be dead-code-eliminated, so this
+    # delta is QK MXU + possibly the k DMA — an upper bound on QK time)
+    del k_ref
+    q = q_ref[0]
+    v = v_ref[0]
+    qs = q.astype(jnp.float32) * (scale * LOG2_E)
+    logits = qs[:, :1] + jnp.zeros((q.shape[0], v.shape[0]), jnp.float32)
+    p = jnp.exp2(jnp.minimum(logits - SHIFT, CLAMP))
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / jnp.where(denom == 0.0, 1.0, denom)).astype(o_ref.dtype)
+
+
+def _k_no_exp2(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    qs = (q.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype)
+    logits = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.minimum(logits - SHIFT, CLAMP)  # exp2 removed
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / jnp.where(denom == 0.0, 1.0, denom)).astype(o_ref.dtype)
+
+
+def _k_no_sum(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    qs = (q.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype)
+    logits = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp2(jnp.minimum(logits - SHIFT, CLAMP))
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)  # denominator pass removed
+
+
+def _k_no_pv(q_ref, k_ref, v_ref, o_ref, *, scale):
+    # PV dot shrunk to K=128 (full lane tile): removes (1 - 128/Skv) of the
+    # PV MXU time while keeping p fully live and the output path identical
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    qs = (q.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype)
+    logits = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp2(jnp.minimum(logits - SHIFT, CLAMP))
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.dot(p[:, :128].astype(v.dtype), v[:128],
+                  preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / jnp.where(denom == 0.0, 1.0, denom)).astype(o_ref.dtype)
+
+
+DIAG_KERNELS = {
+    "base": _k_prod,
+    "d_io": _k_io,
+    "d_no_qk": _k_no_qk,
+    "d_no_exp2": _k_no_exp2,
+    "d_no_sum": _k_no_sum,
+    "d_no_pv": _k_no_pv,
+}
+
+
+def flash_v1(q, k, v, *, scale, kernel, bq_override=None, parallel=False):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bq = bq_override if (bq_override and sq % bq_override == 0) else fa._block_q(sq)
+    bq = min(bq, sq)
+
+    def reshape3(x):
+        return x.reshape(b * h, x.shape[2], d)
+
+    q3, k3, v3 = reshape3(q), reshape3(k), reshape3(v)
+    kw = {}
+    if parallel:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
+    out3 = pl.pallas_call(
+        functools.partial(kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
+        grid=(b * h, sq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv, d), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv, d), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * sq * skv * d,
+            bytes_accessed=(q3.size * 2 + k3.size + v3.size) * q.dtype.itemsize,
+            transcendentals=b * h * sq * skv,
+        ),
+        **kw,
+    )(q3, k3, v3)
+    return out3.reshape(b, h, sq, d)
+
+
+def make_mha(attn_impl):
+    """Shim mirroring models.unet.multi_head_attention's dispatch: flash for
+    bias-free Skv>=256, XLA einsum otherwise (cross-attn)."""
+    from tango_tpu.ops.attention import _xla_attention
+
+    def mha(q, k, v, *, heads, bias=None, upcast=True, use_flash=None):
+        b, sq, inner = q.shape
+        skv = k.shape[1]
+        d = inner // heads
+        scale = d**-0.5
+        if bias is not None and bias.ndim == 2:
+            bias = bias[:, None, None, :]
+        elif bias is not None and bias.ndim == 3:
+            bias = bias[:, None, :, :]
+        if bias is not None:
+            bias = bias.astype(jnp.float32)
+        qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+        if bias is None and skv >= 256 and sq % 128 == 0:
+            o = attn_impl(qh, kh, vh, scale=scale)
+        else:
+            o = _xla_attention(qh, kh, vh, bias=bias, scale=scale, upcast=upcast)
+        return o.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+
+    return mha
+
+
+def make_identity_mha():
+    from tango_tpu.ops.attention import _xla_attention
+
+    def mha(q, k, v, *, heads, bias=None, upcast=True, use_flash=None):
+        b, sq, inner = q.shape
+        skv = k.shape[1]
+        if bias is None and skv >= 256 and sq % 128 == 0:
+            return q  # self-attention core ablated entirely
+        d = inner // heads
+        scale = d**-0.5
+        if bias is not None and bias.ndim == 2:
+            bias = bias[:, None, None, :]
+        elif bias is not None and bias.ndim == 3:
+            bias = bias[:, None, :, :]
+        if bias is not None:
+            bias = bias.astype(jnp.float32)
+        qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+        o = _xla_attention(qh, kh, vh, bias=bias, scale=scale, upcast=upcast)
+        return o.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+
+    return mha
+
+
+VARIANTS = {
+    **{name: (lambda kern: (lambda q, k, v, *, scale: flash_v1(
+        q, k, v, scale=scale, kernel=kern)))(kern)
+       for name, kern in DIAG_KERNELS.items()},
+    "bq256": lambda q, k, v, *, scale: flash_v1(q, k, v, scale=scale, kernel=_k_prod, bq_override=256),
+    "bq1024": lambda q, k, v, *, scale: flash_v1(q, k, v, scale=scale, kernel=_k_prod, bq_override=1024),
+    "par": lambda q, k, v, *, scale: flash_v1(q, k, v, scale=scale, kernel=_k_prod, parallel=True),
+}
+
+
+def run_variant(name, b=8):
+    import tango_tpu.models.unet as unet_mod
+    from tango_tpu import configs as C
+    from tango_tpu.models.unet import UNet2DConditionModel
+
+    orig_mha = unet_mod.multi_head_attention
+    if name == "none":
+        unet_mod.multi_head_attention = make_identity_mha()
+    else:
+        unet_mod.multi_head_attention = make_mha(VARIANTS[name])
+
+    try:
+        dtype = jnp.bfloat16
+        cfg = C.TANGO_UNET
+        unet = UNet2DConditionModel(cfg, dtype=dtype)
+        shapes = jax.eval_shape(
+            lambda kk: unet.init(
+                kk, jnp.zeros((1, 256, 16, 8), dtype), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 2, cfg.cross_attention_dim), dtype),
+            )["params"],
+            jax.random.PRNGKey(0),
+        )
+
+        @jax.jit
+        def make():
+            return jax.tree_util.tree_map(
+                lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
+                    dtype if s.dtype == jnp.float32 else s.dtype
+                ),
+                shapes,
+            )
+
+        params = make()
+        ctx = jnp.ones((b, 64, cfg.cross_attention_dim), dtype) * 0.1
+        mask = jnp.ones((b, 64), jnp.int32)
+        t = jnp.full((b,), 500, jnp.int32)
+
+        def eval_fn(lat):
+            o = unet.apply({"params": params}, lat, t, ctx, encoder_attention_mask=mask)
+            return o.astype(lat.dtype)
+
+        lat0 = jnp.ones((b, 256, 16, 8), dtype) * 0.1
+        ms, cs = chain_ms(eval_fn, lat0)
+        out(exp="attn_decomp_r5", batch=b, variant=name, ms=round(ms, 2),
+            compile_s=round(cs, 1))
+        return ms
+    except Exception as e:
+        out(exp="attn_decomp_r5", batch=b, variant=name,
+            error=f"{type(e).__name__}: {e}"[:300])
+        return None
+    finally:
+        unet_mod.multi_head_attention = orig_mha
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or [
+        "base", "none", "d_io", "d_no_qk", "d_no_exp2", "d_no_sum", "d_no_pv",
+        "bq256", "bq1024", "par",
+    ]
+    results = {}
+    for n in names:
+        results[n] = run_variant(n)
+    if results.get("base") and results.get("none"):
+        total = results["base"] - results["none"]
+        out(exp="attn_decomp_summary", attn_total_ms=round(total, 2),
+            deltas={k: round(results["base"] - v, 2)
+                    for k, v in results.items()
+                    if k.startswith("d_") and v is not None})

@@ -3,8 +3,9 @@
 Replaces the reference's torchaudio path (tools/torch_tools.py:43-54):
 read -> resample to 16 kHz -> normalize (zero-mean, peak 0.5) -> pad/trim to
 segment -> renormalize peak 0.5. Reading uses scipy.io.wavfile (PCM/float
-WAVs) or the pure-python FLAC decoder (audio/flac.py) — dispatch by magic
-bytes, so mixed wav/flac manifests just work. Resampling uses polyphase FIR
+WAVs), the pure-python FLAC decoder (audio/flac.py), or the MPEG Layer III
+decoder (audio/mp3.py, pinned against libmpg123) — dispatch by magic bytes,
+so mixed wav/flac/mp3 manifests just work. Resampling uses polyphase FIR
 (scipy.signal.resample_poly), a windowed-sinc method equivalent in quality to
 torchaudio's kaiser resampler.
 """
@@ -21,8 +22,14 @@ from scipy.signal import resample_poly as _scipy_resample_poly
 from tango_tpu.audio import stft as _stft
 
 
+def _is_layer3_sync(b0: int, b1: int) -> bool:
+    # frame sync + layer bits 01 (Layer III), any MPEG version, CRC or not
+    return b0 == 0xFF and (b1 & 0xE0) == 0xE0 and (b1 & 0x06) == 0x02
+
+
 def sniff_format(path: str) -> str:
-    """'wav' | 'flac' | a short description of an unsupported format."""
+    """'wav' | 'flac' | 'mp3' | a short description of an unsupported
+    format."""
     with open(path, "rb") as f:
         head = f.read(16)
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
@@ -34,8 +41,6 @@ def sniff_format(path: str) -> str:
             return "truncated ID3 header (unsupported)"
         # ID3 tags prefix both mp3 and (rarely) FLAC — peek past the tag
         # (10-byte header + 28-bit syncsafe size + optional 10-byte footer)
-        # so an ID3'd mp3 fails the preflight LOUDLY instead of degrading to
-        # the constant-waveform fallback at read time
         size = (
             ((head[6] & 0x7F) << 21) | ((head[7] & 0x7F) << 14)
             | ((head[8] & 0x7F) << 7) | (head[9] & 0x7F)
@@ -47,23 +52,32 @@ def sniff_format(path: str) -> str:
             magic = f.read(4)
         if magic == b"fLaC":
             return "flac"
-        return "mp3/other with ID3 tag (unsupported — transcode to wav/flac)"
-    if head[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
-        return "mp3 (unsupported — transcode to wav/flac)"
+        if len(magic) >= 2 and _is_layer3_sync(magic[0], magic[1]):
+            return "mp3"
+        return "non-Layer-III audio with ID3 tag (unsupported — transcode to wav/flac/mp3)"
+    if len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0:
+        if _is_layer3_sync(head[0], head[1]):
+            return "mp3"
+        return "MPEG Layer I/II (unsupported — transcode to wav/flac/mp3)"
     if head[:4] == b"OggS":
-        return "ogg container (unsupported — transcode to wav/flac)"
+        return "ogg container (unsupported — transcode to wav/flac/mp3)"
     if head[:4] == b"FORM":
-        return "aiff (unsupported — transcode to wav/flac)"
+        return "aiff (unsupported — transcode to wav/flac/mp3)"
     return f"unknown format (magic {head[:4]!r})"
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a WAV or FLAC file -> (float32 in [-1,1], sr), by magic bytes."""
+    """Read a WAV, FLAC or mp3 file -> (float32 in [-1,1], sr), by magic
+    bytes."""
     fmt = sniff_format(path)
     if fmt == "flac":
         from tango_tpu.audio.flac import read_flac
 
         return read_flac(path)
+    if fmt == "mp3":
+        from tango_tpu.audio.mp3 import read_mp3
+
+        return read_mp3(path)
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
         data = data.astype(np.float32) / 32768.0

@@ -73,10 +73,11 @@ def validate_manifest(examples: Sequence[Example], max_report: int = 20) -> None
 
     The reference reads flac/mp3/ogg through torchaudio
     (tools/torch_tools.py:43-54) and silently substitutes a constant waveform
-    on decode failure. Here decodable means WAV (scipy) or native FLAC
-    (audio/flac.py); anything else fails LOUDLY *before* training starts —
-    a manifest of mp3s must be an actionable error, not an epoch of
-    constant-waveform garbage indistinguishable from real data loss.
+    on decode failure. Here decodable means WAV (scipy), native FLAC
+    (audio/flac.py) or MPEG Layer III (audio/mp3.py); anything else fails
+    LOUDLY *before* training starts — an undecodable manifest must be an
+    actionable error, not an epoch of constant-waveform garbage
+    indistinguishable from real data loss.
     """
     from tango_tpu.audio.wav import sniff_format
 
@@ -87,7 +88,7 @@ def validate_manifest(examples: Sequence[Example], max_report: int = 20) -> None
         except OSError as e:
             bad.append(f"{ex.location}: {e.strerror or e}")
         else:
-            if fmt not in ("wav", "flac"):
+            if fmt not in ("wav", "flac", "mp3"):
                 bad.append(f"{ex.location}: {fmt}")
         if len(bad) > max_report:
             break
@@ -95,7 +96,7 @@ def validate_manifest(examples: Sequence[Example], max_report: int = 20) -> None
         more = "" if len(bad) <= max_report else f"\n  ... (more than {max_report})"
         raise ValueError(
             f"manifest preflight failed — {len(bad)}+ undecodable audio "
-            "files (supported: WAV, native FLAC):\n  " + "\n  ".join(bad[:max_report]) + more
+            "files (supported: WAV, native FLAC, mp3):\n  " + "\n  ".join(bad[:max_report]) + more
         )
 
 

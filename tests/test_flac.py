@@ -148,17 +148,21 @@ def test_validate_manifest(tmp_path):
     wavfile.write(str(wav), 16000, np.zeros(100, np.int16))
     flac = tmp_path / "ok.flac"
     flac.write_bytes(encode_flac(np.zeros(100, np.int64)))
-    mp3 = tmp_path / "bad.mp3"
-    mp3.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)
+    mp3 = tmp_path / "ok.mp3"
+    mp3.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)  # Layer III sync: accepted
+    ogg = tmp_path / "bad.ogg"
+    ogg.write_bytes(b"OggS" + b"\x00" * 64)
     missing = tmp_path / "gone.wav"
 
-    validate_manifest([Example(str(wav), ""), Example(str(flac), "")])
+    validate_manifest(
+        [Example(str(wav), ""), Example(str(flac), ""), Example(str(mp3), "")]
+    )
     with pytest.raises(ValueError, match="preflight failed") as ei:
         validate_manifest(
-            [Example(str(wav), ""), Example(str(mp3), ""), Example(str(missing), "")]
+            [Example(str(wav), ""), Example(str(ogg), ""), Example(str(missing), "")]
         )
     msg = str(ei.value)
-    assert "bad.mp3" in msg and "mp3" in msg
+    assert "bad.ogg" in msg and "ogg" in msg
     assert "gone.wav" in msg
 
 
@@ -174,11 +178,14 @@ def test_validate_manifest_id3_sniffs_past_tag(tmp_path):
     id3_flac.write_bytes(encode_flac(np.zeros(100, np.int64), id3_prefix=tag))
     id3_mp3 = tmp_path / "tagged.mp3"
     id3_mp3.write_bytes(tag + b"\xff\xfb\x90\x00" + b"\x00" * 64)
+    id3_other = tmp_path / "tagged.bin"
+    id3_other.write_bytes(tag + b"\x00\x00\x00\x00" + b"\x00" * 64)
 
     assert sniff_format(str(id3_flac)) == "flac"
-    validate_manifest([Example(str(id3_flac), "")])
+    assert sniff_format(str(id3_mp3)) == "mp3"
+    validate_manifest([Example(str(id3_flac), ""), Example(str(id3_mp3), "")])
     with pytest.raises(ValueError, match="preflight failed"):
-        validate_manifest([Example(str(id3_mp3), "")])
+        validate_manifest([Example(str(id3_other), "")])
 
 
 def test_sniff_truncated_id3_is_loud_not_indexerror(tmp_path):

@@ -1,0 +1,121 @@
+"""Mutation fuzz of the MPEG Layer III decoder (audio/mp3.py).
+
+The decoder ingests UNTRUSTED bytes (training manifests point at arbitrary
+files). This fuzz pins the robustness contract on mutated/truncated
+streams, following the FLAC playbook (tests/test_flac_fuzz.py):
+
+  * decoding NEVER raises anything but ValueError (Mp3Error subclasses
+    it) — no IndexError/KeyError/OverflowError/ZeroDivisionError escapes
+    from the bit-level code;
+  * whatever decodes must be FINITE floats (requantize exponents are
+    attacker-controlled 8-bit gains; 2^x must not become inf/NaN in the
+    output);
+  * decode terminates promptly (the resync scanner and the count1 loop
+    must not spin on crafted inputs).
+
+Deterministic seeds; several hundred mutations over streams that exercise
+both MPEG versions, stereo modes, short blocks and linbits tables.
+Reference behavior being replaced: torchaudio decode failures silently
+fall back to a constant waveform (tools/torch_tools.py:43-54) — here
+corrupt data must either decode or be LOUD.
+"""
+
+import numpy as np
+import pytest
+
+from tango_tpu.audio.mp3 import decode_mp3
+from tests._mp3_encoder import GranuleSpec, encode_stream
+
+N_MUTATIONS = 120  # per base stream; 4 streams -> ~480 cases
+
+
+def _streams():
+    rng = np.random.default_rng(11)
+
+    def spec(maxv, n):
+        s = np.zeros(576, np.int64)
+        s[:n] = rng.integers(-maxv, maxv + 1, n)
+        return s
+
+    wide = dict(table_select=(9, 9, 9), region0_count=8, region1_count=7)
+    mono_v1 = encode_stream(
+        [[[GranuleSpec(spectrum=spec(5, 150), global_gain=150, **wide)],
+          [GranuleSpec(spectrum=spec(3, 90), global_gain=148, **wide)]]
+         for _ in range(2)],
+        sr=44100, version="1", mode=3, bitrate=320)
+    esc = encode_stream(
+        [[[GranuleSpec(spectrum=spec(500, 64), global_gain=120,
+                       table_select=(23, 23, 23), region0_count=2,
+                       region1_count=2)],
+          [GranuleSpec(spectrum=spec(3, 90), global_gain=148, **wide)]]],
+        sr=44100, version="1", mode=3, bitrate=320)
+    short = encode_stream(
+        [[[GranuleSpec(spectrum=spec(5, 150), block_type=2,
+                       table_select=(9, 9, 9), global_gain=150,
+                       scalefac_compress=13, subblock_gain=(1, 0, 2),
+                       scalefac_s=[[1, 2, 0]] * 12)],
+          [GranuleSpec(spectrum=spec(3, 90), global_gain=148, **wide)]]],
+        sr=44100, version="1", mode=3, bitrate=320)
+    ms_v2 = encode_stream(
+        [[[GranuleSpec(spectrum=spec(5, 120), global_gain=150, **wide),
+           GranuleSpec(spectrum=spec(3, 100), global_gain=149, **wide)]]],
+        sr=22050, version="2", mode=1, mode_ext=2, bitrate=160)
+    return [mono_v1, esc, short, ms_v2]
+
+
+def _fuzz_one(data: bytes):
+    try:
+        pcm, sr = decode_mp3(data, max_samples=16000)
+    except ValueError:
+        return  # loud and typed — the contract
+    assert np.isfinite(pcm).all(), "non-finite samples from mutated stream"
+
+
+@pytest.mark.parametrize("stream_idx", range(4))
+def test_mutation_fuzz(stream_idx):
+    base = _streams()[stream_idx]
+    rng = np.random.default_rng(100 + stream_idx)
+    n = len(base)
+    for it in range(N_MUTATIONS):
+        buf = bytearray(base)
+        kind = it % 4
+        if kind == 0:  # byte flips
+            for _ in range(int(rng.integers(1, 6))):
+                buf[int(rng.integers(0, n))] = int(rng.integers(0, 256))
+        elif kind == 1:  # bit flips clustered in side info / early main data
+            for _ in range(int(rng.integers(1, 8))):
+                i = int(rng.integers(0, min(n, 96)))
+                buf[i] ^= 1 << int(rng.integers(0, 8))
+        elif kind == 2:  # truncation
+            buf = buf[:int(rng.integers(4, n))]
+        else:  # splice: random block replaced with random bytes
+            a = int(rng.integers(0, n - 8))
+            b = a + int(rng.integers(1, min(64, n - a)))
+            buf[a:b] = bytes(rng.integers(0, 256, b - a, dtype=np.uint8))
+        _fuzz_one(bytes(buf))
+
+
+def test_adversarial_extremes():
+    """Hand-picked nasties: max global_gain (2^... overflow class), sync
+    spam, reservoir back-pointer beyond history, all-0xFF."""
+    rng = np.random.default_rng(42)
+    s = np.zeros(576, np.int64)
+    s[:64] = rng.integers(-15, 16, 64)
+    g = GranuleSpec(spectrum=s, global_gain=255, scalefac_scale=1,
+                    table_select=(13, 13, 13), region0_count=8,
+                    region1_count=7)
+    data = encode_stream([[[g], [g]]], sr=44100, version="1", mode=3,
+                         bitrate=320)
+    try:
+        pcm, _ = decode_mp3(data)
+        assert np.isfinite(pcm).all()
+    except ValueError:
+        pass
+    for blob in (b"\xff" * 4096,
+                 b"\xff\xfb" + b"\x00" * 4094,
+                 bytes(rng.integers(0, 256, 4096, dtype=np.uint8))):
+        try:
+            pcm, _ = decode_mp3(blob)
+            assert np.isfinite(pcm).all()
+        except ValueError:
+            pass

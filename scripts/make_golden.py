@@ -782,6 +782,54 @@ def make_metrics_golden():
     print("metrics golden ok")
 
 
+def make_ndb_golden():
+    """Reference NDB class (metrics/ndb.py:1-338) on seeded blob features.
+
+    The reference clusters with sklearn KMeans under the GLOBAL numpy RNG
+    (np.random.choice for the dim permutation, unseeded k-means++ init), so
+    bit-reproducibility across implementations is only achievable on
+    well-separated data where every reasonable k-means finds the same
+    partition: k Gaussian blobs with separation >> intra-blob std. On such
+    data NDB/JS/proportions are fully determined by the partition, and
+    tango_tpu.eval.metrics.calculate_ndb must reproduce them EXACTLY."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_ndb", f"{REF}/audioldm_eval/metrics/ndb.py")
+    ndb_m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ndb_m)
+
+    k, d = 8, 32
+    rng = np.random.RandomState(7)
+    centers = rng.randn(k, d) * 30.0  # separation ~sqrt(2*900*32) >> noise 1
+    # train: 50 per blob; query: skewed blob mix (blob 0 x3, blob 1 absent)
+    train = np.concatenate(
+        [centers[i] + rng.randn(50, d) for i in range(k)], axis=0)
+    counts = [90, 0, 30, 30, 30, 30, 30, 60]
+    query = np.concatenate(
+        [centers[i] + rng.randn(c, d) for i, c in enumerate(counts) if c],
+        axis=0)
+    rng.shuffle(train)
+    rng.shuffle(query)
+
+    np.random.seed(0)  # the reference consumes the global RNG
+    ndb_obj = ndb_m.NDB(training_data=train, number_of_bins=k)
+    res = ndb_obj.evaluate(query)
+
+    np.savez(
+        OUT / "ndb.npz",
+        train=train.astype(np.float32),
+        query=query.astype(np.float32),
+        k=k,
+        ndb=res["NDB"],
+        js=res["JS"],
+        train_props_sorted=np.sort(ndb_obj.bin_proportions),
+        query_props_sorted=np.sort(res["Proportions"]),
+        different_bins=res["Different-Bins"].astype(np.int32),
+    )
+    print(f"ndb golden ok (NDB={res['NDB']}, JS={res['JS']:.6f})")
+
+
 def make_cnn14_golden():
     """Reference Cnn14 trunk on an injected log-mel (torchlibrosa stubbed)."""
     import types
@@ -1433,7 +1481,7 @@ if __name__ == "__main__":
     import sys as _sys
     only = _sys.argv[1:] if len(_sys.argv) > 1 else None
     for fn in [make_scheduler_golden, make_unet_golden, make_vae_golden,
-               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_cnn14_golden, make_film_unet_golden, make_clap_text_golden, make_htsat_golden, make_deberta_golden, make_t5gen_golden, make_vggish_golden, make_pairedmel_golden, make_snapshot_golden, make_mustango_snapshot_golden]:
+               make_hifigan_golden, make_stft_golden, make_mix_golden, make_t5_golden, make_sampling_golden, make_music_golden, make_metrics_golden, make_ndb_golden, make_cnn14_golden, make_film_unet_golden, make_clap_text_golden, make_htsat_golden, make_deberta_golden, make_t5gen_golden, make_vggish_golden, make_pairedmel_golden, make_snapshot_golden, make_mustango_snapshot_golden]:
         name = fn.__name__.replace("make_", "").replace("_golden", "")
         if only is None or name in only:
             fn()

@@ -1,0 +1,135 @@
+"""AudioLDM-S text_to_audio serving receipt (v5e-1) — VERDICT r4 next #6.
+
+Times the REAL user path — AudioLDMPipeline.sample_latents (200-step CFG
+DDIM over the FiLM UNet) -> decode (VAE + HiFi-GAN) -> native CLAP
+candidate re-rank (HTSAT-tiny audio tower, 3 candidates/slot, reference
+pipeline.py:107-143 defaults) — at full AudioLDM-S size with seeded device
+weights (no released ckpt in this offline environment; same substitute as
+bench.py / perf_mustango.py).
+
+No int8 mode: quantization is implemented for the Tango/Mustango UNet
+(configs.UNetConfig.quant_int8); the FiLM UNet serves bf16 (the reference
+serves it f32 — bf16 is already the faster native choice here).
+
+python scripts/perf_audioldm.py [batch ...]   (default: 1 4)
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tango_tpu.utils.profiling import setup_compilation_cache
+
+setup_compilation_cache(
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class _FakeTok:
+    """Offline RoBERTa tokenizer stand-in: fixed-shape ids (the text embed
+    is one GEMM stack per request; its cost does not depend on token ids)."""
+
+    def __call__(self, texts, padding=None, truncation=None, max_length=77,
+                 return_tensors=None):
+        n = len(texts)
+        ids = np.full((n, max_length), 5, np.int32)
+        ids[:, 0] = 0
+        ids[:, -1] = 2
+        return {"input_ids": ids, "attention_mask": np.ones((n, max_length), np.int32)}
+
+
+def build_pipeline(dtype):
+    from tango_tpu import configs as C
+    from tango_tpu.audioldm.pipeline import AudioLDMPipeline
+    from tango_tpu.models.clap import ROBERTA_BASE, Clap, ClapTextEncoder
+    from tango_tpu.models.htsat import HTSAT_TINY, ClapAudioEncoder, clap_logmel
+
+    pipe = AudioLDMPipeline(dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+
+    unet_shapes = jax.eval_shape(
+        lambda k: pipe.unet.init(
+            k, jnp.zeros((1, 256, 16, 8), dtype), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 512), dtype),
+        )["params"], rng)
+    vae_shapes = jax.eval_shape(
+        lambda k: pipe.vae.init(k, jnp.zeros((1, 1024, 64, 1), dtype), k)["params"], rng)
+    voc_shapes = jax.eval_shape(
+        lambda k: pipe.vocoder.init(k, jnp.zeros((1, 1024, 64), dtype))["params"], rng)
+
+    text_model = ClapTextEncoder(ROBERTA_BASE, dtype=dtype)
+    text_shapes = jax.eval_shape(
+        lambda k: text_model.init(k, jnp.zeros((1, 77), jnp.int32),
+                                  jnp.ones((1, 77), jnp.int32))["params"], rng)
+    audio_model = ClapAudioEncoder(HTSAT_TINY, dtype=dtype)
+    mel_shape = jax.eval_shape(lambda w: clap_logmel(w, HTSAT_TINY),
+                               jnp.zeros((1, HTSAT_TINY.clip_samples), jnp.float32))
+    audio_shapes = jax.eval_shape(
+        lambda k: audio_model.init(k, jnp.zeros(mel_shape.shape, dtype))["params"], rng)
+
+    @jax.jit
+    def make():
+        f = lambda s: (jnp.zeros(s.shape, s.dtype) + 0.02).astype(
+            dtype if s.dtype == jnp.float32 else s.dtype)
+        return tuple(jax.tree_util.tree_map(f, s) for s in
+                     (unet_shapes, vae_shapes, voc_shapes, text_shapes, audio_shapes))
+
+    t0 = time.time()
+    unet_p, vae_p, voc_p, text_p, audio_p = make()
+    print(f"# params materialized in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    clap = Clap(text_p, audio_p, _FakeTok(), text_cfg=ROBERTA_BASE,
+                audio_cfg=HTSAT_TINY, dtype=dtype)
+    clap.audio_batch = 4  # rerank groups are 3-12 candidates here
+    pipe.unet_params = unet_p
+    pipe.vae_params = vae_p
+    pipe.hifigan_params = voc_p
+    pipe.conditioner = clap
+    return pipe
+
+
+def main():
+    from tango_tpu.audioldm.pipeline import text_to_audio
+
+    batches = [int(a) for a in sys.argv[1:] if not a.startswith("--")] or [1, 4]
+    dtype = jnp.bfloat16
+    pipe = build_pipeline(dtype)
+
+    for batch in batches:
+        t0 = time.time()
+        wav = text_to_audio(pipe, "a dog barks in the distance",
+                            batchsize=batch, ddim_steps=200,
+                            n_candidate_gen_per_text=3, duration=10.0, seed=0)
+        print(f"# B{batch} first call (compile+run): {time.time()-t0:.1f}s "
+              f"shape={wav.shape}", file=sys.stderr)
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            wav = text_to_audio(pipe, "a dog barks in the distance",
+                                batchsize=batch, ddim_steps=200,
+                                n_candidate_gen_per_text=3, duration=10.0,
+                                seed=i)
+            times.append(time.time() - t0)
+        p50 = float(np.median(times))
+        print(json.dumps({
+            "exp": "audioldm_text_to_audio",
+            "batch": batch,
+            "ddim_steps": 200,
+            "candidates_per_slot": 3,
+            "p50_s": round(p50, 3),
+            "x_realtime": round(batch * 10.0 / p50, 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    print(json.dumps({"exp": "env", "devices": [str(d) for d in jax.devices()]}),
+          file=sys.stderr)
+    main()

@@ -268,4 +268,12 @@ def calculate_ndb(
 
     mix = 0.5 * (p1 + p2)
     js = 0.5 * _kl(p1, mix) + 0.5 * _kl(p2, mix)
-    return {"ndb": ndb, "ndb_over_bins": ndb / number_of_bins, "js_divergence": float(js)}
+    return {
+        "ndb": ndb,
+        "ndb_over_bins": ndb / number_of_bins,
+        "js_divergence": float(js),
+        # sorted so they compare across implementations regardless of the
+        # k-means bin labeling order (tests/golden/ndb.npz)
+        "train_props_sorted": np.sort(p1),
+        "query_props_sorted": np.sort(p2),
+    }

@@ -137,6 +137,31 @@ def test_ndb_same_vs_shifted():
     assert shift_res["js_divergence"] > same_res["js_divergence"]
 
 
+def test_ndb_value_parity_golden():
+    """calculate_ndb vs the reference NDB class (metrics/ndb.py:1-338),
+    value-for-value on the well-separated-blob fixture (where k-means is
+    deterministic up to bin labeling): NDB, JS, per-bin z-test count, and
+    the sorted bin-proportion histograms (golden: make_golden ndb)."""
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "golden", "ndb.npz")
+    if not os.path.exists(p):
+        import pytest
+
+        pytest.skip("golden missing (run scripts/make_golden.py ndb)")
+    g = np.load(p)
+    res = M.calculate_ndb(g["train"].astype(np.float64),
+                          g["query"].astype(np.float64),
+                          number_of_bins=int(g["k"]))
+    assert res["ndb"] == int(g["ndb"])
+    assert res["ndb"] == int(np.sum(g["different_bins"]))
+    np.testing.assert_allclose(res["js_divergence"], float(g["js"]), rtol=1e-12)
+    np.testing.assert_allclose(res["train_props_sorted"],
+                               g["train_props_sorted"], atol=1e-12)
+    np.testing.assert_allclose(res["query_props_sorted"],
+                               g["query_props_sorted"], atol=1e-12)
+
+
 def test_vggish_parity_golden():
     """Full VGGish forward vs the torch oracle (tests/golden/vggish.npz) —
     pins the (H, W, C) flatten order before embeddings.0 (torchvggish

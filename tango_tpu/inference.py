@@ -46,7 +46,26 @@ def parse_args(argv=None):
     p.add_argument("--clap_ckpt", type=str, default=None,
                    help="LAION-CLAP ckpt: re-rank multi-sample outputs by CLAP "
                         "similarity (reference inference.py:105-121)")
+    p.add_argument("--with_tracking", action="store_true",
+                   help="log the result dict to wandb if available (the "
+                        "reference hard-wires wandb.init at inference.py:103 "
+                        "and wandb.log at :160,195; here it is opt-in and "
+                        "falls back to stdout when wandb is absent)")
     return p.parse_args(argv)
+
+
+def init_tracker(enabled: bool):
+    """wandb.init with the reference's project name (inference.py:103), or
+    None when disabled/unavailable — summary.jsonl is written either way."""
+    if not enabled:
+        return None
+    try:
+        import wandb
+
+        return wandb.init(project="Text to Audio Diffusion Evaluation")
+    except Exception as e:  # wandb absent or offline init failure
+        print(f"# wandb unavailable ({e}); falling back to stdout", flush=True)
+        return None
 
 
 def load_prompts(args) -> list:
@@ -127,6 +146,17 @@ def main(argv=None):
         )
         result = helper.main(out_dir, args.reference_dir)
         record["metrics"] = result
+
+    tracker = init_tracker(args.with_tracking)
+    if tracker is not None:
+        # the reference logs the metric dict plus run metadata
+        # (inference.py:155-160: result + Steps/Guidance Scale/Test Instances)
+        wb = dict(record.get("metrics") or {})
+        wb.update({"Steps": args.num_steps, "Guidance Scale": args.guidance,
+                   "Test Instances": len(prompts),
+                   "x_realtime": record["x_realtime"]})
+        tracker.log(wb)
+        tracker.finish()
 
     with open("summary.jsonl", "a") as f:
         f.write(json.dumps(record) + "\n")

@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--num_test_instances", type=int, default=-1)
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--with_tracking", action="store_true",
+                   help="log the result dict to wandb if available (the "
+                        "reference hard-wires it at tango2/inference.py:133,178)")
     return p.parse_args(argv)
 
 
@@ -103,6 +106,18 @@ def main(argv=None):
         record["metrics"] = EvaluationHelper(
             16000, cnn14_ckpt=args.cnn14_ckpt, vggish_ckpt=args.vggish_ckpt
         ).main(out_dir, args.reference_dir)
+
+    from tango_tpu.inference import init_tracker
+
+    tracker = init_tracker(args.with_tracking)
+    if tracker is not None:
+        wb = dict(record.get("metrics") or {})
+        wb.update({"Steps": args.num_steps, "Guidance Scale": args.guidance,
+                   "Test Instances": len(prompts)})
+        if "clap_score" in record:
+            wb["clap_score"] = record["clap_score"]
+        tracker.log(wb)
+        tracker.finish()
 
     with open("summary.jsonl", "a") as f:
         f.write(json.dumps(record) + "\n")

@@ -133,6 +133,64 @@ def test_inference_cli_text_key(tmp_path, monkeypatch):
         ])
 
 
+def test_inference_cli_with_tracking(tmp_path, monkeypatch):
+    """--with_tracking mirrors the reference's wandb logging (inference.py:103,
+    160): when wandb is absent the driver falls back to stdout and still writes
+    summary.jsonl; when present, the metric dict + Steps/Guidance Scale/Test
+    Instances reach wandb.log. Pinned with a fake wandb module so the test
+    never needs the real package (absent in this env)."""
+    import sys
+    import types
+
+    import tango_tpu.pipeline as pipeline_mod
+    from tango_tpu import inference
+
+    manifest = tmp_path / "test.json"
+    rows = [{"dataset": "t", "location": f"x{i}.wav", "captions": f"p {i}"}
+            for i in range(2)]
+    manifest.write_text("\n".join(json.dumps(r) for r in rows))
+    tiny = _tiny_tango()
+    monkeypatch.setattr(pipeline_mod, "Tango", lambda name_or_path, **kw: tiny)
+    monkeypatch.chdir(tmp_path)
+
+    # 1) wandb absent (the real state of this env): no crash, summary written
+    assert "wandb" not in sys.modules
+    inference.main([
+        "--model", "stub", "--test_file", str(manifest),
+        "--output_dir", str(tmp_path / "g1"), "--num_steps", "2",
+        "--batch_size", "2", "--with_tracking",
+    ])
+    rec = json.loads(open(tmp_path / "summary.jsonl").read().splitlines()[-1])
+    assert rec["num_prompts"] == 2
+
+    # 2) fake wandb: the logged payload carries the reference's run metadata
+    logged, finished = [], []
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: types.SimpleNamespace(
+        log=lambda d: logged.append(d), finish=lambda: finished.append(True))
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    inference.main([
+        "--model", "stub", "--test_file", str(manifest),
+        "--output_dir", str(tmp_path / "g2"), "--num_steps", "2",
+        "--batch_size", "2", "--with_tracking",
+    ])
+    assert finished == [True]
+    (wb,) = logged
+    assert wb["Steps"] == 2
+    assert wb["Guidance Scale"] == 3.0
+    assert wb["Test Instances"] == 2
+    assert "x_realtime" in wb
+
+    # 3) no flag -> wandb never touched even when importable
+    logged.clear()
+    inference.main([
+        "--model", "stub", "--test_file", str(manifest),
+        "--output_dir", str(tmp_path / "g3"), "--num_steps", "2",
+        "--batch_size", "2",
+    ])
+    assert logged == []
+
+
 def test_dress_rehearsal_snapshot_to_generation_to_eval(tmp_path, monkeypatch):
     """The FULL quality-gate command chain docs/PARITY.md promises for a real
     checkpoint, executed end-to-end on the consistent tiny snapshot fixture

@@ -3,9 +3,10 @@
 Replaces the reference's torchaudio path (tools/torch_tools.py:43-54):
 read -> resample to 16 kHz -> normalize (zero-mean, peak 0.5) -> pad/trim to
 segment -> renormalize peak 0.5. Reading uses scipy.io.wavfile (PCM/float
-WAVs), the pure-python FLAC decoder (audio/flac.py), or the MPEG Layer III
-decoder (audio/mp3.py, pinned against libmpg123) — dispatch by magic bytes,
-so mixed wav/flac/mp3 manifests just work. Resampling uses polyphase FIR
+WAVs), the pure-python FLAC decoder (audio/flac.py), the MPEG Layer III
+decoder (audio/mp3.py, pinned against libmpg123), or the Ogg Vorbis decoder
+(audio/vorbis.py, pinned against libvorbisfile) — dispatch by magic bytes,
+so mixed wav/flac/mp3/ogg manifests just work. Resampling uses polyphase FIR
 (scipy.signal.resample_poly), a windowed-sinc method equivalent in quality to
 torchaudio's kaiser resampler.
 """
@@ -28,8 +29,8 @@ def _is_layer3_sync(b0: int, b1: int) -> bool:
 
 
 def sniff_format(path: str) -> str:
-    """'wav' | 'flac' | 'mp3' | a short description of an unsupported
-    format."""
+    """'wav' | 'flac' | 'mp3' | 'ogg' (vorbis) | a short description of an
+    unsupported format."""
     with open(path, "rb") as f:
         head = f.read(16)
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
@@ -54,21 +55,32 @@ def sniff_format(path: str) -> str:
             return "flac"
         if len(magic) >= 2 and _is_layer3_sync(magic[0], magic[1]):
             return "mp3"
-        return "non-Layer-III audio with ID3 tag (unsupported — transcode to wav/flac/mp3)"
+        return "non-Layer-III audio with ID3 tag (unsupported — transcode to wav/flac/mp3/ogg-vorbis)"
     if len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0:
         if _is_layer3_sync(head[0], head[1]):
             return "mp3"
-        return "MPEG Layer I/II (unsupported — transcode to wav/flac/mp3)"
+        return "MPEG Layer I/II (unsupported — transcode to wav/flac/mp3/ogg-vorbis)"
     if head[:4] == b"OggS":
-        return "ogg container (unsupported — transcode to wav/flac/mp3)"
+        # peek the first packet of the first page to identify the codec
+        with open(path, "rb") as f:
+            first = f.read(27 + 255 + 8)
+        if len(first) < 28:
+            return "truncated ogg page (unsupported)"
+        nsegs = first[26]
+        body = first[27 + nsegs : 27 + nsegs + 8]
+        if body[:7] == b"\x01vorbis":
+            return "ogg"
+        if body[:8] == b"OpusHead":
+            return "ogg/opus (unsupported — transcode to wav/flac/mp3/ogg-vorbis)"
+        return "ogg container with non-vorbis codec (unsupported — transcode to wav/flac/mp3/ogg-vorbis)"
     if head[:4] == b"FORM":
-        return "aiff (unsupported — transcode to wav/flac/mp3)"
+        return "aiff (unsupported — transcode to wav/flac/mp3/ogg-vorbis)"
     return f"unknown format (magic {head[:4]!r})"
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a WAV, FLAC or mp3 file -> (float32 in [-1,1], sr), by magic
-    bytes."""
+    """Read a WAV, FLAC, mp3 or Ogg Vorbis file -> (float32 in [-1,1], sr),
+    by magic bytes."""
     fmt = sniff_format(path)
     if fmt == "flac":
         from tango_tpu.audio.flac import read_flac
@@ -78,6 +90,10 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         from tango_tpu.audio.mp3 import read_mp3
 
         return read_mp3(path)
+    if fmt == "ogg":
+        from tango_tpu.audio.vorbis import read_vorbis
+
+        return read_vorbis(path)
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
         data = data.astype(np.float32) / 32768.0

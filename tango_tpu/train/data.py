@@ -69,12 +69,13 @@ def load_manifest(path: str, prefix: str = "", text_column: str = "captions",
 
 
 def validate_manifest(examples: Sequence[Example], max_report: int = 20) -> None:
-    """Preflight: every audio file must exist and sniff as WAV or FLAC.
+    """Preflight: every audio file must exist and sniff as a decodable format.
 
     The reference reads flac/mp3/ogg through torchaudio
     (tools/torch_tools.py:43-54) and silently substitutes a constant waveform
     on decode failure. Here decodable means WAV (scipy), native FLAC
-    (audio/flac.py) or MPEG Layer III (audio/mp3.py); anything else fails
+    (audio/flac.py), MPEG Layer III (audio/mp3.py) or Ogg Vorbis
+    (audio/vorbis.py); anything else fails
     LOUDLY *before* training starts — an undecodable manifest must be an
     actionable error, not an epoch of constant-waveform garbage
     indistinguishable from real data loss.
@@ -88,7 +89,7 @@ def validate_manifest(examples: Sequence[Example], max_report: int = 20) -> None
         except OSError as e:
             bad.append(f"{ex.location}: {e.strerror or e}")
         else:
-            if fmt not in ("wav", "flac", "mp3"):
+            if fmt not in ("wav", "flac", "mp3", "ogg"):
                 bad.append(f"{ex.location}: {fmt}")
         if len(bad) > max_report:
             break

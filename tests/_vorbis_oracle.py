@@ -1,0 +1,195 @@
+"""Test-only helpers that reach the SYSTEM Vorbis implementation via ctypes.
+
+Two independent pieces, both used exclusively by tests (the production
+decoder in tango_tpu/audio/vorbis.py is pure in-repo python):
+
+  * ``oracle_decode(path)`` — decode an Ogg Vorbis file with libvorbisfile
+    (the canonical Xiph decoder) -> (float64 (n, ch) in [-1, 1), rate).
+    ov_read emits int16, so oracle agreement is bounded at the int16
+    quantization floor (~90 dB SNR), exactly like the libmpg123 mp3 oracle.
+
+  * ``encode_vorbis(pcm, rate, quality)`` — encode float PCM to an Ogg
+    Vorbis stream with libvorbisenc (the encoder that produced essentially
+    every ogg file in the wild), so fixtures exercise the real header/
+    codebook/floor/residue structures our decoder must handle.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+import tempfile
+
+import numpy as np
+
+_vf = None
+_venc = None
+_vorbis = None
+_ogg = None
+
+
+def _libs():
+    global _vf, _venc, _vorbis, _ogg
+    if _vf is None:
+        _ogg = C.CDLL("libogg.so.0")
+        _vorbis = C.CDLL("libvorbis.so.0")
+        _venc = C.CDLL("libvorbisenc.so.2")
+        _vf = C.CDLL("libvorbisfile.so.3")
+    return _vf, _venc, _vorbis, _ogg
+
+
+# --------------------------------------------------------------------- oracle
+
+class _VorbisInfo(C.Structure):
+    _fields_ = [
+        ("version", C.c_int),
+        ("channels", C.c_int),
+        ("rate", C.c_long),
+        ("bitrate_upper", C.c_long),
+        ("bitrate_nominal", C.c_long),
+        ("bitrate_lower", C.c_long),
+        ("bitrate_window", C.c_long),
+        ("codec_setup", C.c_void_p),
+    ]
+
+
+def oracle_decode(path: str):
+    """libvorbisfile decode -> (float64 (n, ch), rate)."""
+    vf, _, _, _ = _libs()
+    ovf = C.create_string_buffer(2048)  # OggVorbis_File is ~900 bytes
+    vf.ov_fopen.restype = C.c_int
+    rc = vf.ov_fopen(path.encode(), ovf)
+    if rc != 0:
+        raise RuntimeError(f"ov_fopen failed rc={rc} for {path}")
+    try:
+        vf.ov_info.restype = C.POINTER(_VorbisInfo)
+        info = vf.ov_info(ovf, -1).contents
+        rate, nch = int(info.rate), int(info.channels)
+        buf = C.create_string_buffer(65536)
+        sec = C.c_int(0)
+        out = []
+        vf.ov_read.restype = C.c_long
+        while True:
+            n = vf.ov_read(ovf, buf, 65536, 0, 2, 1, C.byref(sec))
+            if n == 0:
+                break
+            if n < 0:  # hole/bad link: the oracle resyncs; keep reading
+                continue
+            out.append(np.frombuffer(buf.raw[:n], dtype="<i2").copy())
+        pcm = np.concatenate(out) if out else np.zeros(0, np.int16)
+        pcm = pcm.astype(np.float64) / 32768.0
+        return pcm.reshape(-1, nch), rate
+    finally:
+        vf.ov_clear(ovf)
+
+
+def oracle_decode_bytes(data: bytes):
+    with tempfile.NamedTemporaryFile(suffix=".ogg", delete=False) as fh:
+        fh.write(data)
+        path = fh.name
+    try:
+        return oracle_decode(path)
+    finally:
+        os.unlink(path)
+
+
+# -------------------------------------------------------------------- encoder
+
+class _OggPacket(C.Structure):
+    _fields_ = [
+        ("packet", C.POINTER(C.c_ubyte)),
+        ("bytes", C.c_long),
+        ("b_o_s", C.c_long),
+        ("e_o_s", C.c_long),
+        ("granulepos", C.c_int64),
+        ("packetno", C.c_int64),
+    ]
+
+
+class _OggPage(C.Structure):
+    _fields_ = [
+        ("header", C.POINTER(C.c_ubyte)),
+        ("header_len", C.c_long),
+        ("body", C.POINTER(C.c_ubyte)),
+        ("body_len", C.c_long),
+    ]
+
+
+def encode_vorbis(pcm: np.ndarray, rate: int, quality: float = 0.4,
+                  serial: int = 777, managed_kbps: int | None = None) -> bytes:
+    """float (n,) or (n, ch) in [-1, 1] -> Ogg Vorbis bytes via libvorbisenc."""
+    _, venc, vorbis, ogg = _libs()
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, nch = pcm.shape
+
+    vi = C.create_string_buffer(256)  # vorbis_info
+    vorbis.vorbis_info_init(vi)
+    if managed_kbps is not None:
+        rc = venc.vorbis_encode_init(vi, C.c_long(nch), C.c_long(rate),
+                                     C.c_long(managed_kbps * 1000),
+                                     C.c_long(managed_kbps * 1000),
+                                     C.c_long(managed_kbps * 1000))
+    else:
+        rc = venc.vorbis_encode_init_vbr(vi, C.c_long(nch), C.c_long(rate),
+                                         C.c_float(quality))
+    if rc != 0:
+        vorbis.vorbis_info_clear(vi)
+        raise RuntimeError(f"vorbis_encode_init rc={rc}")
+
+    vd = C.create_string_buffer(4096)   # vorbis_dsp_state
+    vb = C.create_string_buffer(4096)   # vorbis_block
+    vc = C.create_string_buffer(256)    # vorbis_comment
+    oss = C.create_string_buffer(1024)  # ogg_stream_state
+    vorbis.vorbis_comment_init(vc)
+    assert vorbis.vorbis_analysis_init(vd, vi) == 0
+    assert vorbis.vorbis_block_init(vd, vb) == 0
+    assert ogg.ogg_stream_init(oss, C.c_int(serial)) == 0
+
+    out = bytearray()
+    page = _OggPage()
+
+    def _flush(force: bool):
+        fn = ogg.ogg_stream_flush if force else ogg.ogg_stream_pageout
+        while fn(oss, C.byref(page)) != 0:
+            out.extend(C.string_at(page.header, page.header_len))
+            out.extend(C.string_at(page.body, page.body_len))
+
+    try:
+        h1, h2, h3 = _OggPacket(), _OggPacket(), _OggPacket()
+        assert vorbis.vorbis_analysis_headerout(
+            vd, vc, C.byref(h1), C.byref(h2), C.byref(h3)) == 0
+        for h in (h1, h2, h3):
+            ogg.ogg_stream_packetin(oss, C.byref(h))
+        _flush(True)  # headers end on their own page boundary
+
+        vorbis.vorbis_analysis_buffer.restype = C.POINTER(C.POINTER(C.c_float))
+        pos = 0
+        CH = 1024
+        op = _OggPacket()
+        while True:
+            chunk = pcm[pos : pos + CH]
+            m = len(chunk)
+            if m:
+                bufpp = vorbis.vorbis_analysis_buffer(vd, C.c_int(m))
+                for c in range(nch):
+                    col = np.ascontiguousarray(chunk[:, c], dtype=np.float32)
+                    C.memmove(bufpp[c], col.ctypes.data, 4 * m)
+            assert vorbis.vorbis_analysis_wrote(vd, C.c_int(m)) == 0
+            pos += m
+            while vorbis.vorbis_analysis_blockout(vd, vb) == 1:
+                assert vorbis.vorbis_analysis(vb, None) == 0
+                assert vorbis.vorbis_bitrate_addblock(vb) == 0
+                while vorbis.vorbis_bitrate_flushpacket(vd, C.byref(op)) == 1:
+                    ogg.ogg_stream_packetin(oss, C.byref(op))
+                    _flush(False)
+            if m == 0:
+                break
+        _flush(True)
+        return bytes(out)
+    finally:
+        ogg.ogg_stream_clear(oss)
+        vorbis.vorbis_block_clear(vb)
+        vorbis.vorbis_dsp_clear(vd)
+        vorbis.vorbis_comment_clear(vc)
+        vorbis.vorbis_info_clear(vi)

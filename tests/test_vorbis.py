@@ -1,0 +1,206 @@
+"""Ogg Vorbis decoder tests — pinned against libvorbisfile.
+
+The reference ingests ogg manifests via torchaudio
+(/root/reference/tools/torch_tools.py:43-54). tango_tpu decodes them
+natively (audio/vorbis.py); correctness is pinned against the INDEPENDENT
+system decoder (libvorbisfile via ctypes — the canonical Xiph
+implementation) on
+  * streams produced by libvorbisenc (tests/_vorbis_oracle.encode_vorbis)
+    across sample rates, channel counts (incl. 5.1 coupling configs),
+    quality levels -0.1..1.0 (changing blocksizes, codebooks, floor and
+    residue setups) and managed-bitrate mode, and
+  * the real-world file shipped with this image (pygame's house_lo.ogg).
+Agreement criterion: the oracle emits int16, so PCM (clamped to the int16
+representable range like ov_read does) must agree to ~2 LSB; measured
+agreement is at the quantization floor (~87 dB SNR) everywhere.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from tango_tpu.audio.vorbis import VorbisError, decode_vorbis, read_vorbis
+
+LSB = 1.0 / 32768.0
+REAL_OGG = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.ogg"
+
+
+def _oracle():
+    try:
+        from tests._vorbis_oracle import encode_vorbis, oracle_decode_bytes
+    except OSError:
+        pytest.skip("system libvorbis not available")
+    return encode_vorbis, oracle_decode_bytes
+
+
+def _assert_matches(data: bytes, atol=2 * LSB):
+    from tests._vorbis_oracle import oracle_decode_bytes
+
+    ref, rr = oracle_decode_bytes(data)
+    mine, rm = decode_vorbis(data)
+    assert rm == rr
+    assert mine.shape == ref.shape, (mine.shape, ref.shape)
+    # ov_read quantizes to int16 and clamps; mirror the clamp (Vorbis
+    # legitimately overshoots [-1, 1) on peaks)
+    clamped = np.clip(mine, -1.0, 32767.0 / 32768.0)
+    err = np.abs(clamped - ref).max() if len(ref) else 0.0
+    assert err <= atol, f"max err {err} vs oracle"
+    return ref, mine
+
+
+def _signal(nch, n, sr, kind, seed):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n)
+    if kind == "tone+noise":
+        base = 0.3 * np.sin(2 * np.pi * 440 / sr * t) + 0.02 * rng.randn(n)
+    elif kind == "noise":
+        base = 0.25 * rng.randn(n)
+    elif kind == "silence":
+        base = np.zeros(n)
+    elif kind == "impulses":
+        base = np.zeros(n)
+        base[rng.randint(0, n, 50)] = 0.8
+    else:  # sweep
+        base = 0.4 * np.sin(2 * np.pi * (20 + (sr / 2 - 200) * t / (2 * n)) / sr * t)
+    cols = [np.roll(base, 17 * c) * (1 - 0.1 * c) for c in range(nch)]
+    return np.clip(np.stack(cols, 1), -1, 1).astype(np.float32)
+
+
+CASES = [
+    # nch, n, sr, kind, quality, managed_kbps
+    (2, 44100, 44100, "tone+noise", 0.4, None),
+    (2, 44100, 44100, "noise", 0.0, None),
+    (2, 32000, 16000, "sweep", 0.5, None),
+    (1, 8000, 8000, "tone+noise", 0.1, None),
+    (2, 96000, 48000, "sweep", -0.1, None),
+    (2, 22050, 22050, "impulses", 0.3, None),
+    (2, 20000, 44100, "silence", 0.4, None),  # unvoiced floors
+    (6, 48000, 44100, "tone+noise", 0.4, None),  # 5.1: multi coupling steps
+    (2, 44100, 44100, "tone+noise", None, 64),  # managed bitrate (EOP paths)
+    (1, 11025, 11025, "noise", 1.0, None),  # max quality codebooks
+    (3, 30000, 24000, "sweep", 0.7, None),
+]
+
+
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_libvorbisenc_streams_match_oracle(case):
+    encode_vorbis, _ = _oracle()
+    nch, n, sr, kind, q, kbps = CASES[case]
+    sig = _signal(nch, n, sr, kind, case)
+    data = encode_vorbis(sig, sr, quality=q if q is not None else 0.4,
+                         managed_kbps=kbps)
+    ref, _ = _assert_matches(data)
+    assert len(ref) == n  # granule trimming restores the exact length
+
+
+def test_real_world_file_matches_oracle():
+    if not os.path.exists(REAL_OGG):
+        pytest.skip("pygame example ogg not present")
+    try:
+        from tests._vorbis_oracle import oracle_decode
+    except OSError:
+        pytest.skip("system libvorbis not available")
+    ref, rr = oracle_decode(REAL_OGG)
+    mine, rm = read_vorbis(REAL_OGG)
+    assert rm == rr == 11025
+    assert mine.ndim == 1 and len(mine) == len(ref)
+    clamped = np.clip(mine, -1.0, 32767.0 / 32768.0)
+    d = clamped - ref[:, 0]
+    assert np.abs(d).max() <= 2 * LSB
+    snr = 10 * math.log10(np.mean(ref[:, 0] ** 2) / np.mean(d**2))
+    assert snr > 80  # int16 oracle floor is ~87 dB
+
+
+def test_snr_at_quantization_floor():
+    """The decoder is not merely 'close': agreement sits AT the oracle's
+    int16 floor, i.e. the float pipeline is numerically indistinguishable."""
+    encode_vorbis, oracle_decode_bytes = _oracle()
+    sig = _signal(2, 44100, 44100, "tone+noise", 3)
+    data = encode_vorbis(sig, 44100, quality=0.4)
+    ref, _ = oracle_decode_bytes(data)
+    mine, _ = decode_vorbis(data)
+    d = np.clip(mine, -1, 32767 / 32768) - ref
+    snr = 10 * math.log10(np.mean(ref**2) / np.mean(d**2))
+    assert snr > 85, snr
+
+
+def test_read_wav_dispatch_and_contract(tmp_path):
+    """read_wav/sniff_format route .ogg by magic bytes; mono collapses to
+    (n,) like the other decoders (read_wav contract)."""
+    from tango_tpu.audio.wav import read_wav, read_wav_file, sniff_format
+
+    encode_vorbis, _ = _oracle()
+    sig = _signal(1, 16000, 16000, "tone+noise", 7)
+    p = tmp_path / "clip.ogg"
+    p.write_bytes(encode_vorbis(sig, 16000, quality=0.3))
+    assert sniff_format(str(p)) == "ogg"
+    wav, sr = read_wav(str(p))
+    assert sr == 16000 and wav.ndim == 1 and wav.dtype == np.float32
+    assert len(wav) == 16000
+    out = read_wav_file(str(p), 32000)
+    assert out.shape == (1, 32000) and np.isfinite(out).all()
+    assert abs(np.abs(out).max() - 0.5) < 1e-6  # reference renormalize chain
+
+
+def test_ogg_manifest_preflight_and_loader(tmp_path):
+    """An ogg manifest passes validate_manifest and loads through the
+    featurized path (the capability the preflight previously refused)."""
+    import json
+
+    from tango_tpu.train.data import load_manifest, validate_manifest
+
+    encode_vorbis, _ = _oracle()
+    rows = []
+    for i in range(2):
+        sig = _signal(1, 12000, 16000, "tone+noise", 20 + i)
+        p = tmp_path / f"c{i}.ogg"
+        p.write_bytes(encode_vorbis(sig, 16000, quality=0.2))
+        rows.append({"dataset": "t", "location": str(p), "captions": f"s {i}"})
+    mf = tmp_path / "train.json"
+    mf.write_text("\n".join(json.dumps(r) for r in rows))
+    examples = load_manifest(str(mf))
+    validate_manifest(examples)  # must NOT raise
+
+    # opus in an ogg container still refuses loudly
+    from tango_tpu.audio.wav import sniff_format
+
+    fake = tmp_path / "x.ogg"
+    seg = b"OpusHead" + b"\x00" * 10
+    page = bytearray(b"OggS\x00\x02" + b"\x00" * 8 + b"\x01\x00\x00\x00"
+                     + b"\x00" * 4 + b"\x00" * 4 + bytes([1, len(seg)]) + seg)
+    fake.write_bytes(bytes(page))
+    assert "opus" in sniff_format(str(fake))
+
+
+def test_error_paths():
+    encode_vorbis, _ = _oracle()
+    sig = _signal(1, 8000, 16000, "noise", 5)
+    good = encode_vorbis(sig, 16000, quality=0.2)
+
+    with pytest.raises(VorbisError, match="capture"):
+        decode_vorbis(b"NotOggData" + good[10:])
+    # corrupt a page body byte -> CRC mismatch is LOUD
+    bad = bytearray(good)
+    bad[200] ^= 0xFF
+    with pytest.raises(VorbisError, match="CRC"):
+        decode_vorbis(bytes(bad))
+    # truncation inside a page
+    with pytest.raises(VorbisError, match="truncated"):
+        decode_vorbis(good[: len(good) // 2 + 3])
+    # not a vorbis stream at all (BOS carries another codec): no packets
+    with pytest.raises(VorbisError):
+        decode_vorbis(good[:4])
+
+
+def test_granule_trim_and_short_stream():
+    """Sub-block-length clips come back at their exact sample count."""
+    encode_vorbis, oracle_decode_bytes = _oracle()
+    for n in (100, 700, 2048):
+        sig = _signal(1, n, 16000, "noise", n)
+        data = encode_vorbis(sig, 16000, quality=0.2)
+        ref, _ = oracle_decode_bytes(data)
+        mine, _ = decode_vorbis(data)
+        assert len(mine) == len(ref) == n
+        assert np.abs(np.clip(mine, -1, 32767 / 32768) - ref).max() <= 2 * LSB

@@ -1,0 +1,133 @@
+"""Mutation fuzz of the Ogg Vorbis decoder (audio/vorbis.py).
+
+The decoder ingests UNTRUSTED bytes (training manifests point at arbitrary
+files). Following the FLAC/mp3 playbook (tests/test_flac_fuzz.py,
+tests/test_mp3_fuzz.py), the robustness contract on mutated/truncated
+streams is:
+
+  * decoding NEVER raises anything but ValueError (VorbisError subclasses
+    it) — no IndexError/KeyError/ZeroDivisionError/MemoryError escapes from
+    the bit-level code (codebook lattices, residue partitions and floor
+    posts are all attacker-controlled);
+  * whatever decodes must be FINITE floats;
+  * decode terminates promptly (huffman walks, residue partition loops and
+    the render_line rasterizer must not spin; crafted codebook/lookup
+    sizes must be bounded, not allocated).
+
+Mutations target all layers: random byte flips (usually killed by the ogg
+page CRC — itself part of the contract), bit flips INSIDE the setup/audio
+packet payloads with the page CRC re-stamped (so the vorbis-level parsers
+see the corruption), truncations, and segment-table/lacing corruption.
+"""
+
+import numpy as np
+import pytest
+
+from tango_tpu.audio.vorbis import _ogg_crc, decode_vorbis
+
+N_MUTATIONS = 150  # per base stream
+
+
+def _page_spans(data: bytes):
+    """[(start, end, nsegs)] of every ogg page in a WELL-FORMED stream."""
+    spans = []
+    pos = 0
+    while pos < len(data) and data[pos : pos + 4] == b"OggS":
+        nsegs = data[pos + 26]
+        body = sum(data[pos + 27 : pos + 27 + nsegs])
+        end = pos + 27 + nsegs + body
+        spans.append((pos, end, nsegs))
+        pos = end
+    return spans
+
+
+def _restamp_crc(buf: bytearray, start: int, end: int):
+    page = bytearray(buf[start:end])
+    page[22:26] = b"\x00\x00\x00\x00"
+    crc = _ogg_crc(bytes(page))
+    buf[start + 22 : start + 26] = crc.to_bytes(4, "little")
+
+
+@pytest.fixture(scope="module")
+def streams():
+    try:
+        from tests._vorbis_oracle import encode_vorbis
+    except OSError:
+        pytest.skip("system libvorbis not available")
+    rng = np.random.RandomState(4)
+
+    def sig(nch, n, sr):
+        base = 0.3 * np.sin(2 * np.pi * 330 / sr * np.arange(n)) \
+            + 0.05 * rng.randn(n)
+        return np.clip(np.stack([np.roll(base, 9 * c) for c in range(nch)], 1),
+                       -1, 1).astype(np.float32)
+
+    return [
+        encode_vorbis(sig(1, 12000, 16000), 16000, quality=0.2),
+        encode_vorbis(sig(2, 22050, 22050), 22050, quality=0.6),
+        encode_vorbis(sig(2, 16000, 44100), 44100, quality=0.4,
+                      managed_kbps=48),
+    ]
+
+
+def _fuzz_one(data: bytes):
+    try:
+        pcm, sr = decode_vorbis(data)
+    except ValueError:
+        return  # loud and typed — the contract
+    assert np.isfinite(pcm).all(), "non-finite samples from mutated stream"
+
+
+@pytest.mark.parametrize("stream_idx", range(3))
+def test_mutation_fuzz(stream_idx, streams):
+    base = streams[stream_idx]
+    spans = _page_spans(base)
+    rng = np.random.default_rng(300 + stream_idx)
+    n = len(base)
+    for it in range(N_MUTATIONS):
+        buf = bytearray(base)
+        kind = it % 5
+        if kind == 0:  # raw byte flips anywhere (CRC layer catches most)
+            for _ in range(int(rng.integers(1, 6))):
+                buf[int(rng.integers(0, n))] = int(rng.integers(0, 256))
+        elif kind == 1:  # payload bit flips with the page CRC re-stamped:
+            # the vorbis-level parsers must survive the corruption
+            s, e, nsegs = spans[int(rng.integers(0, len(spans)))]
+            body0 = s + 27 + nsegs
+            if e > body0:
+                for _ in range(int(rng.integers(1, 8))):
+                    i = int(rng.integers(body0, e))
+                    buf[i] ^= 1 << int(rng.integers(0, 8))
+                _restamp_crc(buf, s, e)
+        elif kind == 2:  # truncation
+            buf = buf[: int(rng.integers(4, n))]
+        elif kind == 3:  # lacing/segment-table corruption, CRC re-stamped
+            s, e, nsegs = spans[int(rng.integers(0, len(spans)))]
+            if nsegs:
+                i = s + 27 + int(rng.integers(0, nsegs))
+                buf[i] = int(rng.integers(0, 256))
+                _restamp_crc(buf, s, e)
+        else:  # header-field corruption (granule, flags, serial), re-stamped
+            s, e, nsegs = spans[int(rng.integers(0, len(spans)))]
+            i = s + 4 + int(rng.integers(0, 23))
+            buf[i] = int(rng.integers(0, 256))
+            _restamp_crc(buf, s, e)
+        _fuzz_one(bytes(buf))
+
+
+def test_setup_packet_bit_sweep(streams):
+    """Flip every byte of the SETUP packet's first 192 bytes one at a time
+    (CRC re-stamped): the codebook/floor/residue parsers see each corruption
+    directly. This is the densest attack surface (huffman assignment,
+    lookup lattices, class cascades)."""
+    base = streams[0]
+    spans = _page_spans(base)
+    # setup packet lives on the second page (headers: ident | comment+setup)
+    s, e, nsegs = spans[1]
+    body0 = s + 27 + nsegs
+    for i in range(body0, min(e, body0 + 192)):
+        for bit in (0x01, 0x80):
+            buf = bytearray(base)
+            buf[i] ^= bit
+            _restamp_crc(buf, s, e)
+            _fuzz_one(bytes(buf))

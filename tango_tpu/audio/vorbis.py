@@ -658,10 +658,15 @@ class _Residue:
                             v = vecs[j]
                             dims = book.dims
                             if fmt0:
+                                # format 0 decodes the whole partition's
+                                # codewords BEFORE adding (libvorbis
+                                # decodevs_add): EOP mid-partition drops the
+                                # entire partition, unlike format 1's
+                                # incremental adds
                                 step = self.psize // dims
+                                vs = [book.decode_vq(bits) for _ in range(step)]
                                 for k in range(step):
-                                    vec = book.decode_vq(bits)
-                                    v[off + k : off + k + dims * step : step] += vec
+                                    v[off + k : off + k + dims * step : step] += vs[k]
                             else:
                                 k = 0
                                 while k < self.psize:

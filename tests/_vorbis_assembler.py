@@ -1,0 +1,405 @@
+"""In-repo Ogg Vorbis stream ASSEMBLER — test fixture generator.
+
+libvorbisenc (tests/_vorbis_oracle.encode_vorbis) only ever emits residue
+types 1/2, codebook lookup types 0/1 and multi-entry huffman trees, so
+those fixtures cannot reach every path of the decoder. This assembler
+builds syntactically valid Vorbis I streams with ARBITRARY setup
+configurations — residue type 0 (the interleaved-step partition format),
+lookup type 2 lattices, single-entry codebooks, ordered codeword lengths,
+custom coupling — and the tests then pin tango_tpu/audio/vorbis.py against
+libvorbisfile on the SAME bytes, so the system decoder remains the oracle
+for paths no real encoder produces (the mp3 stream-assembler playbook).
+
+Only what the tests need is supported: one mapping, explicit mode list,
+floor type 1 with a fixed post layout, one residue configuration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tango_tpu.audio.vorbis import _Bits, _Codebook, _ogg_crc
+
+
+# ------------------------------------------------------------------ bitwriter
+
+
+class BitWriter:
+    """LSB-first bit writer (inverse of vorbis._Bits)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.bitpos = 0  # bits used in the last byte
+
+    def write(self, value: int, nbits: int):
+        assert 0 <= value < (1 << nbits) or nbits == 0
+        for i in range(nbits):
+            if self.bitpos == 0:
+                self.buf.append(0)
+            if (value >> i) & 1:
+                self.buf[-1] |= 1 << self.bitpos
+            self.bitpos = (self.bitpos + 1) % 8
+
+    def write_float32(self, m: int, e: int, sign: int = 0):
+        """vorbis packed float: mantissa m (21b), exponent e (10b)."""
+        self.write(m | (e << 21) | (sign << 31), 32)
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+def ilog(x: int) -> int:
+    return x.bit_length() if x > 0 else 0
+
+
+# ------------------------------------------------------------------ codebooks
+
+
+@dataclass
+class BookSpec:
+    dims: int
+    lengths: List[int]  # -1 = unused (sparse)
+    lookup_type: int = 0  # 0 | 1 | 2
+    min_val: Tuple[int, int, int] = (0, 0, 0)  # packed-float (mant, exp, sign)
+    delta: Tuple[int, int, int] = (0, 0, 0)
+    value_bits: int = 1
+    sequence_p: int = 0
+    multiplicands: Sequence[int] = ()
+    ordered: bool = False
+
+    def emit(self, w: BitWriter):
+        w.write(0x564342, 24)
+        w.write(self.dims, 16)
+        w.write(len(self.lengths), 24)
+        if self.ordered:
+            w.write(1, 1)
+            assert all(l > 0 for l in self.lengths)
+            cur = self.lengths[0]
+            w.write(cur - 1, 5)
+            i = 0
+            total = len(self.lengths)
+            while i < total:
+                j = i
+                while j < total and self.lengths[j] == cur:
+                    j += 1
+                assert j > i, "ordered lengths must be non-decreasing"
+                w.write(j - i, ilog(total - i))
+                i = j
+                cur += 1
+        else:
+            w.write(0, 1)
+            sparse = any(l < 0 for l in self.lengths)
+            w.write(int(sparse), 1)
+            for l in self.lengths:
+                if sparse:
+                    w.write(int(l > 0), 1)
+                    if l > 0:
+                        w.write(l - 1, 5)
+                else:
+                    assert l > 0
+                    w.write(l - 1, 5)
+        w.write(self.lookup_type, 4)
+        if self.lookup_type:
+            w.write_float32(*self.min_val)
+            w.write_float32(*self.delta)
+            w.write(self.value_bits - 1, 4)
+            w.write(self.sequence_p, 1)
+            for m in self.multiplicands:
+                w.write(m, self.value_bits)
+
+    def codewords(self) -> dict:
+        """entry -> (code_lsbfirst, length) via the decoder's canonical
+        assignment (libvorbisfile independently validates the choice)."""
+        # round-trip through the real parser to reuse its assignment
+        w = BitWriter()
+        self.emit(w)
+        cb = _Codebook(_Bits(w.bytes()))
+        out = {}
+        if cb.single_entry is not None:
+            return {cb.single_entry: (0, 1)}
+        for (ln, code), entry in cb.slow.items():
+            out[entry] = (_Codebook._rev(code, ln), ln)
+        for idx, ent in enumerate(cb.fast):
+            if ent is not None and ent[0] not in out:
+                entry, ln = ent
+                out[entry] = (idx & ((1 << ln) - 1), ln)
+        return out
+
+
+# --------------------------------------------------------------------- setup
+
+
+@dataclass
+class StreamSpec:
+    channels: int = 1
+    rate: int = 16000
+    bs0: int = 256  # blocksize exponents are derived
+    bs1: int = 256
+    books: List[BookSpec] = field(default_factory=list)
+    # floor1: single partition, one class of `floor_dim` posts decoded from
+    # book `floor_book`; two bootstrap posts use ilog(range-1) raw bits
+    floor_book: int = 0
+    floor_dim: int = 2
+    floor_rangebits: int = 6
+    floor_multiplier: int = 2
+    floor_xs: Optional[List[int]] = None
+    # residue
+    residue_type: int = 0
+    residue_begin: int = 0
+    residue_end: int = 128
+    residue_psize: int = 16
+    residue_classifications: int = 1
+    residue_classbook: int = 1
+    residue_books: Optional[List[List[int]]] = None  # [class][pass] -1=off
+    coupling: List[Tuple[int, int]] = field(default_factory=list)
+
+    def blocksize_exps(self):
+        return self.bs0.bit_length() - 1, self.bs1.bit_length() - 1
+
+    def ident_packet(self) -> bytes:
+        w = BitWriter()
+        for b in b"\x01vorbis":
+            w.write(b, 8)
+        w.write(0, 32)
+        w.write(self.channels, 8)
+        w.write(self.rate, 32)
+        w.write(0, 32)
+        w.write(0, 32)
+        w.write(0, 32)
+        e0, e1 = self.blocksize_exps()
+        w.write(e0, 4)
+        w.write(e1, 4)
+        w.write(1, 1)
+        return w.bytes()
+
+    @staticmethod
+    def comment_packet() -> bytes:
+        w = BitWriter()
+        for b in b"\x03vorbis":
+            w.write(b, 8)
+        vendor = b"tango_tpu assembler"
+        w.write(len(vendor), 32)
+        for b in vendor:
+            w.write(b, 8)
+        w.write(0, 32)  # no comments
+        w.write(1, 1)
+        return w.bytes()
+
+    def setup_packet(self) -> bytes:
+        w = BitWriter()
+        for b in b"\x05vorbis":
+            w.write(b, 8)
+        w.write(len(self.books) - 1, 8)
+        for bk in self.books:
+            bk.emit(w)
+        w.write(0, 6)  # 1 time transform
+        w.write(0, 16)
+        w.write(0, 6)  # 1 floor
+        w.write(1, 16)  # floor type 1
+        w.write(1, 5)  # 1 partition
+        w.write(0, 4)  # class 0
+        w.write(self.floor_dim - 1, 3)
+        w.write(0, 2)  # no subclasses
+        w.write(self.floor_book + 1, 8)  # subclass book (+1 encoding)
+        w.write(self.floor_multiplier - 1, 2)
+        w.write(self.floor_rangebits, 4)
+        xs = self.floor_xs or [
+            (i + 1) * ((1 << self.floor_rangebits) // (self.floor_dim + 1))
+            for i in range(self.floor_dim)
+        ]
+        assert len(xs) == self.floor_dim
+        for x in xs:
+            w.write(x, self.floor_rangebits)
+        w.write(0, 6)  # 1 residue
+        w.write(self.residue_type, 16)
+        w.write(self.residue_begin, 24)
+        w.write(self.residue_end, 24)
+        w.write(self.residue_psize - 1, 24)
+        w.write(self.residue_classifications - 1, 6)
+        w.write(self.residue_classbook, 8)
+        rbooks = self.residue_books
+        if rbooks is None:
+            rbooks = [[2] + [-1] * 7 for _ in range(self.residue_classifications)]
+        for row in rbooks:
+            cascade = sum(1 << p for p, b in enumerate(row) if b >= 0)
+            w.write(cascade & 7, 3)
+            if cascade > 7:
+                w.write(1, 1)
+                w.write(cascade >> 3, 5)
+            else:
+                w.write(0, 1)
+        for row in rbooks:
+            for b in row:
+                if b >= 0:
+                    w.write(b, 8)
+        # 1 mapping, type 0
+        w.write(0, 6)
+        w.write(0, 16)
+        w.write(0, 1)  # one submap
+        if self.coupling:
+            w.write(1, 1)
+            w.write(len(self.coupling) - 1, 8)
+            cbits = ilog(self.channels - 1)
+            for m, a in self.coupling:
+                w.write(m, cbits)
+                w.write(a, cbits)
+        else:
+            w.write(0, 1)
+        w.write(0, 2)  # reserved
+        w.write(0, 8)  # submap 0: time placeholder
+        w.write(0, 8)  # floor 0
+        w.write(0, 8)  # residue 0
+        # modes: one per blockflag needed; keep a single long=0 mode
+        w.write(0, 6)
+        w.write(0, 1)  # blockflag 0 (bs0 only)
+        w.write(0, 16)
+        w.write(0, 16)
+        w.write(0, 8)
+        w.write(1, 1)  # framing
+        return w.bytes()
+
+    # ----------------------------------------------------------- audio packet
+    def audio_packet(self, floor_posts: Sequence[Optional[Sequence[int]]],
+                     partition_classes: Sequence[Sequence[int]],
+                     vq_entries: Sequence[Sequence[int]]) -> bytes:
+        """Emit one audio packet by SIMULATING the residue decode loop, so
+        the bit order matches by construction (the oracle then arbitrates
+        whether the simulation equals the spec).
+
+        floor_posts[ch]: raw Y words (two ybits bootstrap values + floor_dim
+        codebook ENTRIES), or None = unvoiced channel.
+        partition_classes[vec][p]: residue class of each partition.
+        vq_entries[vec]: flat list of VQ codebook entries, consumed in
+        decode order across passes/partitions.
+        """
+        w = BitWriter()
+        w.write(0, 1)  # audio type; single mode -> 0 mode bits, blockflag 0
+        rng_map = {1: 256, 2: 128, 3: 86, 4: 64}
+        ybits = ilog(rng_map[self.floor_multiplier] - 1)
+        fcodes = self.books[self.floor_book].codewords()
+        for ch in range(self.channels):
+            posts = floor_posts[ch]
+            if posts is None:
+                w.write(0, 1)
+                continue
+            w.write(1, 1)
+            w.write(posts[0], ybits)
+            w.write(posts[1], ybits)
+            for y in posts[2:]:
+                code, ln = fcodes[y]
+                w.write(code, ln)
+
+        # residue emission: mirror _Residue.decode's loop structure,
+        # including do-not-decode vectors (unvoiced floors)
+        n2 = self.bs0 // 2
+        nvec = len(partition_classes)
+        if self.residue_type == 2:
+            assert nvec == 1
+            dnd = [all(fp is None for fp in floor_posts)]
+            vlen = self.channels * n2
+        else:
+            assert nvec == self.channels
+            dnd = [floor_posts[j] is None for j in range(nvec)]
+            vlen = n2
+        limit = min(self.residue_end, vlen)
+        begin = min(self.residue_begin, vlen)
+        ptr = max(limit - begin, 0) // self.residue_psize
+        cbook = self.books[self.residue_classbook]
+        ccodes = cbook.codewords()
+        cwords = cbook.dims
+        cls = self.residue_classifications
+        rbooks = self.residue_books or [[2] + [-1] * 7 for _ in range(cls)]
+        iters = [list(v) for v in vq_entries]
+        vcode_cache = {}
+
+        def vq_codes(b):
+            if b not in vcode_cache:
+                vcode_cache[b] = self.books[b].codewords()
+            return vcode_cache[b]
+
+        for p in range(8):
+            if not any(row[p] >= 0 for row in rbooks):
+                continue
+            pc = 0
+            while pc < ptr:
+                if p == 0:
+                    for j in range(nvec):
+                        if dnd[j]:
+                            continue
+                        ent = 0
+                        for i in range(cwords):
+                            c = (partition_classes[j][pc + i]
+                                 if pc + i < ptr else 0)
+                            ent = ent * cls + c
+                        code, ln = ccodes[ent]
+                        w.write(code, ln)
+                i = 0
+                while i < cwords and pc < ptr:
+                    for j in range(nvec):
+                        if dnd[j]:
+                            continue
+                        b = rbooks[partition_classes[j][pc]][p]
+                        if b < 0:
+                            continue
+                        book = self.books[b]
+                        codes = vq_codes(b)
+                        n_sym = (self.residue_psize // book.dims
+                                 if self.residue_type == 0
+                                 else -(-self.residue_psize // book.dims))
+                        for _ in range(n_sym):
+                            entry = iters[j].pop(0)
+                            code, ln = codes[entry]
+                            w.write(code, ln)
+                    i += 1
+                    pc += 1
+        return w.bytes()
+
+
+# ------------------------------------------------------------------ ogg layer
+
+
+def ogg_wrap(packets: List[bytes], granules: List[int], serial: int = 99) -> bytes:
+    """One packet per page (small fixtures); granules[i] stamps page i;
+    the final page carries EOS."""
+    out = bytearray()
+    for i, pkt in enumerate(packets):
+        htype = 0x02 if i == 0 else 0x00
+        if i == len(packets) - 1:
+            htype |= 0x04
+        segs = []
+        n = len(pkt)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        hdr = bytearray(b"OggS")
+        hdr += bytes([0, htype])
+        hdr += int(granules[i]).to_bytes(8, "little", signed=True)
+        hdr += serial.to_bytes(4, "little")
+        hdr += i.to_bytes(4, "little")
+        hdr += b"\x00\x00\x00\x00"
+        hdr += bytes([len(segs)]) + bytes(segs)
+        page = bytes(hdr) + pkt
+        crc = _ogg_crc(page)
+        page = page[:22] + crc.to_bytes(4, "little") + page[26:]
+        out += page
+    return bytes(out)
+
+
+def assemble(spec: StreamSpec, audio_packets: List[bytes],
+             samples_per_packet: Optional[int] = None) -> bytes:
+    """Headers + audio packets -> complete Ogg Vorbis byte stream."""
+    n2 = spec.bs0 // 2
+    if samples_per_packet is None:
+        samples_per_packet = n2  # long-only streams lap at n/2
+    pkts = [spec.ident_packet(), spec.comment_packet(), spec.setup_packet()]
+    pkts += list(audio_packets)
+    granules = [0, 0, 0]
+    g = -n2  # first audio packet primes the lap buffer (emits nothing)
+    for _ in audio_packets:
+        g += samples_per_packet
+        granules.append(max(g, 0))
+    return ogg_wrap(pkts, granules)

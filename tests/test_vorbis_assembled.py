@@ -1,0 +1,172 @@
+"""Hand-assembled Vorbis streams vs libvorbisfile — the paths libvorbisenc
+never emits.
+
+tests/_vorbis_assembler.py builds custom setup headers + audio packets (the
+mp3 stream-assembler playbook); libvorbisfile decodes the same bytes as the
+oracle. This is the ONLY way to pin:
+
+  * residue type 0 (interleaved-step partition format, incl. its
+    all-or-nothing end-of-packet semantics — libvorbis decodevs_add decodes
+    the whole partition before adding; this suite caught the incremental-add
+    divergence),
+  * codebook lookup type 2 lattices,
+  * single-entry codebooks (decode consumes ONE bit),
+  * ordered codeword-length lists,
+  * multi-pass residue cascades,
+  * residue begin/end sub-windows,
+  * do-not-decode vectors (unvoiced channel) in residue types 0/1,
+  * truncated-packet (EOP) partial-decode parity at every cut position.
+
+Agreement criterion: oracle emits int16 -> 2 LSB.
+"""
+
+import numpy as np
+import pytest
+
+from tango_tpu.audio.vorbis import decode_vorbis
+
+LSB = 1.0 / 32768.0
+QUARTER = (1, 786, 0)  # packed vorbis float 0.25
+EIGHTH = (1, 785, 0)
+NEG_HALF = (1, 787, 1)
+
+
+def _deps():
+    try:
+        from tests._vorbis_oracle import oracle_decode_bytes
+    except OSError:
+        pytest.skip("system libvorbis not available")
+    from tests._vorbis_assembler import BookSpec, StreamSpec, assemble
+
+    return oracle_decode_bytes, BookSpec, StreamSpec, assemble
+
+
+def _books(BookSpec, floor_ordered=False, single=False):
+    return [
+        BookSpec(dims=1, lengths=[6] * 64, ordered=floor_ordered),
+        BookSpec(dims=2, lengths=[2] * 4),
+        (BookSpec(dims=4, lengths=[1], lookup_type=1, min_val=NEG_HALF,
+                  delta=QUARTER, value_bits=1, multiplicands=[1])
+         if single else
+         BookSpec(dims=4, lengths=[4] * 16, lookup_type=1, min_val=NEG_HALF,
+                  delta=QUARTER, value_bits=1, multiplicands=[0, 1])),
+        BookSpec(dims=2, lengths=[2] * 4, lookup_type=2, min_val=NEG_HALF,
+                 delta=EIGHTH, value_bits=3, multiplicands=list(range(8))),
+    ]
+
+
+def _entries(rng, pcl, single=False):
+    out = []
+    for pc in pcl:
+        if pc == 0:  # book2: dims 4 -> psize 8 needs 2 codewords
+            out += [0, 0] if single else [int(rng.randint(16)) for _ in range(2)]
+        else:  # book3: dims 2 -> 4 codewords
+            out += [int(rng.randint(4)) for _ in range(4)]
+    return out
+
+
+def _check(data, oracle_decode_bytes, atol=2 * LSB):
+    ref, rr = oracle_decode_bytes(data)
+    mine, rm = decode_vorbis(data)
+    assert rm == rr and mine.shape == ref.shape
+    err = np.abs(np.clip(mine, -1, 32767 / 32768) - ref).max()
+    assert err <= atol, f"max err {err}"
+    return ref
+
+
+def _spec(StreamSpec, books, **kw):
+    d = dict(channels=1, rate=16000, bs0=256, bs1=256, books=books,
+             floor_book=0, floor_dim=2, residue_type=0, residue_begin=0,
+             residue_end=128, residue_psize=8, residue_classifications=2,
+             residue_classbook=1,
+             residue_books=[[2] + [-1] * 7, [3] + [-1] * 7])
+    d.update(kw)
+    return StreamSpec(**d)
+
+
+def test_residue_type0_and_lookup2():
+    oracle, BookSpec, StreamSpec, assemble = _deps()
+    rng = np.random.RandomState(0)
+    spec = _spec(StreamSpec, _books(BookSpec))
+    pcl = [[i % 2 for i in range(16)]]
+    pk = spec.audio_packet([[60, 50, 30, 40]], pcl, [_entries(rng, pcl[0])])
+    ref = _check(assemble(spec, [pk] * 4), oracle)
+    assert len(ref) == 3 * 128 and np.abs(ref).max() > 0
+
+
+def test_residue_type2_with_coupling():
+    oracle, BookSpec, StreamSpec, assemble = _deps()
+    rng = np.random.RandomState(1)
+    spec = _spec(StreamSpec, _books(BookSpec), channels=2, residue_type=2,
+                 residue_end=256, coupling=[(0, 1)])
+    pcl = [[(i // 3) % 2 for i in range(32)]]
+    pk = spec.audio_packet([[60, 50, 30, 40], [55, 45, 20, 35]], pcl,
+                           [_entries(rng, pcl[0])])
+    ref = _check(assemble(spec, [pk] * 4), oracle)
+    assert ref.shape == (384, 2)
+
+
+def test_ordered_codebook_lengths():
+    oracle, BookSpec, StreamSpec, assemble = _deps()
+    rng = np.random.RandomState(2)
+    spec = _spec(StreamSpec, _books(BookSpec, floor_ordered=True))
+    pcl = [[i % 2 for i in range(16)]]
+    pk = spec.audio_packet([[60, 50, 30, 40]], pcl, [_entries(rng, pcl[0])])
+    _check(assemble(spec, [pk] * 4), oracle)
+
+
+def test_single_entry_codebook_consumes_one_bit():
+    oracle, BookSpec, StreamSpec, assemble = _deps()
+    rng = np.random.RandomState(3)
+    spec = _spec(StreamSpec, _books(BookSpec, single=True))
+    pcl = [[i % 2 for i in range(16)]]
+    pk = spec.audio_packet([[60, 50, 30, 40]], pcl,
+                           [_entries(rng, pcl[0], single=True)])
+    _check(assemble(spec, [pk] * 4), oracle)
+
+
+def test_two_pass_cascade():
+    oracle, BookSpec, StreamSpec, assemble = _deps()
+    rng = np.random.RandomState(4)
+    spec = _spec(StreamSpec, _books(BookSpec), residue_classifications=1,
+                 residue_books=[[2, 3] + [-1] * 6])
+    pcl = [[0] * 16]
+    ents = _entries(rng, [0] * 16) + _entries(rng, [1] * 16)
+    pk = spec.audio_packet([[60, 50, 30, 40]], pcl, [ents])
+    _check(assemble(spec, [pk] * 4), oracle)
+
+
+def test_residue_begin_end_window():
+    oracle, BookSpec, StreamSpec, assemble = _deps()
+    rng = np.random.RandomState(5)
+    spec = _spec(StreamSpec, _books(BookSpec), residue_begin=16,
+                 residue_end=112)
+    pcl = [[i % 2 for i in range(12)]]
+    pk = spec.audio_packet([[60, 50, 30, 40]], pcl, [_entries(rng, pcl[0])])
+    _check(assemble(spec, [pk] * 4), oracle)
+
+
+def test_unvoiced_channel_do_not_decode():
+    oracle, BookSpec, StreamSpec, assemble = _deps()
+    rng = np.random.RandomState(6)
+    spec = _spec(StreamSpec, _books(BookSpec), channels=2, residue_type=1)
+    pcl = [[i % 2 for i in range(16)], [0] * 16]
+    pk = spec.audio_packet([[60, 50, 30, 40], None], pcl,
+                           [_entries(rng, pcl[0]), []])
+    ref = _check(assemble(spec, [pk] * 4), oracle)
+    assert np.abs(ref[:, 1]).max() == 0  # unvoiced channel is silence
+    assert np.abs(ref[:, 0]).max() > 0
+
+
+@pytest.mark.parametrize("rtype", [0, 1])
+def test_eop_truncation_parity_every_cut(rtype):
+    """Truncate one audio packet at EVERY byte position: the partial-decode
+    output must match libvorbisfile exactly (format 0 drops the whole
+    partition on EOP, format 1 keeps per-codeword partial adds)."""
+    oracle, BookSpec, StreamSpec, assemble = _deps()
+    rng = np.random.RandomState(7 + rtype)
+    spec = _spec(StreamSpec, _books(BookSpec), residue_type=rtype)
+    pcl = [[i % 2 for i in range(16)]]
+    pk = spec.audio_packet([[60, 50, 30, 40]], pcl, [_entries(rng, pcl[0])])
+    for trunc in range(1, len(pk) + 1):
+        _check(assemble(spec, [pk, pk, pk[:trunc], pk]), oracle)

@@ -13,12 +13,11 @@ machinery as produced by every libvorbis-era encoder:
   * all three header packets incl. full codebook parsing (ordered/sparse
     length lists, canonical Huffman assignment, lookup type 1/2 VQ lattices)
   * floor type 1 (posts, integer render_line curve, inverse-dB amplitude)
+    and the deprecated floor type 0 (LSP bark-map curve)
   * residue types 0, 1, 2 (cascade passes, classword partitions)
   * square-polar channel coupling, long/short/hybrid window overlap-add
     with the exact spec lapping rules, end-of-packet partial-decode
     semantics
-
-Floor type 0 (LSP, emitted by no known encoder after 2002) raises loudly.
 
 Correctness evidence (tests/test_vorbis.py): PCM is pinned against the
 INDEPENDENT system decoder (libvorbisfile via ctypes — the canonical Xiph
@@ -567,6 +566,95 @@ class _Floor1:
             v[x] = y
 
 
+# --------------------------------------------------------------------- floor0
+
+
+class _Floor0:
+    """Floor type 0: LSP curve (spec section 6). Deprecated by the spec and
+    emitted by no known encoder since 2002; decode parity is pinned against
+    libvorbisfile on assembler-crafted streams (tests/test_vorbis_assembled)."""
+
+    def __init__(self, bits: _Bits, n_books: int):
+        self.order = bits.read(8)
+        self.rate = bits.read(16)
+        self.bark_map_size = bits.read(16)
+        self.amplitude_bits = bits.read(6)
+        self.amplitude_offset = bits.read(8)
+        self.num_books = bits.read(4) + 1
+        self.book_list = [bits.read(8) for _ in range(self.num_books)]
+        if (self.order == 0 or self.rate == 0 or self.bark_map_size == 0
+                or any(b >= n_books for b in self.book_list)):
+            raise VorbisError("invalid floor0 configuration")
+        self._maps: Dict[int, np.ndarray] = {}
+
+    def decode(self, bits: _Bits, books: List[_Codebook]):
+        amplitude = bits.read(self.amplitude_bits)
+        if amplitude <= 0:
+            return None
+        booknum = bits.read(_ilog(self.num_books))
+        if booknum >= self.num_books:
+            return None  # spec: undecodable -> channel unvoiced
+        book = books[self.book_list[booknum]]
+        if book.vectors is None:
+            raise VorbisError("floor0 book without a VQ lookup")
+        coeffs: List[float] = []
+        last = 0.0
+        while len(coeffs) < self.order:
+            vec = book.decode_vq(bits)
+            coeffs.extend(float(v) + last for v in vec)
+            last = coeffs[-1]
+        return amplitude, coeffs[: self.order]
+
+    def _map(self, n2: int) -> np.ndarray:
+        m = self._maps.get(n2)
+        if m is None:
+
+            def bark(x):
+                return (13.1 * np.arctan(0.00074 * x)
+                        + 2.24 * np.arctan(1.85e-8 * x * x) + 1e-4 * x)
+
+            scale = self.bark_map_size / bark(0.5 * self.rate)
+            m = np.floor(bark(0.5 * self.rate / n2 * np.arange(n2))
+                         * scale).astype(np.int64)
+            m = np.minimum(m, self.bark_map_size - 1)
+            self._maps[n2] = m
+        return m
+
+    def curve(self, decoded, n2: int) -> np.ndarray:
+        amplitude, coeffs = decoded
+        mp = self._map(n2)
+        cos_c = np.cos(np.asarray(coeffs, np.float64))
+        out = np.zeros(n2, np.float64)
+        i = 0
+        while i < n2:
+            w = np.pi * mp[i] / self.bark_map_size
+            cw = math.cos(w)
+            if self.order & 1:
+                p = (1.0 - cw * cw) * float(
+                    np.prod(4.0 * (cos_c[1::2] - cw) ** 2))
+                q = 0.25 * float(np.prod(4.0 * (cos_c[0::2] - cw) ** 2))
+            else:
+                p = (1.0 - cw) / 2.0 * float(
+                    np.prod(4.0 * (cos_c[1::2] - cw) ** 2))
+                q = (1.0 + cw) / 2.0 * float(
+                    np.prod(4.0 * (cos_c[0::2] - cw) ** 2))
+            denom = ((1 << self.amplitude_bits) - 1) * math.sqrt(p + q)
+            if denom > 0:
+                x = 0.11512925 * (amplitude * self.amplitude_offset / denom
+                                  - self.amplitude_offset)
+            else:
+                x = 88.0  # libvorbis computes in float32: 1/sqrt(0) -> inf
+            # saturate at the float32 ceiling instead of raising (degenerate
+            # LSP curves overflow the reference's float fromdB the same way)
+            lin = math.exp(min(x, 88.0))
+            j = i
+            while j < n2 and mp[j] == mp[i]:
+                out[j] = lin
+                j += 1
+            i = j
+        return out
+
+
 # -------------------------------------------------------------------- residue
 
 
@@ -848,10 +936,7 @@ class _VorbisStream:
                 if ftype == 1:
                     self.floors.append(_Floor1(b, len(self.books)))
                 elif ftype == 0:
-                    raise VorbisError(
-                        "floor type 0 (LSP) stream — produced by no known "
-                        "encoder since 2002 and unsupported here; transcode "
-                        "to a modern ogg/wav/flac/mp3")
+                    self.floors.append(_Floor0(b, len(self.books)))
                 else:
                     raise VorbisError(f"reserved floor type {ftype}")
             self.residues = []

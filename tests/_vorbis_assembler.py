@@ -55,6 +55,23 @@ def ilog(x: int) -> int:
     return x.bit_length() if x > 0 else 0
 
 
+def pack_float(x: float) -> Tuple[int, int, int]:
+    """float -> (mantissa, exponent, sign) for the vorbis packed-float
+    field: value = mantissa * 2^(exponent - 788); mantissa < 2^21."""
+    s = 1 if x < 0 else 0
+    x = abs(x)
+    if x == 0:
+        return (0, 0, 0)
+    e = 788
+    while round(x * 2 ** (788 - e)) >= (1 << 21):
+        e += 1
+    while round(x * 2 ** (788 - e)) < (1 << 20) and e > 0:
+        e -= 1
+    m = int(round(x * 2 ** (788 - e)))
+    assert 0 < m < (1 << 21)
+    return (m, e, s)
+
+
 # ------------------------------------------------------------------ codebooks
 
 
@@ -146,6 +163,14 @@ class StreamSpec:
     floor_rangebits: int = 6
     floor_multiplier: int = 2
     floor_xs: Optional[List[int]] = None
+    # floor type 0 (set floor_type=0 to use; floor_book then names the LSP
+    # coefficient VQ book and floor0_* configure the curve)
+    floor_type: int = 1
+    floor0_order: int = 8
+    floor0_rate: int = 16000
+    floor0_bark_size: int = 64
+    floor0_amp_bits: int = 6
+    floor0_amp_offset: int = 10
     # residue
     residue_type: int = 0
     residue_begin: int = 0
@@ -198,21 +223,31 @@ class StreamSpec:
         w.write(0, 6)  # 1 time transform
         w.write(0, 16)
         w.write(0, 6)  # 1 floor
-        w.write(1, 16)  # floor type 1
-        w.write(1, 5)  # 1 partition
-        w.write(0, 4)  # class 0
-        w.write(self.floor_dim - 1, 3)
-        w.write(0, 2)  # no subclasses
-        w.write(self.floor_book + 1, 8)  # subclass book (+1 encoding)
-        w.write(self.floor_multiplier - 1, 2)
-        w.write(self.floor_rangebits, 4)
-        xs = self.floor_xs or [
-            (i + 1) * ((1 << self.floor_rangebits) // (self.floor_dim + 1))
-            for i in range(self.floor_dim)
-        ]
-        assert len(xs) == self.floor_dim
-        for x in xs:
-            w.write(x, self.floor_rangebits)
+        if self.floor_type == 0:
+            w.write(0, 16)
+            w.write(self.floor0_order, 8)
+            w.write(self.floor0_rate, 16)
+            w.write(self.floor0_bark_size, 16)
+            w.write(self.floor0_amp_bits, 6)
+            w.write(self.floor0_amp_offset, 8)
+            w.write(0, 4)  # 1 book
+            w.write(self.floor_book, 8)
+        else:
+            w.write(1, 16)  # floor type 1
+            w.write(1, 5)  # 1 partition
+            w.write(0, 4)  # class 0
+            w.write(self.floor_dim - 1, 3)
+            w.write(0, 2)  # no subclasses
+            w.write(self.floor_book + 1, 8)  # subclass book (+1 encoding)
+            w.write(self.floor_multiplier - 1, 2)
+            w.write(self.floor_rangebits, 4)
+            xs = self.floor_xs or [
+                (i + 1) * ((1 << self.floor_rangebits) // (self.floor_dim + 1))
+                for i in range(self.floor_dim)
+            ]
+            assert len(xs) == self.floor_dim
+            for x in xs:
+                w.write(x, self.floor_rangebits)
         w.write(0, 6)  # 1 residue
         w.write(self.residue_type, 16)
         w.write(self.residue_begin, 24)
@@ -277,20 +312,35 @@ class StreamSpec:
         """
         w = BitWriter()
         w.write(0, 1)  # audio type; single mode -> 0 mode bits, blockflag 0
-        rng_map = {1: 256, 2: 128, 3: 86, 4: 64}
-        ybits = ilog(rng_map[self.floor_multiplier] - 1)
         fcodes = self.books[self.floor_book].codewords()
-        for ch in range(self.channels):
-            posts = floor_posts[ch]
-            if posts is None:
-                w.write(0, 1)
-                continue
-            w.write(1, 1)
-            w.write(posts[0], ybits)
-            w.write(posts[1], ybits)
-            for y in posts[2:]:
-                code, ln = fcodes[y]
-                w.write(code, ln)
+        if self.floor_type == 0:
+            # floor_posts[ch] = (amplitude, [vq entries]) or None
+            for ch in range(self.channels):
+                fp = floor_posts[ch]
+                if fp is None:
+                    w.write(0, self.floor0_amp_bits)
+                    continue
+                amp, entries = fp
+                assert amp > 0
+                w.write(amp, self.floor0_amp_bits)
+                w.write(0, ilog(1))  # book number 0 of num_books=1
+                for e in entries:
+                    code, ln = fcodes[e]
+                    w.write(code, ln)
+        else:
+            rng_map = {1: 256, 2: 128, 3: 86, 4: 64}
+            ybits = ilog(rng_map[self.floor_multiplier] - 1)
+            for ch in range(self.channels):
+                posts = floor_posts[ch]
+                if posts is None:
+                    w.write(0, 1)
+                    continue
+                w.write(1, 1)
+                w.write(posts[0], ybits)
+                w.write(posts[1], ybits)
+                for y in posts[2:]:
+                    code, ln = fcodes[y]
+                    w.write(code, ln)
 
         # residue emission: mirror _Residue.decode's loop structure,
         # including do-not-decode vectors (unvoiced floors)

@@ -158,6 +158,85 @@ def test_unvoiced_channel_do_not_decode():
     assert np.abs(ref[:, 0]).max() > 0
 
 
+FLOOR0_CASES = [
+    # order, bark_size, floor0_rate, blocksize, amplitude, coeff entries
+    ("even-order8", 8, 64, 16000, 256, 8, [5, 10]),
+    ("odd-order7", 7, 64, 16000, 256, 4, [5, 10]),
+    ("odd-order5-bark32", 5, 32, 16000, 256, 1, [6, 9]),
+    ("order12", 12, 64, 16000, 256, 9, [5, 10, 6]),
+    ("floor-rate-differs", 8, 128, 8000, 256, 2, [3, 12]),
+    ("blocksize512", 8, 64, 16000, 512, 4, [6, 9]),
+    ("odd-bark37", 8, 37, 16000, 256, 4, [5, 10]),
+]
+
+
+@pytest.mark.parametrize("case", FLOOR0_CASES, ids=[c[0] for c in FLOOR0_CASES])
+def test_floor0_lsp_curve(case):
+    """Floor type 0 (LSP): no encoder emits it, so assembler-crafted streams
+    are the only pin — bark map (incl. floor rate != stream rate), odd/even
+    order product forms, amplitude dB scaling, coefficient `last` chaining,
+    both blocksizes. Amplitudes are kept in the well-conditioned regime: at
+    degenerate LSP curves the REFERENCE's own float32 fromdB overflows to
+    inf (undefined output), which no decoder can meaningfully match."""
+    oracle, BookSpec, StreamSpec, assemble = _deps()
+    from tests._vorbis_assembler import pack_float as pf
+
+    _, order, bark, f0rate, bs, amp, ents = case
+    rng = np.random.RandomState(40 + FLOOR0_CASES.index(case))
+    books = [
+        BookSpec(dims=4, lengths=[4] * 16, lookup_type=1, min_val=pf(0.12),
+                 delta=pf(0.18), value_bits=2, multiplicands=[0, 1],
+                 sequence_p=1),
+        BookSpec(dims=2, lengths=[2] * 4),
+        BookSpec(dims=4, lengths=[4] * 16, lookup_type=1, min_val=pf(-0.5),
+                 delta=pf(0.25), value_bits=1, multiplicands=[0, 1]),
+    ]
+    spec = StreamSpec(channels=1, rate=16000, bs0=bs, bs1=bs, books=books,
+                      floor_type=0, floor_book=0, floor0_order=order,
+                      floor0_rate=f0rate, floor0_bark_size=bark,
+                      floor0_amp_bits=6, floor0_amp_offset=10,
+                      residue_type=1, residue_begin=0, residue_end=bs // 2,
+                      residue_psize=8, residue_classifications=2,
+                      residue_classbook=1,
+                      residue_books=[[2] + [-1] * 7, [2] + [-1] * 7])
+    ptr = (bs // 2) // 8
+    pcl = [[i % 2 for i in range(ptr)]]
+    vent = [int(rng.randint(16)) for _ in range(ptr * 2)]
+    pk = spec.audio_packet([(amp, ents)], pcl, [vent])
+    data = assemble(spec, [pk] * 4)
+    # fixture sanity: the curve must stay in the regime where the reference
+    # itself is well-defined (float32 fromdB not overflowed)
+    mine, _ = decode_vorbis(data)
+    assert 0 < np.abs(mine).max() < 2e3, "fixture left the defined regime"
+    _check(data, oracle, atol=7e-5)
+
+
+def test_floor0_unvoiced():
+    oracle, BookSpec, StreamSpec, assemble = _deps()
+    from tests._vorbis_assembler import pack_float as pf
+
+    books = [
+        BookSpec(dims=4, lengths=[4] * 16, lookup_type=1, min_val=pf(0.12),
+                 delta=pf(0.18), value_bits=2, multiplicands=[0, 1],
+                 sequence_p=1),
+        BookSpec(dims=2, lengths=[2] * 4),
+        BookSpec(dims=4, lengths=[4] * 16, lookup_type=1, min_val=pf(-0.5),
+                 delta=pf(0.25), value_bits=1, multiplicands=[0, 1]),
+    ]
+    spec = StreamSpec(channels=1, rate=16000, bs0=256, bs1=256, books=books,
+                      floor_type=0, floor_book=0, floor0_order=8,
+                      floor0_rate=16000, floor0_bark_size=64,
+                      floor0_amp_bits=6, floor0_amp_offset=10,
+                      residue_type=1, residue_begin=0, residue_end=128,
+                      residue_psize=8, residue_classifications=2,
+                      residue_classbook=1,
+                      residue_books=[[2] + [-1] * 7, [2] + [-1] * 7])
+    pcl = [[i % 2 for i in range(16)]]
+    pk = spec.audio_packet([None], pcl, [[]])
+    ref = _check(assemble(spec, [pk] * 4), oracle)
+    assert np.abs(ref).max() == 0  # amplitude 0 -> silence, both decoders
+
+
 @pytest.mark.parametrize("rtype", [0, 1])
 def test_eop_truncation_parity_every_cut(rtype):
     """Truncate one audio packet at EVERY byte position: the partial-decode

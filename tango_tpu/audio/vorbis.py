@@ -78,16 +78,19 @@ def _ogg_crc(data: bytes) -> int:
     return r
 
 
-def _ogg_packets(data: bytes):
-    """Parse the Ogg container -> (packets, total_granule).
+def _ogg_packets(data: bytes, start: int = 0):
+    """Parse one Ogg chain link -> (packets, total_granule, end_pos).
 
     Follows the FIRST logical stream whose BOS packet begins with
     '\\x01vorbis' (grouped/multiplexed files carry other codecs on other
     serials); raises VorbisError on structural corruption (bad capture, bad
-    CRC, bad version) rather than resyncing.
+    CRC, bad version) rather than resyncing. `end_pos` is the byte offset
+    past this link's EOS page, where a chained file's next link begins
+    (libvorbisfile decodes chains as consecutive links — decode_vorbis
+    mirrors that).
     """
     packets: List[bytes] = []
-    pos = 0
+    pos = start
     serial = None
     partial = b""
     continued_open = False
@@ -147,9 +150,9 @@ def _ogg_packets(data: bytes):
             continued_open = seg_table[-1] == 255
         if granule >= 0:
             total_granule = granule
-        if htype & 0x04:  # eos page of our stream: first chain only
+        if htype & 0x04:  # eos page of our stream ends this chain link
             break
-    return packets, total_granule
+    return packets, total_granule, pos
 
 
 # ------------------------------------------------------------------ bitreader
@@ -284,6 +287,7 @@ class _Codebook:
     def _assign_codewords(self):
         used = [i for i, l in enumerate(self.lengths) if l > 0]
         self.single_entry = None
+        self.empty = not used
         fast = [None] * (1 << _FAST_BITS)
         slow: Dict[Tuple[int, int], int] = {}
         self.maxlen = 0
@@ -352,7 +356,7 @@ class _Codebook:
         if self.single_entry is not None:
             bits.read(1)
             return self.single_entry
-        if not self.slow and not any(self.fast):
+        if self.empty:
             raise VorbisError("decode from an empty codebook")
         rem = bits.remaining()
         if rem >= _FAST_BITS:
@@ -1061,21 +1065,41 @@ class _VorbisStream:
 
 
 def decode_vorbis(data: bytes) -> Tuple[np.ndarray, int]:
-    """Ogg Vorbis bytes -> (float64 (n, channels) in ~[-1, 1], sample_rate)."""
-    packets, total_granule = _ogg_packets(data)
-    stream = _VorbisStream(packets)
-    chunks = []
-    for pkt in packets[3:]:
-        out = stream.decode_packet(pkt)
-        if out is not None and len(out):
-            chunks.append(out)
-    if chunks:
-        pcm = np.concatenate(chunks, axis=0)
-    else:
-        pcm = np.zeros((0, stream.channels), np.float64)
-    if 0 <= total_granule < len(pcm):
-        pcm = pcm[:total_granule]
-    return pcm, stream.rate
+    """Ogg Vorbis bytes -> (float64 (n, channels) in ~[-1, 1], sample_rate).
+
+    Chained files (multiple logical streams concatenated, e.g. icecast
+    dumps) decode link by link and concatenate, like libvorbisfile's
+    ov_read across links; links must share channels and rate (a single
+    (pcm, sr) return cannot represent a mid-file format change — raise
+    loudly instead)."""
+    pos = 0
+    all_chunks: List[np.ndarray] = []
+    channels = rate = None
+    while pos < len(data):
+        packets, total_granule, pos = _ogg_packets(data, pos)
+        stream = _VorbisStream(packets)
+        if channels is None:
+            channels, rate = stream.channels, stream.rate
+        elif (stream.channels, stream.rate) != (channels, rate):
+            raise VorbisError(
+                "chained stream changes format mid-file "
+                f"({channels}ch@{rate} -> {stream.channels}ch@{stream.rate})")
+        chunks = []
+        for pkt in packets[3:]:
+            out = stream.decode_packet(pkt)
+            if out is not None and len(out):
+                chunks.append(out)
+        if chunks:
+            pcm = np.concatenate(chunks, axis=0)
+        else:
+            pcm = np.zeros((0, stream.channels), np.float64)
+        if 0 <= total_granule < len(pcm):
+            pcm = pcm[:total_granule]
+        all_chunks.append(pcm)
+    if not all_chunks:
+        raise VorbisError("no vorbis stream found")
+    pcm = np.concatenate(all_chunks, axis=0) if len(all_chunks) > 1 else all_chunks[0]
+    return pcm, rate
 
 
 def read_vorbis(path: str) -> Tuple[np.ndarray, int]:

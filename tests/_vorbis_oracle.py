@@ -65,6 +65,9 @@ def oracle_decode(path: str):
         vf.ov_info.restype = C.POINTER(_VorbisInfo)
         info = vf.ov_info(ovf, -1).contents
         rate, nch = int(info.rate), int(info.channels)
+        # on seekable CHAINED files ov_fopen's chain scan leaves the cursor
+        # at the last probed link; rewind so reads cover every link
+        vf.ov_pcm_seek(ovf, C.c_int64(0))
         buf = C.create_string_buffer(65536)
         sec = C.c_int(0)
         out = []

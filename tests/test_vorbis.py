@@ -194,6 +194,27 @@ def test_error_paths():
         decode_vorbis(good[:4])
 
 
+def test_chained_streams():
+    """Chained files (concatenated logical streams, e.g. icecast dumps)
+    decode link by link like libvorbisfile's ov_read across links; a
+    mid-file format change refuses loudly (a single (pcm, sr) return cannot
+    represent it)."""
+    encode_vorbis, oracle_decode_bytes = _oracle()
+    a = _signal(1, 12000, 16000, "tone+noise", 30)
+    b = _signal(1, 8000, 16000, "noise", 31)
+    chained = (encode_vorbis(a, 16000, quality=0.3, serial=111)
+               + encode_vorbis(b, 16000, quality=0.5, serial=222))
+    ref, rr = oracle_decode_bytes(chained)
+    mine, rm = decode_vorbis(chained)
+    assert rm == rr and mine.shape == ref.shape == (20000, 1)
+    assert np.abs(np.clip(mine, -1, 32767 / 32768) - ref).max() <= 2 * LSB
+
+    stereo = encode_vorbis(_signal(2, 8000, 16000, "noise", 32), 16000,
+                           quality=0.3, serial=333)
+    with pytest.raises(VorbisError, match="chained stream changes format"):
+        decode_vorbis(encode_vorbis(a, 16000, quality=0.3, serial=111) + stereo)
+
+
 def test_granule_trim_and_short_stream():
     """Sub-block-length clips come back at their exact sample count."""
     encode_vorbis, oracle_decode_bytes = _oracle()

@@ -835,10 +835,10 @@ def _imdct_matrix(n: int) -> np.ndarray:
         j = np.arange(n)[:, None].astype(np.float64)
         k = np.arange(n // 2)[None, :].astype(np.float64)
         m = np.cos(np.pi / (2 * n) * (2 * j + 1 + n / 2) * (2 * k + 1))
-        if n >= 4096:  # 8192: 128 MB f32 instead of 256 MB f64
-            m = m.astype(np.float32)
-        _IMDCT_CACHE[n] = m
-    return m
+        # f32 matmul halves memory traffic; the summation error (~1e-6 on
+        # O(1) spectra) sits far below the int16 oracle floor the tests pin
+        _IMDCT_CACHE[n] = m.astype(np.float32)
+    return _IMDCT_CACHE[n]
 
 
 def _window(n: int, blockflag: int, prevflag: int, nextflag: int,
@@ -1029,16 +1029,16 @@ class _VorbisStream:
             residue_vec[m] = newM
             residue_vec[a] = newA
 
-        # floor curve * residue -> spectrum; IMDCT; window
+        # floor curve * residue -> spectrum; one batched IMDCT over channels
         imdct = _imdct_matrix(n)
         w = _window(n, mode.blockflag, prevflag, nextflag, self.bs0)
-        pcm = np.zeros((n, ch), np.float64)
+        spectra = np.zeros((n2, ch), np.float32)
         for c in range(ch):
             if floor_posts[c] is None:
                 continue
             fl = self.floors[mapping.submap_floor[mapping.mux[c]]]
-            spectrum = fl.curve(floor_posts[c], n2) * residue_vec[c]
-            pcm[:, c] = (imdct @ spectrum.astype(imdct.dtype)) * w
+            spectra[:, c] = fl.curve(floor_posts[c], n2) * residue_vec[c]
+        pcm = (imdct @ spectra).astype(np.float64) * w[:, None]
 
         # lapping: emit [previous center, current center)
         if self.prev_n is None:

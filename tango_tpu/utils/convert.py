@@ -33,6 +33,11 @@ def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
+    elif isinstance(sd, dict) and isinstance(sd.get("model"), dict):
+        # released PANNs ckpts wrap the flat state dict as {"model": sd}
+        # (the reference unwraps it at panns/models.py:251) — a flat SD
+        # never carries a dict under a literal "model" key
+        sd = sd["model"]
     out = {}
     for k, v in sd.items():
         if hasattr(v, "detach"):

@@ -163,3 +163,28 @@ def test_ldm_bin_roundtrip_and_mustango_export(tmp_path, monkeypatch):
                               beats=[[[0.5], [1.0]]], chords=["Gm"],
                               chords_times=[0.4], seed=0))
     assert w.dtype == np.int16 and np.abs(w).max() > 0
+
+
+def test_load_torch_bin_unwraps_model_and_state_dict(tmp_path):
+    """The released PANNs Cnn14 ckpts wrap the flat SD as {"model": sd}
+    (the reference unwraps at panns/models.py:251); AudioLDM monolithic
+    ckpts use {"state_dict": sd}; Tango/Mustango bins are flat. All three
+    must load to the same flat float32-numpy dict."""
+    import numpy as np
+    import torch
+
+    from tango_tpu.utils.convert import load_torch_bin
+
+    flat = {"conv.weight": torch.randn(3, 2), "bn.running_var": torch.ones(4)}
+    for name, obj in [
+        ("flat.bin", flat),
+        ("model.bin", {"model": flat}),
+        ("sd.ckpt", {"state_dict": flat}),
+    ]:
+        p = tmp_path / name
+        torch.save(obj, p)
+        out = load_torch_bin(str(p))
+        assert set(out) == set(flat)
+        for k in flat:
+            assert out[k].dtype == np.float32
+            assert np.allclose(out[k], flat[k].numpy())

@@ -4,9 +4,10 @@ Replaces the reference's torchaudio path (tools/torch_tools.py:43-54):
 read -> resample to 16 kHz -> normalize (zero-mean, peak 0.5) -> pad/trim to
 segment -> renormalize peak 0.5. Reading uses scipy.io.wavfile (PCM/float
 WAVs), the pure-python FLAC decoder (audio/flac.py), the MPEG Layer III
-decoder (audio/mp3.py, pinned against libmpg123), or the Ogg Vorbis decoder
-(audio/vorbis.py, pinned against libvorbisfile) — dispatch by magic bytes,
-so mixed wav/flac/mp3/ogg manifests just work. Resampling uses polyphase FIR
+decoder (audio/mp3.py, pinned against libmpg123), the Ogg Vorbis decoder
+(audio/vorbis.py, pinned against libvorbisfile), or the AIFF/AIFF-C decoder
+(audio/aiff.py, pinned against the stdlib aifc reference reader) — dispatch
+by magic bytes, so mixed wav/flac/mp3/ogg/aiff manifests just work. Resampling uses polyphase FIR
 (scipy.signal.resample_poly), a windowed-sinc method equivalent in quality to
 torchaudio's kaiser resampler.
 """
@@ -29,8 +30,8 @@ def _is_layer3_sync(b0: int, b1: int) -> bool:
 
 
 def sniff_format(path: str) -> str:
-    """'wav' | 'flac' | 'mp3' | 'ogg' (vorbis) | a short description of an
-    unsupported format."""
+    """'wav' | 'flac' | 'mp3' | 'ogg' (vorbis) | 'aiff' | a short description
+    of an unsupported format."""
     with open(path, "rb") as f:
         head = f.read(16)
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
@@ -74,7 +75,9 @@ def sniff_format(path: str) -> str:
             return "ogg/opus (unsupported — transcode to wav/flac/mp3/ogg-vorbis)"
         return "ogg container with non-vorbis codec (unsupported — transcode to wav/flac/mp3/ogg-vorbis)"
     if head[:4] == b"FORM":
-        return "aiff (unsupported — transcode to wav/flac/mp3/ogg-vorbis)"
+        if head[8:12] in (b"AIFF", b"AIFC"):
+            return "aiff"
+        return f"IFF FORM type {head[8:12]!r} (unsupported)"
     return f"unknown format (magic {head[:4]!r})"
 
 
@@ -94,6 +97,10 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         from tango_tpu.audio.vorbis import read_vorbis
 
         return read_vorbis(path)
+    if fmt == "aiff":
+        from tango_tpu.audio.aiff import read_aiff
+
+        return read_aiff(path)
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
         data = data.astype(np.float32) / 32768.0

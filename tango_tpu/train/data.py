@@ -89,7 +89,7 @@ def validate_manifest(examples: Sequence[Example], max_report: int = 20) -> None
         except OSError as e:
             bad.append(f"{ex.location}: {e.strerror or e}")
         else:
-            if fmt not in ("wav", "flac", "mp3", "ogg"):
+            if fmt not in ("wav", "flac", "mp3", "ogg", "aiff"):
                 bad.append(f"{ex.location}: {fmt}")
         if len(bad) > max_report:
             break

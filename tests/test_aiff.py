@@ -1,0 +1,270 @@
+"""AIFF/AIFF-C decoder tests.
+
+Oracle: the stdlib `aifc` module (CPython's reference AIFF reader/writer,
+present through 3.12) for everything it can produce — big-endian PCM at
+1/2/4-byte widths, mono/multichannel, AIFF and AIFC forms, ulaw/alaw
+compression. Profiles `aifc` cannot write (sowt, fl32/fl64, 24-bit and
+odd-bit-depth PCM) are pinned on hand-assembled AIFC streams against
+closed-form expected samples. Reference capability: torchaudio's sox backend
+decodes AIFF in tools/torch_tools.py:43-54.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import warnings
+
+import numpy as np
+import pytest
+
+from tango_tpu.audio.aiff import AiffError, decode_aiff, read_aiff
+from tango_tpu.audio.wav import read_wav, read_wav_file, sniff_format
+
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore", DeprecationWarning)
+    import aifc
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _ext80(rate: float) -> bytes:
+    """Encode a positive rate as an 80-bit IEEE extended float."""
+    assert rate > 0
+    e = math.floor(math.log2(rate))
+    mant = int(round(rate / (2.0**e) * (1 << 63)))
+    if mant >= 1 << 64:
+        mant >>= 1
+        e += 1
+    exp = e + 16383
+    return bytes([exp >> 8, exp & 0xFF]) + mant.to_bytes(8, "big")
+
+
+def _build_aifc(
+    frames: bytes,
+    channels: int,
+    num_frames: int,
+    bits: int,
+    rate: float,
+    comp: bytes = b"NONE",
+    form: bytes = b"AIFC",
+    ssnd_offset: int = 0,
+) -> bytes:
+    comm = (
+        struct.pack(">hLh", channels, num_frames, bits)
+        + _ext80(rate)
+        + (comp + b"\x00\x00" if form == b"AIFC" else b"")
+    )
+    ssnd = struct.pack(">LL", ssnd_offset, 0) + b"\x00" * ssnd_offset + frames
+    chunks = b""
+    for cid, body in ((b"COMM", comm), (b"SSND", ssnd)):
+        chunks += cid + struct.pack(">L", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    return b"FORM" + struct.pack(">L", 4 + len(chunks)) + form + chunks
+
+
+def _write_aifc_fixture(path, data_i16: np.ndarray, rate: int, comptype=b"NONE"):
+    """Write with the stdlib writer. data_i16 is (n, ch) int16."""
+    f = aifc.open(str(path), "wb")
+    f.setnchannels(data_i16.shape[1])
+    f.setsampwidth(2)
+    f.setframerate(rate)
+    if comptype != b"NONE":
+        f.setcomptype(comptype, b"")
+    # aifc writes NONE frames verbatim (big-endian by spec) but feeds
+    # compressed comptypes through audioop, which expects native-endian input
+    f.writeframes(data_i16.astype(">i2" if comptype == b"NONE" else "=i2").tobytes())
+    f.close()
+
+
+def _oracle_read(path):
+    """Read with aifc -> (float32 (n, ch), rate). aifc decompresses
+    ulaw/alaw to width-2 linear itself."""
+    f = aifc.open(str(path), "rb")
+    n, ch, width = f.getnframes(), f.getnchannels(), f.getsampwidth()
+    comp = f.getcomptype()
+    raw = f.readframes(n)
+    rate = f.getframerate()
+    f.close()
+    if comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+        dt = "=i2"  # audioop decompresses to native-endian linear
+    else:
+        dt = {1: "i1", 2: ">i2", 4: ">i4"}[width]
+    arr = np.frombuffer(raw, dtype=dt).reshape(n, ch).astype(np.float32)
+    return arr / float(1 << (8 * width - 1)), rate
+
+
+def _sig(n, ch, seed, dtype=np.int16):
+    rng = np.random.default_rng(seed)
+    info = np.iinfo(dtype)
+    return rng.integers(info.min, info.max + 1, size=(n, ch)).astype(dtype)
+
+
+# ------------------------------------------------------- aifc-oracle pins
+
+
+@pytest.mark.parametrize(
+    "ch,rate,suffix",
+    [(1, 16000, ".aiff"), (2, 44100, ".aiff"), (2, 8000, ".aifc"), (3, 22050, ".aifc")],
+)
+def test_pcm16_matches_aifc(tmp_path, ch, rate, suffix):
+    data = _sig(977, ch, seed=ch * 7 + rate)
+    path = tmp_path / f"x{suffix}"
+    _write_aifc_fixture(path, data, rate)
+    got, sr = decode_aiff(path.read_bytes())
+    ref, ref_rate = _oracle_read(path)
+    assert sr == rate == ref_rate
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("width", [1, 4])
+def test_pcm_8_and_32bit_match_aifc(tmp_path, width):
+    dtype = {1: np.int8, 4: np.int32}[width]
+    data = _sig(301, 2, seed=width, dtype=dtype)
+    path = tmp_path / "x.aiff"
+    f = aifc.open(str(path), "wb")
+    f.setnchannels(2)
+    f.setsampwidth(width)
+    f.setframerate(32000)
+    f.writeframes(data.astype(f">i{width}").tobytes())
+    f.close()
+    got, sr = decode_aiff(path.read_bytes())
+    ref, _ = _oracle_read(path)
+    assert sr == 32000
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("comptype", [b"ulaw", b"alaw", b"ULAW", b"ALAW"])
+def test_g711_matches_aifc(tmp_path, comptype):
+    # aifc compresses via audioop.lin2ulaw/lin2alaw and decompresses on read;
+    # our table decode must match its round-trip output exactly
+    data = _sig(613, 2, seed=17)
+    path = tmp_path / "x.aifc"
+    try:
+        _write_aifc_fixture(path, data, 8000, comptype=comptype)
+    except aifc.Error:
+        pytest.skip(f"stdlib aifc cannot write {comptype!r} on this build")
+    got, sr = decode_aiff(path.read_bytes())
+    ref, _ = _oracle_read(path)
+    assert sr == 8000
+    np.testing.assert_array_equal(got, ref)
+
+
+# ------------------------------------------- hand-assembled AIFC profiles
+
+
+def test_sowt_little_endian_pcm():
+    vals = np.array([[-32768, 32767], [1, -2], [12345, -12345]], dtype=np.int16)
+    raw = vals.astype("<i2").tobytes()
+    data = _build_aifc(raw, 2, 3, 16, 48000, comp=b"sowt")
+    got, sr = decode_aiff(data)
+    assert sr == 48000
+    np.testing.assert_array_equal(got, vals.astype(np.float32) / 32768.0)
+
+
+@pytest.mark.parametrize("comp,dt", [(b"fl32", ">f4"), (b"FL32", ">f4"), (b"fl64", ">f8"), (b"FL64", ">f8")])
+def test_float_pcm(comp, dt):
+    vals = np.array([[0.25, -1.0], [0.5, 0.999], [-0.0625, 0.0]], dtype=np.float64)
+    bits = 32 if b"32" in comp.lower() or comp in (b"fl32", b"FL32") else 64
+    data = _build_aifc(vals.astype(dt).tobytes(), 2, 3, bits, 44100, comp=comp)
+    got, sr = decode_aiff(data)
+    assert sr == 44100
+    np.testing.assert_allclose(got, vals.astype(np.float32), rtol=0, atol=0)
+
+
+def test_pcm24_big_endian():
+    vals = np.array([[-(1 << 23)], [(1 << 23) - 1], [1], [-1], [-123456]], dtype=np.int64)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "big") for v in vals[:, 0])
+    data = _build_aifc(raw, 1, 5, 24, 96000)
+    got, sr = decode_aiff(data)
+    assert sr == 96000
+    np.testing.assert_array_equal(got[:, 0], vals[:, 0].astype(np.float32) / float(1 << 23))
+
+
+def test_pcm12_left_justified_in_two_bytes():
+    # 12-bit samples are stored left-justified in 2-byte containers
+    # (AIFF-1.3 spec) — normalizing by the container width is exact
+    twelve = np.array([-2048, 2047, -1, 1, 0], dtype=np.int64)
+    container = (twelve << 4).astype(">i2")
+    data = _build_aifc(container.tobytes(), 1, 5, 12, 11025)
+    got, sr = decode_aiff(data)
+    assert sr == 11025
+    np.testing.assert_array_equal(got[:, 0], container.astype(np.float32) / 32768.0)
+
+
+def test_ssnd_offset_honored():
+    vals = np.array([[100], [-100]], dtype=np.int16)
+    data = _build_aifc(vals.astype(">i2").tobytes(), 1, 2, 16, 8000, ssnd_offset=6)
+    got, _ = decode_aiff(data)
+    np.testing.assert_array_equal(got[:, 0], vals[:, 0].astype(np.float32) / 32768.0)
+
+
+@pytest.mark.parametrize("rate", [8000, 11025, 16000, 22050, 44100, 48000, 96000, 192000])
+def test_extended_float_rates_roundtrip(rate):
+    data = _build_aifc(b"\x00\x00", 1, 1, 16, rate)
+    _, sr = decode_aiff(data)
+    assert sr == rate
+
+
+# ------------------------------------------------------------ error paths
+
+
+def test_compressed_codec_refused():
+    data = _build_aifc(b"\x00" * 34, 1, 1, 16, 8000, comp=b"ima4")
+    with pytest.raises(AiffError, match="ima4"):
+        decode_aiff(data)
+
+
+def test_truncated_ssnd_refused():
+    raw = np.zeros(100, dtype=">i2").tobytes()
+    data = _build_aifc(raw, 1, 200, 16, 8000)  # COMM declares 200 frames
+    with pytest.raises(AiffError, match="declares"):
+        decode_aiff(data)
+
+
+def test_missing_comm_refused():
+    body = b"SSND" + struct.pack(">L", 8) + struct.pack(">LL", 0, 0)
+    data = b"FORM" + struct.pack(">L", 4 + len(body)) + b"AIFF" + body
+    with pytest.raises(AiffError, match="COMM"):
+        decode_aiff(data)
+
+
+def test_non_aiff_form_refused():
+    with pytest.raises(AiffError):
+        decode_aiff(b"FORM\x00\x00\x00\x04WAVE")
+
+
+# -------------------------------------------------------------- dispatch
+
+
+def test_sniff_and_read_wav_dispatch(tmp_path):
+    data = _sig(400, 2, seed=3)
+    path = tmp_path / "clip.aiff"
+    _write_aifc_fixture(path, data, 16000)
+    assert sniff_format(str(path)) == "aiff"
+    wave, sr = read_wav(str(path))
+    assert sr == 16000 and wave.shape == (400, 2)
+    mono_path = tmp_path / "mono.aifc"
+    _write_aifc_fixture(mono_path, data[:, :1], 16000)
+    mono, _ = read_aiff(str(mono_path))
+    assert mono.shape == (400,)  # mono squeezes like the other readers
+
+
+def test_read_wav_file_full_path(tmp_path):
+    rng = np.random.default_rng(0)
+    data = (np.clip(rng.normal(0, 0.2, size=(44100, 2)), -1, 1) * 32767).astype(np.int16)
+    path = tmp_path / "clip.aiff"
+    _write_aifc_fixture(path, data, 44100)
+    out = read_wav_file(str(path), segment_length=32000)
+    assert out.shape == (1, 32000) and out.dtype == np.float32
+    assert np.max(np.abs(out)) == pytest.approx(0.5, abs=1e-6)
+
+
+def test_preflight_accepts_aiff(tmp_path):
+    from tango_tpu.train.data import Example, validate_manifest
+
+    path = tmp_path / "ok.aiff"
+    _write_aifc_fixture(path, _sig(64, 1, seed=1), 16000)
+    validate_manifest([Example(location=str(path), caption="a sound")])

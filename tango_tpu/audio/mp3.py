@@ -1,4 +1,4 @@
-"""Pure-python MPEG audio Layer III (mp3) decoder — torchaudio-free ingestion.
+"""Pure-python MPEG audio decoder (Layers I, II and III) — torchaudio-free.
 
 The reference reads mp3 manifests through torchaudio
 (/root/reference/tools/torch_tools.py:43-54); this environment bans
@@ -12,7 +12,12 @@ preflight loudly (VERDICT r4 missing #1). This module decodes:
   * long/short/mixed windows, all Huffman tables incl. ESC/linbits,
     count1 quads, scalefactor preemphasis, LSF scalefactor layout
 
-Layer I/II and free-format streams raise loudly (no silent fallback).
+  * MPEG-1/2 Layers I and II (subband PCM: all five allocation tables,
+    grouped quantizers, scfsi reuse, joint-stereo bound sharing) — pinned
+    against libmpg123 through a direct ctypes float oracle
+    (tests/test_mpeg12.py) on in-repo-assembled streams
+
+Free-format streams (bitrate index 0) raise loudly (no silent fallback).
 
 Correctness evidence (tests/test_mp3.py): output is pinned against the
 INDEPENDENT system decoder (libmpg123, reached through pygame/SDL_mixer)
@@ -92,7 +97,8 @@ class _Bits:
 
 class _FrameHeader:
     __slots__ = ("version", "sample_rate", "bitrate", "padding", "mode",
-                 "mode_ext", "protection", "frame_bytes", "lsf", "sr_index")
+                 "mode_ext", "protection", "frame_bytes", "lsf", "sr_index",
+                 "layer")
 
     def __init__(self, b: bytes):
         if len(b) < 4 or b[0] != 0xFF or (b[1] & 0xE0) != 0xE0:
@@ -101,19 +107,25 @@ class _FrameHeader:
         layer_code = (b[1] >> 1) & 3
         if ver_code == 1:
             raise Mp3Error("reserved MPEG version")
-        if layer_code != 1:
-            lay = {3: "I", 2: "II"}.get(layer_code, "reserved")
-            raise Mp3Error(f"MPEG Layer {lay} is not Layer III")
+        if layer_code == 0:
+            raise Mp3Error("reserved MPEG layer")
+        self.layer = 4 - layer_code  # header code 3/2/1 -> Layer I/II/III
         self.version = {0: "2.5", 2: "2", 3: "1"}[ver_code]
         self.lsf = self.version != "1"
+        if self.version == "2.5" and self.layer != 3:
+            # 11172/13818 define Layers I/II only at MPEG-1/2 rates; 2.5 is
+            # the Layer III-only low-rate extension
+            raise Mp3Error(f"MPEG-2.5 Layer {'I' * self.layer} does not exist")
         self.protection = (b[1] & 1) == 0  # 0 => 16-bit CRC follows header
         br_idx = (b[2] >> 4) & 0xF
         if br_idx == 0:
             raise Mp3Error("free-format mp3 (bitrate index 0) is unsupported")
         if br_idx == 0xF:
             raise Mp3Error("invalid bitrate index 15")
-        self.bitrate = (T.BITRATES_V1_L3 if not self.lsf
-                        else T.BITRATES_V2_L3)[br_idx] * 1000
+        brtab = {(1, False): T.BITRATES_V1_L1, (1, True): T.BITRATES_V2_L1,
+                 (2, False): T.BITRATES_V1_L2, (2, True): T.BITRATES_V2_L2,
+                 (3, False): T.BITRATES_V1_L3, (3, True): T.BITRATES_V2_L3}
+        self.bitrate = brtab[(self.layer, self.lsf)][br_idx] * 1000
         self.sr_index = (b[2] >> 2) & 3
         if self.sr_index == 3:
             raise Mp3Error("invalid sample rate index 3")
@@ -121,8 +133,12 @@ class _FrameHeader:
         self.padding = (b[2] >> 1) & 1
         self.mode = (b[3] >> 6) & 3  # 0 stereo, 1 joint, 2 dual, 3 mono
         self.mode_ext = (b[3] >> 4) & 3
-        coef = 144 if not self.lsf else 72
-        self.frame_bytes = coef * self.bitrate // self.sample_rate + self.padding
+        if self.layer == 1:
+            self.frame_bytes = (12 * self.bitrate // self.sample_rate
+                                + self.padding) * 4
+        else:
+            coef = 144 if (self.layer == 2 or not self.lsf) else 72
+            self.frame_bytes = coef * self.bitrate // self.sample_rate + self.padding
 
     @property
     def channels(self) -> int:
@@ -710,6 +726,179 @@ class _Synth:
         return out.reshape(-1)
 
 
+# ----------------------------------------------------- Layers I and II
+# (11172-3 2.4.2.1-2.4.3.3 + the 13818-3 LSF Layer II table). Subband codes
+# requantize as s'' = C * (s''' + D) with s''' the codeword after MSB
+# inversion read as a two's-complement fraction; scaled samples feed the
+# same polyphase synthesis as Layer III.
+
+
+def _l2_table_select(h: "_FrameHeader") -> int:
+    """Which of the five allocation tables a Layer II frame uses (the dist10
+    pick_table rule on bitrate-per-channel + rate; LSF always table 4)."""
+    if h.lsf:
+        return 4
+    bpc = h.bitrate // 1000 // h.channels
+    if (h.sample_rate == 48000 and bpc >= 56) or (56 <= bpc <= 80):
+        return 0
+    if h.sample_rate != 48000 and bpc >= 96:
+        return 1
+    if h.sample_rate != 32000 and bpc <= 48:
+        return 2
+    return 3
+
+
+def _dequant_l12(code: int, steps: int) -> float:
+    """s'' = (2c - steps + 1) / steps — the uniform requantization map (see
+    mp3_tables.L2_QUANT for why this, not a literal C/D table read)."""
+    return (2 * code - steps + 1) / steps
+
+
+def _read_l2_frame(frame: bytes, h: "_FrameHeader") -> np.ndarray:
+    """-> (nch, 36, 32) scaled subband samples."""
+    nch = h.channels
+    bits = _Bits(frame, (4 + (2 if h.protection else 0)) * 8)
+    table = T.L2_ALLOC_TABLES[_l2_table_select(h)]
+    sblimit = len(table)
+    joint = h.mode == 1
+    bound = min((h.mode_ext + 1) * 4, sblimit) if joint else sblimit
+
+    alloc = [[0] * sblimit for _ in range(nch)]
+    for sb in range(sblimit):
+        nbal = (len(table[sb]) + 1).bit_length() - 1
+        if sb >= bound:
+            a = bits.read(nbal)
+            for ch in range(nch):
+                alloc[ch][sb] = a
+        else:
+            for ch in range(nch):
+                alloc[ch][sb] = bits.read(nbal)
+
+    scfsi = [[0] * sblimit for _ in range(nch)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                scfsi[ch][sb] = bits.read(2)
+
+    SF = T.L12_SCALEFACTORS
+    sf = [[(0.0, 0.0, 0.0)] * sblimit for _ in range(nch)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if not alloc[ch][sb]:
+                continue
+            pat = scfsi[ch][sb]
+            if pat == 0:
+                t = (SF[bits.read(6)], SF[bits.read(6)], SF[bits.read(6)])
+            elif pat == 1:
+                a, b = SF[bits.read(6)], SF[bits.read(6)]
+                t = (a, a, b)
+            elif pat == 2:
+                a = SF[bits.read(6)]
+                t = (a, a, a)
+            else:
+                a, b = SF[bits.read(6)], SF[bits.read(6)]
+                t = (a, b, b)
+            sf[ch][sb] = t
+
+    out = np.zeros((nch, 36, 32))
+    for gr in range(12):
+        part = gr >> 2
+        t0 = gr * 3
+        for sb in range(sblimit):
+            shared = sb >= bound
+            for ch in range(nch):
+                if shared and ch == 1:
+                    continue  # decoded with ch 0 below
+                a = alloc[ch][sb]
+                if not a:
+                    continue
+                steps = table[sb][a - 1]
+                nb, grouped = T.L2_QUANT[steps]
+                if grouped:
+                    c = bits.read(nb)
+                    if c >= steps ** 3:
+                        # undefined codeword: libmpg123 indexes past its
+                        # degroup table (UB) — refuse loudly instead
+                        raise Mp3Error(
+                            f"Layer II grouped code {c} >= {steps}^3")
+                    codes = (c % steps, (c // steps) % steps,
+                             c // (steps * steps))
+                else:
+                    codes = (bits.read(nb), bits.read(nb), bits.read(nb))
+                vals = [_dequant_l12(c, steps) for c in codes]
+                chans = range(nch) if shared else (ch,)
+                for ch2 in chans:
+                    s = sf[ch2][sb][part]
+                    out[ch2, t0, sb] = s * vals[0]
+                    out[ch2, t0 + 1, sb] = s * vals[1]
+                    out[ch2, t0 + 2, sb] = s * vals[2]
+    return out
+
+
+def _read_l1_frame(frame: bytes, h: "_FrameHeader") -> np.ndarray:
+    """-> (nch, 12, 32) scaled subband samples."""
+    nch = h.channels
+    bits = _Bits(frame, (4 + (2 if h.protection else 0)) * 8)
+    joint = h.mode == 1
+    bound = min((h.mode_ext + 1) * 4, 32) if joint else 32
+
+    alloc = [[0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        if sb >= bound:
+            a = bits.read(4)
+            alloc[0][sb] = alloc[1][sb] = a
+        else:
+            for ch in range(nch):
+                alloc[ch][sb] = bits.read(4)
+    for ch in range(nch):
+        if 15 in alloc[ch]:
+            raise Mp3Error("forbidden Layer I allocation 15")
+
+    SF = T.L12_SCALEFACTORS
+    sf = [[0.0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                sf[ch][sb] = SF[bits.read(6)]
+
+    out = np.zeros((nch, 12, 32))
+    for s in range(12):
+        for sb in range(32):
+            for ch in range(nch):
+                if sb >= bound and ch == 1:
+                    continue
+                a = alloc[ch][sb]
+                if not a:
+                    continue
+                nb = a + 1
+                code = bits.read(nb)
+                v = _dequant_l12(code, (1 << nb) - 1)
+                if sb >= bound:
+                    out[0, s, sb] = sf[0][sb] * v
+                    if nch == 2:
+                        out[1, s, sb] = sf[1][sb] * v
+                else:
+                    out[ch, s, sb] = sf[ch][sb] * v
+    return out
+
+
+class _L12State:
+    """Layer I/II decoder state: just the per-channel synthesis FIFOs (no
+    bit reservoir, no IMDCT overlap)."""
+
+    def __init__(self, nch):
+        self.nch = nch
+        self.synth = [_Synth() for _ in range(nch)]
+
+    def decode_frame(self, frame: bytes, h: "_FrameHeader"):
+        sb = (_read_l1_frame if h.layer == 1 else _read_l2_frame)(frame, h)
+        nt = sb.shape[1]
+        pcm = np.empty((nt * 32, self.nch))
+        for ch in range(self.nch):
+            pcm[:, ch] = self.synth[ch].run(sb[ch])
+        return pcm
+
+
 # ------------------------------------------------------------------ top level
 
 
@@ -744,6 +933,7 @@ def decode_mp3(data: bytes, max_samples: int | None = None) -> Tuple[np.ndarray,
     state = None
     sr = None
     nch = None
+    layer = None
     first_audio_frame = True
     out_chunks = []
 
@@ -766,17 +956,17 @@ def decode_mp3(data: bytes, max_samples: int | None = None) -> Tuple[np.ndarray,
         pos += h.frame_bytes
 
         if sr is None:
-            sr, nch = h.sample_rate, h.channels
-        elif h.sample_rate != sr or h.channels != nch:
-            raise Mp3Error("mid-stream sample-rate/channel change")
+            sr, nch, layer = h.sample_rate, h.channels, h.layer
+        elif h.sample_rate != sr or h.channels != nch or h.layer != layer:
+            raise Mp3Error("mid-stream sample-rate/channel/layer change")
 
-        if first_audio_frame and _is_xing_frame(frame, h):
+        if first_audio_frame and h.layer == 3 and _is_xing_frame(frame, h):
             first_audio_frame = False
             continue
         first_audio_frame = False
 
         if state is None:
-            state = _DecoderState(nch)
+            state = _DecoderState(nch) if layer == 3 else _L12State(nch)
 
         pcm = state.decode_frame(frame, h)
         if pcm is not None:

@@ -3,7 +3,7 @@
 Replaces the reference's torchaudio path (tools/torch_tools.py:43-54):
 read -> resample to 16 kHz -> normalize (zero-mean, peak 0.5) -> pad/trim to
 segment -> renormalize peak 0.5. Reading uses scipy.io.wavfile (PCM/float
-WAVs), the pure-python FLAC decoder (audio/flac.py), the MPEG Layer III
+WAVs), the pure-python FLAC decoder (audio/flac.py), the MPEG Layer I/II/III
 decoder (audio/mp3.py, pinned against libmpg123), the Ogg Vorbis decoder
 (audio/vorbis.py, pinned against libvorbisfile), or the AIFF/AIFF-C decoder
 (audio/aiff.py, pinned against the stdlib aifc reference reader) — dispatch
@@ -24,9 +24,10 @@ from scipy.signal import resample_poly as _scipy_resample_poly
 from tango_tpu.audio import stft as _stft
 
 
-def _is_layer3_sync(b0: int, b1: int) -> bool:
-    # frame sync + layer bits 01 (Layer III), any MPEG version, CRC or not
-    return b0 == 0xFF and (b1 & 0xE0) == 0xE0 and (b1 & 0x06) == 0x02
+def _is_mpeg_sync(b0: int, b1: int) -> bool:
+    # frame sync + non-reserved layer bits (Layer I/II/III), any MPEG
+    # version, CRC or not — audio/mp3.py decodes all three layers
+    return b0 == 0xFF and (b1 & 0xE0) == 0xE0 and (b1 & 0x06) != 0
 
 
 def sniff_format(path: str) -> str:
@@ -54,13 +55,13 @@ def sniff_format(path: str) -> str:
             magic = f.read(4)
         if magic == b"fLaC":
             return "flac"
-        if len(magic) >= 2 and _is_layer3_sync(magic[0], magic[1]):
+        if len(magic) >= 2 and _is_mpeg_sync(magic[0], magic[1]):
             return "mp3"
-        return "non-Layer-III audio with ID3 tag (unsupported — transcode to wav/flac/mp3/ogg-vorbis)"
+        return "non-MPEG audio with ID3 tag (unsupported — transcode to wav/flac/mp3/ogg-vorbis)"
     if len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0:
-        if _is_layer3_sync(head[0], head[1]):
+        if _is_mpeg_sync(head[0], head[1]):
             return "mp3"
-        return "MPEG Layer I/II (unsupported — transcode to wav/flac/mp3/ogg-vorbis)"
+        return "MPEG stream with reserved layer bits (unsupported — transcode to wav/flac/mp3/ogg-vorbis)"
     if head[:4] == b"OggS":
         # peek the first packet of the first page to identify the codec
         with open(path, "rb") as f:

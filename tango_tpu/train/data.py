@@ -74,7 +74,7 @@ def validate_manifest(examples: Sequence[Example], max_report: int = 20) -> None
     The reference reads flac/mp3/ogg through torchaudio
     (tools/torch_tools.py:43-54) and silently substitutes a constant waveform
     on decode failure. Here decodable means WAV (scipy), native FLAC
-    (audio/flac.py), MPEG Layer III (audio/mp3.py) or Ogg Vorbis
+    (audio/flac.py), MPEG Layer I/II/III (audio/mp3.py) or Ogg Vorbis
     (audio/vorbis.py); anything else fails
     LOUDLY *before* training starts — an undecodable manifest must be an
     actionable error, not an epoch of constant-waveform garbage

@@ -1,0 +1,188 @@
+"""In-repo MPEG-1/2 Layer I/II stream assembler (test tooling).
+
+No Layer I/II encoder ships in this image, so — like tests/_vorbis_assembler
+and tests/_mp3_encoder — fixtures are assembled directly at the bitstream
+level: random-but-valid bit allocations, scfsi patterns, scalefactors and
+sample codes, trimmed to the frame's bit budget, written in the exact ISO
+11172-3 2.4.1.5-2.4.1.7 field order. libmpg123 (tests/_mpg123_oracle) is the
+decode oracle; any disagreement in frame sizing, table selection or field
+layout shows up as gross divergence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tango_tpu.audio import mp3_tables as T
+from tango_tpu.audio.mp3 import _FrameHeader, _l2_table_select
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, val: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((val >> i) & 1)
+
+    def to_bytes(self, total_bytes: int) -> bytes:
+        assert len(self.bits) <= total_bytes * 8, "frame bit budget exceeded"
+        bits = self.bits + [0] * (total_bytes * 8 - len(self.bits))
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+        return bytes(out)
+
+
+def make_header(layer: int, version: str, sr: int, bitrate: int, mode: int,
+                mode_ext: int = 0, padding: int = 0) -> bytes:
+    ver_code = {"1": 3, "2": 2, "2.5": 0}[version]
+    sr_idx = T.SAMPLE_RATES[version].index(sr)
+    brtab = {(1, "1"): T.BITRATES_V1_L1, (2, "1"): T.BITRATES_V1_L2,
+             (3, "1"): T.BITRATES_V1_L3, (1, "2"): T.BITRATES_V2_L1,
+             (2, "2"): T.BITRATES_V2_L2, (3, "2"): T.BITRATES_V2_L3}
+    br_idx = brtab[(layer, "1" if version == "1" else "2")].index(bitrate)
+    b1 = 0xE0 | (ver_code << 3) | ((4 - layer) << 1) | 1  # no CRC
+    b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b3 = (mode << 6) | (mode_ext << 4)
+    return bytes([0xFF, b1, b2, b3])
+
+
+def _bound_and_nch(h: _FrameHeader, sblimit: int):
+    nch = h.channels
+    bound = min((h.mode_ext + 1) * 4, sblimit) if h.mode == 1 else sblimit
+    return nch, bound
+
+
+def assemble_l2_frame(rng: np.random.Generator, header: bytes,
+                      density: float = 0.7) -> bytes:
+    h = _FrameHeader(header)
+    assert h.layer == 2
+    table = T.L2_ALLOC_TABLES[_l2_table_select(h)]
+    sblimit = len(table)
+    nch, bound = _bound_and_nch(h, sblimit)
+    capacity = h.frame_bytes * 8 - 32
+
+    def nbal(sb):
+        return (len(table[sb]) + 1).bit_length() - 1
+
+    alloc = np.zeros((nch, sblimit), np.int64)
+    for sb in range(sblimit):
+        chans = range(nch) if sb < bound else (0,)
+        for ch in chans:
+            if rng.random() < density:
+                alloc[ch, sb] = rng.integers(1, len(table[sb]) + 1)
+        if sb >= bound:
+            alloc[:, sb] = alloc[0, sb]
+    scfsi = np.where(alloc > 0, rng.integers(0, 4, size=alloc.shape), 0)
+
+    def cost():
+        c = sum(nbal(sb) * (nch if sb < bound else 1) for sb in range(sblimit))
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if alloc[ch, sb]:
+                    c += 2 + 6 * {0: 3, 1: 2, 2: 1, 3: 2}[int(scfsi[ch, sb])]
+        for sb in range(sblimit):
+            for ch in (range(nch) if sb < bound else (0,)):
+                if alloc[ch, sb]:
+                    steps = table[sb][alloc[ch, sb] - 1]
+                    nb, grouped = T.L2_QUANT[steps]
+                    c += 12 * (nb if grouped else 3 * nb)
+        return c
+
+    for sb in range(sblimit - 1, -1, -1):
+        if cost() <= capacity:
+            break
+        alloc[:, sb] = 0
+        scfsi[:, sb] = 0
+    assert cost() <= capacity, "frame cannot fit even with empty allocation"
+
+    w = BitWriter()
+    for sb in range(sblimit):
+        for ch in (range(nch) if sb < bound else (0,)):
+            w.write(int(alloc[ch, sb]), nbal(sb))
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[ch, sb]:
+                w.write(int(scfsi[ch, sb]), 2)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[ch, sb]:
+                nsf = {0: 3, 1: 2, 2: 1, 3: 2}[int(scfsi[ch, sb])]
+                for _ in range(nsf):
+                    w.write(int(rng.integers(0, 63)), 6)
+    for _gr in range(12):
+        for sb in range(sblimit):
+            for ch in (range(nch) if sb < bound else (0,)):
+                if not alloc[ch, sb]:
+                    continue
+                steps = table[sb][alloc[ch, sb] - 1]
+                nb, grouped = T.L2_QUANT[steps]
+                if grouped:
+                    w.write(int(rng.integers(0, steps**3)), nb)
+                else:
+                    for _ in range(3):
+                        # steps = 2^nb - 1: the all-ones pattern is the
+                        # standard's unused code; keep assembled streams
+                        # inside the defined alphabet (fuzz covers the rest)
+                        w.write(int(rng.integers(0, steps)), nb)
+    return header + w.to_bytes(h.frame_bytes - 4)
+
+
+def assemble_l1_frame(rng: np.random.Generator, header: bytes,
+                      density: float = 0.7) -> bytes:
+    h = _FrameHeader(header)
+    assert h.layer == 1
+    nch, bound = _bound_and_nch(h, 32)
+    capacity = h.frame_bytes * 8 - 32
+
+    alloc = np.zeros((nch, 32), np.int64)
+    for sb in range(32):
+        chans = range(nch) if sb < bound else (0,)
+        for ch in chans:
+            if rng.random() < density:
+                alloc[ch, sb] = rng.integers(1, 15)  # 15 is forbidden
+        if sb >= bound:
+            alloc[:, sb] = alloc[0, sb]
+
+    def cost():
+        c = 4 * (bound * nch + (32 - bound))
+        c += 6 * int((alloc > 0).sum())
+        for sb in range(32):
+            for ch in (range(nch) if sb < bound else (0,)):
+                if alloc[ch, sb]:
+                    c += 12 * (int(alloc[ch, sb]) + 1)
+        return c
+
+    for sb in range(31, -1, -1):
+        if cost() <= capacity:
+            break
+        alloc[:, sb] = 0
+    assert cost() <= capacity
+
+    w = BitWriter()
+    for sb in range(32):
+        for ch in (range(nch) if sb < bound else (0,)):
+            w.write(int(alloc[ch, sb]), 4)
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch, sb]:
+                w.write(int(rng.integers(0, 63)), 6)
+    for _s in range(12):
+        for sb in range(32):
+            for ch in (range(nch) if sb < bound else (0,)):
+                if alloc[ch, sb]:
+                    nb = int(alloc[ch, sb]) + 1
+                    w.write(int(rng.integers(0, (1 << nb) - 1)), nb)
+    return header + w.to_bytes(h.frame_bytes - 4)
+
+
+def assemble_stream(rng: np.random.Generator, layer: int, version: str,
+                    sr: int, bitrate: int, mode: int, mode_ext: int = 0,
+                    nframes: int = 6, density: float = 0.7) -> bytes:
+    header = make_header(layer, version, sr, bitrate, mode, mode_ext)
+    build = assemble_l1_frame if layer == 1 else assemble_l2_frame
+    return b"".join(build(rng, header, density) for _ in range(nframes))

@@ -1,0 +1,99 @@
+"""Direct ctypes oracle over libmpg123 — float32 output, all MPEG layers.
+
+The Layer III tests reach libmpg123 through pygame/SDL_mixer (int16 output,
+so parity stops at the int16 floor). For Layers I/II we bind libmpg123.so
+directly and force float output (MPG123_FORCE_FLOAT), which pins our f64
+subband math against the oracle's f32 arithmetic with no quantization in
+between.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import tempfile
+
+import numpy as np
+
+_MPG123_OK = 0
+_MPG123_DONE = -12
+_MPG123_NEW_FORMAT = -11
+_MPG123_ADD_FLAGS = 2
+_MPG123_FORCE_FLOAT = 0x400
+
+
+def _load():
+    lib = ctypes.CDLL("libmpg123.so.0")
+    lib.mpg123_init()
+    lib.mpg123_new.restype = ctypes.c_void_p
+    lib.mpg123_new.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+    lib.mpg123_param.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.c_long, ctypes.c_double]
+    lib.mpg123_open.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.mpg123_getformat.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_long),
+                                     ctypes.POINTER(ctypes.c_int),
+                                     ctypes.POINTER(ctypes.c_int)]
+    lib.mpg123_read.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t)]
+    lib.mpg123_close.argtypes = [ctypes.c_void_p]
+    lib.mpg123_delete.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+_LIB = None
+
+
+def have_oracle() -> bool:
+    global _LIB
+    if _LIB is None:
+        try:
+            _LIB = _load()
+        except OSError:
+            _LIB = False
+    return bool(_LIB)
+
+
+def decode(data: bytes):
+    """mpeg audio bytes -> (float64 (n, ch), rate) via libmpg123 float path."""
+    assert have_oracle()
+    lib = _LIB
+    err = ctypes.c_int()
+    h = lib.mpg123_new(None, ctypes.byref(err))
+    if not h:
+        raise RuntimeError(f"mpg123_new failed ({err.value})")
+    try:
+        lib.mpg123_param(h, _MPG123_ADD_FLAGS, _MPG123_FORCE_FLOAT, 0.0)
+        with tempfile.NamedTemporaryFile(suffix=".mp3", delete=False) as fh:
+            fh.write(data)
+            path = fh.name
+        try:
+            if lib.mpg123_open(h, path.encode()) != _MPG123_OK:
+                raise RuntimeError("mpg123_open failed")
+            rate = ctypes.c_long()
+            ch = ctypes.c_int()
+            enc = ctypes.c_int()
+            if lib.mpg123_getformat(h, ctypes.byref(rate), ctypes.byref(ch),
+                                    ctypes.byref(enc)) != _MPG123_OK:
+                raise RuntimeError("mpg123_getformat failed")
+            chunks = []
+            buf = ctypes.create_string_buffer(65536)
+            done = ctypes.c_size_t()
+            while True:
+                r = lib.mpg123_read(h, buf, len(buf), ctypes.byref(done))
+                if done.value:
+                    chunks.append(bytes(buf.raw[: done.value]))
+                if r == _MPG123_DONE:
+                    break
+                if r not in (_MPG123_OK, _MPG123_NEW_FORMAT):
+                    break  # decode error mid-stream: return what we got
+            raw = b"".join(chunks)
+            pcm = np.frombuffer(raw, dtype=np.float32).astype(np.float64)
+            nch = max(1, ch.value)
+            pcm = pcm[: len(pcm) - len(pcm) % nch].reshape(-1, nch)
+            lib.mpg123_close(h)
+            return pcm, int(rate.value)
+        finally:
+            os.unlink(path)
+    finally:
+        lib.mpg123_delete(h)

@@ -1,0 +1,268 @@
+"""MPEG-1/2 Layer I and II decoder tests — pinned against libmpg123's
+float path.
+
+The reference ingests any torchaudio-decodable manifest audio
+(/root/reference/tools/torch_tools.py:43-54), which includes Layer I/II
+MPEG streams. tango_tpu decodes them natively (audio/mp3.py — the same
+module as Layer III; Layers I/II share the polyphase synthesis).
+
+No Layer I/II encoder ships in this image, so fixtures are assembled at
+the bitstream level (tests/_mpeg12_assembler.py) with random-but-valid
+allocations/scalefactors/codes, and decoded against libmpg123 bound
+directly through ctypes with MPG123_FORCE_FLOAT (tests/_mpg123_oracle.py)
+— f64 vs f32 arithmetic, no int16 quantization in between, so the
+agreement criterion is the f32 floor (2e-5 absolute on ~unit-range PCM).
+
+The sweep covers: both layers, MPEG-1 + MPEG-2(LSF), every sample rate,
+all five Layer II allocation tables (incl. the LSF table-4 rows, whose
+7-step class at subbands 0-3 was PROBED code-by-code against libmpg123 —
+see mp3_tables._L2H), mono/stereo/dual/joint modes with every
+intensity-bound, all scfsi patterns (randomized), grouped (3/5/9-step)
+and ungrouped quantizer classes, padding, and the loud error paths.
+"""
+
+import numpy as np
+import pytest
+
+from tango_tpu.audio import mp3_tables as T
+from tango_tpu.audio.mp3 import Mp3Error, decode_mp3, _FrameHeader, _l2_table_select
+from tango_tpu.audio.wav import read_wav, sniff_format
+from tests import _mpeg12_assembler as A
+from tests._mpg123_oracle import decode as oracle_decode, have_oracle
+
+pytestmark = pytest.mark.skipif(not have_oracle(),
+                                reason="libmpg123.so.0 not present")
+
+F32_TOL = 2e-5
+
+
+def assert_matches_oracle(data: bytes, want_sr: int, want_nch: int):
+    ours, sr = decode_mp3(data)
+    ref, ref_sr = oracle_decode(data)
+    assert sr == want_sr and ref_sr == want_sr
+    assert ours.shape[1] == want_nch and ref.shape[1] == want_nch
+    assert ours.shape == ref.shape, (ours.shape, ref.shape)
+    err = np.abs(ours.astype(np.float64) - ref).max()
+    assert err < F32_TOL, f"max_err {err:.3e}"
+    return ours
+
+
+# ------------------------------------------------------------- profile sweep
+# (layer, version, sr, bitrate, mode, mode_ext) — bitrates chosen so the
+# five Layer II allocation tables are all selected (asserted below).
+
+PROFILES = [
+    # Layer II MPEG-1: tables 0-3
+    (2, "1", 44100, 192, 3, 0),   # table 1 (mono 192 -> bpc 192)
+    (2, "1", 44100, 128, 0, 0),   # stereo, bpc 64 -> table 0
+    (2, "1", 48000, 112, 0, 0),   # 48k bpc 56 -> table 0
+    (2, "1", 48000, 384, 0, 0),   # 48k bpc 192 -> table 0
+    (2, "1", 44100, 48, 3, 0),    # table 2 (bpc 48)
+    (2, "1", 32000, 48, 3, 0),    # table 3 (32k low rate)
+    (2, "1", 44100, 256, 0, 0),   # stereo bpc 128 -> table 1
+    (2, "1", 44100, 192, 2, 0),   # dual channel
+    (2, "1", 44100, 160, 1, 0),   # joint stereo bound 4
+    (2, "1", 44100, 160, 1, 1),   # joint bound 8
+    (2, "1", 48000, 224, 1, 2),   # joint bound 12
+    (2, "1", 32000, 224, 1, 3),   # joint bound 16
+    # Layer II MPEG-2 LSF: table 4 at all three LSF rates
+    (2, "2", 22050, 64, 3, 0),
+    (2, "2", 24000, 96, 0, 0),
+    (2, "2", 16000, 8, 3, 0),     # lowest rate/bitrate
+    (2, "2", 22050, 48, 1, 0),
+    (2, "2", 24000, 80, 1, 2),
+    (2, "2", 16000, 160, 2, 0),
+    # Layer I MPEG-1
+    (1, "1", 44100, 384, 3, 0),
+    (1, "1", 44100, 320, 0, 0),
+    (1, "1", 48000, 448, 0, 0),
+    (1, "1", 32000, 64, 3, 0),    # thinnest L1 frame
+    (1, "1", 44100, 288, 1, 0),
+    (1, "1", 48000, 256, 1, 1),
+    (1, "1", 44100, 192, 1, 2),
+    (1, "1", 32000, 448, 1, 3),
+    (1, "1", 44100, 256, 2, 0),
+    # Layer I MPEG-2 LSF
+    (1, "2", 22050, 128, 3, 0),
+    (1, "2", 24000, 256, 0, 0),
+    (1, "2", 16000, 32, 1, 1),
+]
+
+
+@pytest.mark.parametrize("layer,ver,sr,br,mode,mode_ext", PROFILES)
+def test_assembled_stream_matches_libmpg123(layer, ver, sr, br, mode, mode_ext):
+    rng = np.random.default_rng(hash((layer, ver, sr, br, mode, mode_ext)) % 2**31)
+    data = A.assemble_stream(rng, layer=layer, version=ver, sr=sr, bitrate=br,
+                             mode=mode, mode_ext=mode_ext, nframes=5)
+    nch = 1 if mode == 3 else 2
+    assert_matches_oracle(data, sr, nch)
+
+
+def test_profiles_cover_all_five_l2_tables():
+    got = {
+        _l2_table_select(_FrameHeader(A.make_header(2, v, sr, br, m, me)))
+        for (lay, v, sr, br, m, me) in PROFILES if lay == 2
+    }
+    assert got == {0, 1, 2, 3, 4}
+
+
+def test_sparse_and_dense_allocations():
+    # density 0 (all subbands silent) and 1.0 (alloc everywhere the budget
+    # allows) stress the frame-fitting and the empty-subband path
+    for density in (0.0, 1.0):
+        rng = np.random.default_rng(7)
+        data = A.assemble_stream(rng, layer=2, version="1", sr=44100,
+                                 bitrate=384, mode=0, nframes=3,
+                                 density=density)
+        assert_matches_oracle(data, 44100, 2)
+        rng = np.random.default_rng(8)
+        data = A.assemble_stream(rng, layer=1, version="1", sr=44100,
+                                 bitrate=448, mode=0, nframes=3,
+                                 density=density)
+        assert_matches_oracle(data, 44100, 2)
+
+
+def test_padded_frames():
+    # 44.1 kHz frames are non-integral -> real encoders alternate the
+    # padding bit; decode a stream whose frames alternate pad 0/1
+    rng = np.random.default_rng(3)
+    frames = []
+    for i in range(6):
+        hdr = A.make_header(2, "1", 44100, 192, 3, padding=i % 2)
+        frames.append(A.assemble_l2_frame(rng, hdr))
+    data = b"".join(frames)
+    assert_matches_oracle(data, 44100, 1)
+    rng = np.random.default_rng(4)
+    frames = []
+    for i in range(6):
+        hdr = A.make_header(1, "1", 44100, 384, 3, padding=i % 2)
+        frames.append(A.assemble_l1_frame(rng, hdr))
+    assert_matches_oracle(b"".join(frames), 44100, 1)
+
+
+def test_scalefactor_index_62_and_silence():
+    # a frame whose every scalefactor is the quietest defined index decodes
+    # to near-silence in both decoders (catches sf table off-by-one)
+    rng = np.random.default_rng(5)
+
+    class FixedSF:
+        def __getattr__(self, name):
+            return getattr(rng, name)
+
+        def integers(self, lo, hi=None, **kw):
+            if hi == 63:  # the scalefactor draw
+                return np.int64(62)
+            return rng.integers(lo, hi, **kw)
+
+        def random(self, *a, **kw):
+            return rng.random(*a, **kw)
+
+    data = A.assemble_stream(FixedSF(), layer=2, version="1", sr=44100,
+                             bitrate=192, mode=3, nframes=3)
+    ours = assert_matches_oracle(data, 44100, 1)
+    assert np.abs(ours).max() < 5e-5  # sf[62] = 2^(1-62/3) ~ 1.3e-6
+
+
+# ------------------------------------------------------------- error paths
+
+
+def test_mpeg25_layer12_refused():
+    for layer in (1, 2):
+        b1 = 0xE0 | (0 << 3) | ((4 - layer) << 1) | 1  # ver 2.5
+        hdr = bytes([0xFF, b1, (8 << 4) | (0 << 2), 3 << 6])
+        with pytest.raises(Mp3Error, match="2.5"):
+            _FrameHeader(hdr)
+
+
+def test_forbidden_l1_allocation_15():
+    hdr = A.make_header(1, "1", 44100, 384, 3)
+    h = _FrameHeader(hdr)
+    w = A.BitWriter()
+    w.write(15, 4)  # sb 0: forbidden
+    for _ in range(31):
+        w.write(0, 4)
+    data = hdr + w.to_bytes(h.frame_bytes - 4)
+    with pytest.raises(Mp3Error, match="allocation 15"):
+        decode_mp3(data)
+
+
+def test_midstream_layer_change_refused():
+    rng = np.random.default_rng(9)
+    l2 = A.assemble_stream(rng, layer=2, version="1", sr=44100, bitrate=192,
+                           mode=3, nframes=2)
+    l1 = A.assemble_stream(rng, layer=1, version="1", sr=44100, bitrate=192,
+                           mode=3, nframes=2)
+    with pytest.raises(Mp3Error, match="layer change"):
+        decode_mp3(l2 + l1)
+
+
+# --------------------------------------------------- ingestion integration
+
+
+def test_read_wav_dispatches_layer2(tmp_path):
+    rng = np.random.default_rng(11)
+    data = A.assemble_stream(rng, layer=2, version="1", sr=44100,
+                             bitrate=192, mode=0, nframes=4)
+    p = tmp_path / "clip.mp3"
+    p.write_bytes(data)
+    assert sniff_format(str(p)) == "mp3"
+    wav, sr = read_wav(str(p))
+    assert sr == 44100 and len(wav) == 4 * 1152
+
+
+def test_read_wav_dispatches_id3_tagged_layer1(tmp_path):
+    rng = np.random.default_rng(12)
+    data = A.assemble_stream(rng, layer=1, version="1", sr=32000,
+                             bitrate=256, mode=3, nframes=4)
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    p = tmp_path / "tagged.mp3"
+    p.write_bytes(tag + data)
+    assert sniff_format(str(p)) == "mp3"
+    wav, sr = read_wav(str(p))
+    assert sr == 32000 and len(wav) == 4 * 384
+
+
+# ------------------------------------------------------- differential fuzz
+
+
+@pytest.mark.slow
+def test_payload_mutation_fuzz():
+    """Flip bytes in assembled Layer I/II payloads; wherever BOTH decoders
+    produce full-length output they must still agree (libmpg123 is the
+    oracle for corrupt-but-parseable streams too — e.g. scalefactor
+    index 63 decoding silent). Structural divergence (sync loss, early
+    stop) is allowed; silent numeric divergence is not.
+
+    Headers are left intact: corrupting a header's padding bit makes the
+    two decoders resync differently (libmpg123 discards a frame whose
+    next-header readahead fails; we trust it and skip the overlapped
+    frame) — a policy difference, verified by hand on the one divergence
+    a 2400-case any-byte fuzz produced, not a numeric bug."""
+    rng = np.random.default_rng(2024)
+    checked = 0
+    for layer, ver, sr, br in [(2, "1", 44100, 192), (1, "1", 44100, 384),
+                               (2, "2", 22050, 64)]:
+        base = bytearray(A.assemble_stream(
+            rng, layer=layer, version=ver, sr=sr, bitrate=br, mode=0,
+            nframes=3))
+        hdr = A.make_header(layer, ver, sr, br, 0)
+        fb = _FrameHeader(hdr).frame_bytes
+        for _ in range(120):
+            data = bytearray(base)
+            for _ in range(rng.integers(1, 4)):
+                # mutate payload bytes only (headers resync differently)
+                i = int(rng.integers(0, len(data)))
+                if i % fb < 4:
+                    continue
+                data[i] = int(rng.integers(0, 256))
+            try:
+                ours, _ = decode_mp3(bytes(data))
+            except Mp3Error:
+                continue  # loud refusal is always acceptable
+            ref, _ = oracle_decode(bytes(data))
+            if ours.shape != ref.shape:
+                continue  # oracle bailed early/resynced: structural, fine
+            err = np.abs(ours.astype(np.float64) - ref).max()
+            assert err < F32_TOL, f"mutation divergence {err:.3e}"
+            checked += 1
+    assert checked > 100  # the comparison actually ran

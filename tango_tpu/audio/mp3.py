@@ -17,7 +17,11 @@ preflight loudly (VERDICT r4 missing #1). This module decodes:
     against libmpg123 through a direct ctypes float oracle
     (tests/test_mpeg12.py) on in-repo-assembled streams
 
-Free-format streams (bitrate index 0) raise loudly (no silent fallback).
+  * free-format streams (bitrate index 0, all layers): the constant frame
+    size is measured from the sync spacing like mpg123 does, with a
+    next-next-frame grid check against spurious payload syncs; Layer II
+    free format selects allocation table 0 (mpg123's translate[..][0],
+    behaviorally verified in tests/test_mpeg12.py)
 
 Correctness evidence (tests/test_mp3.py): output is pinned against the
 INDEPENDENT system decoder (libmpg123, reached through pygame/SDL_mixer)
@@ -118,13 +122,13 @@ class _FrameHeader:
             raise Mp3Error(f"MPEG-2.5 Layer {'I' * self.layer} does not exist")
         self.protection = (b[1] & 1) == 0  # 0 => 16-bit CRC follows header
         br_idx = (b[2] >> 4) & 0xF
-        if br_idx == 0:
-            raise Mp3Error("free-format mp3 (bitrate index 0) is unsupported")
         if br_idx == 0xF:
             raise Mp3Error("invalid bitrate index 15")
         brtab = {(1, False): T.BITRATES_V1_L1, (1, True): T.BITRATES_V2_L1,
                  (2, False): T.BITRATES_V1_L2, (2, True): T.BITRATES_V2_L2,
                  (3, False): T.BITRATES_V1_L3, (3, True): T.BITRATES_V2_L3}
+        # index 0 = free format: constant frame size discovered by the
+        # walker from the sync spacing (frame_bytes stays None here)
         self.bitrate = brtab[(self.layer, self.lsf)][br_idx] * 1000
         self.sr_index = (b[2] >> 2) & 3
         if self.sr_index == 3:
@@ -133,7 +137,9 @@ class _FrameHeader:
         self.padding = (b[2] >> 1) & 1
         self.mode = (b[3] >> 6) & 3  # 0 stereo, 1 joint, 2 dual, 3 mono
         self.mode_ext = (b[3] >> 4) & 3
-        if self.layer == 1:
+        if self.bitrate == 0:
+            self.frame_bytes = None  # free format: walker measures the size
+        elif self.layer == 1:
             self.frame_bytes = (12 * self.bitrate // self.sample_rate
                                 + self.padding) * 4
         else:
@@ -738,6 +744,8 @@ def _l2_table_select(h: "_FrameHeader") -> int:
     pick_table rule on bitrate-per-channel + rate; LSF always table 4)."""
     if h.lsf:
         return 4
+    if h.bitrate == 0:
+        return 0  # free format: mpg123's translate[][][0] (verified by test)
     bpc = h.bitrate // 1000 // h.channels
     if (h.sample_rate == 48000 and bpc >= 56) or (56 <= bpc <= 80):
         return 0
@@ -914,6 +922,43 @@ def _skip_id3(data: bytes, pos: int) -> int:
     return pos
 
 
+_FREE_FORMAT_MAX = 4096  # > mpg123's MAXFRAMESIZE (3456): generous cap
+
+
+def _measure_free_format(data: bytes, pos: int, h: _FrameHeader) -> int:
+    """Free format (bitrate index 0, 11172-3 2.4.2.3): the frame size is
+    constant but not derivable from the header — measure the spacing to the
+    next matching sync, verifying one further frame lands on that grid so a
+    spurious 0xFF pattern inside the payload can't masquerade as the size."""
+    slot = 4 if h.layer == 1 else 1
+
+    def matches(q: int):
+        if q + 4 > len(data) or data[q] != 0xFF:
+            return None
+        try:
+            h2 = _FrameHeader(data[q:q + 4])
+        except Mp3Error:
+            return None
+        ok = (h2.bitrate == 0 and h2.layer == h.layer
+              and h2.version == h.version and h2.sr_index == h.sr_index
+              and h2.channels == h.channels)
+        return h2 if ok else None
+
+    q = pos + 4
+    while q < min(pos + _FREE_FORMAT_MAX, len(data) - 4):
+        h2 = matches(q)
+        if h2 is not None:
+            base = q - pos - h.padding * slot
+            # verify: the frame after q starts on the same grid (or the
+            # stream ends inside/at it)
+            q2 = q + base + h2.padding * slot
+            if q2 + 4 > len(data) or matches(q2) is not None:
+                return base
+        q += 1
+    raise Mp3Error("free-format stream: could not measure the frame size "
+                   f"(no matching sync within {_FREE_FORMAT_MAX} bytes)")
+
+
 def _is_xing_frame(frame: bytes, h: _FrameHeader) -> bool:
     """Xing/Info VBR headers occupy the first frame's payload; real decoders
     skip that frame's audio (it decodes to silence anyway, but skipping keeps
@@ -934,6 +979,8 @@ def decode_mp3(data: bytes, max_samples: int | None = None) -> Tuple[np.ndarray,
     sr = None
     nch = None
     layer = None
+    free_base = None   # free-format frame size sans padding slot
+    free_first = False
     first_audio_frame = True
     out_chunks = []
 
@@ -950,6 +997,11 @@ def decode_mp3(data: bytes, max_samples: int | None = None) -> Tuple[np.ndarray,
         except Mp3Error:
             pos += 1
             continue
+        if h.frame_bytes is None:  # free format: measure the sync spacing
+            if free_base is None:
+                free_base = _measure_free_format(data, pos, h)
+            slot = 4 if h.layer == 1 else 1
+            h.frame_bytes = free_base + h.padding * slot
         if pos + h.frame_bytes > len(data):
             break  # truncated final frame: stop cleanly
         frame = data[pos:pos + h.frame_bytes]
@@ -957,8 +1009,11 @@ def decode_mp3(data: bytes, max_samples: int | None = None) -> Tuple[np.ndarray,
 
         if sr is None:
             sr, nch, layer = h.sample_rate, h.channels, h.layer
+            free_first = h.bitrate == 0
         elif h.sample_rate != sr or h.channels != nch or h.layer != layer:
             raise Mp3Error("mid-stream sample-rate/channel/layer change")
+        elif (h.bitrate == 0) != free_first:
+            raise Mp3Error("mid-stream free-format/CBR change")
 
         if first_audio_frame and h.layer == 3 and _is_xing_frame(frame, h):
             first_audio_frame = False

@@ -163,6 +163,89 @@ def test_scalefactor_index_62_and_silence():
     assert np.abs(ours).max() < 5e-5  # sf[62] = 2^(1-62/3) ~ 1.3e-6
 
 
+# ------------------------------------------------------------ free format
+
+
+def to_free_format(data: bytes) -> bytes:
+    """Zero the bitrate nibble of every frame header: the frames keep their
+    physical size, but decoders must now MEASURE it (11172-3 2.4.2.3)."""
+    out = bytearray(data)
+    pos = 0
+    while pos + 4 <= len(out):
+        h = _FrameHeader(bytes(out[pos:pos + 4]))
+        out[pos + 2] &= 0x0F
+        pos += h.frame_bytes
+    return bytes(out)
+
+
+@pytest.mark.parametrize("layer,ver,sr,br,mode", [
+    (2, "1", 44100, 128, 0),   # table 0 at 44.1k (free format selects 0)
+    (2, "1", 48000, 112, 0),
+    (1, "1", 44100, 384, 0),   # Layer I: 4-byte padding slot
+    (2, "2", 22050, 64, 3),    # LSF: table 4 regardless
+])
+def test_free_format_matches_libmpg123(layer, ver, sr, br, mode):
+    rng = np.random.default_rng(layer * 100 + sr % 97)
+    data = to_free_format(A.assemble_stream(
+        rng, layer=layer, version=ver, sr=sr, bitrate=br, mode=mode,
+        nframes=5))
+    assert_matches_oracle(data, sr, 1 if mode == 3 else 2)
+
+
+def test_free_format_layer3_matches_libmpg123():
+    from tests._mp3_encoder import GranuleSpec, encode_stream
+    from tests.test_mp3 import _WIDE, _rand_spec
+
+    rng = np.random.default_rng(21)
+    frames = []
+    for _ in range(4):
+        gs = [GranuleSpec(spectrum=_rand_spec(rng, 5, 120), global_gain=120,
+                          **_WIDE) for _ in range(2)]
+        frames.append([[gs[0]], [gs[1]]])
+    data = to_free_format(encode_stream(frames, sr=44100, version="1",
+                                        mode=3, bitrate=160))
+    ours, sr = decode_mp3(data)
+    ref, ref_sr = oracle_decode(data)
+    assert sr == ref_sr == 44100 and ours.shape == ref.shape
+    assert np.abs(ours.astype(np.float64) - ref).max() < F32_TOL
+
+
+def test_free_format_uses_l2_table_0_like_mpg123():
+    """A free-format Layer II frame has no bitrate to drive table selection;
+    mpg123 selects table 0 (translate[sr][stereo][0]). Verified here
+    behaviorally: a table-0-coded free stream decodes to the same PCM as its
+    CBR original at a table-0 bitrate."""
+    rng = np.random.default_rng(13)
+    orig = A.assemble_stream(rng, layer=2, version="1", sr=44100,
+                             bitrate=128, mode=0, nframes=4)
+    a, _ = decode_mp3(orig)
+    b, _ = decode_mp3(to_free_format(orig))
+    np.testing.assert_array_equal(a, b)
+    h = _FrameHeader(bytes([orig[0], orig[1], orig[2] & 0x0F, orig[3]]))
+    assert h.bitrate == 0 and h.frame_bytes is None
+    assert _l2_table_select(h) == 0
+
+
+def test_free_format_unmeasurable_raises():
+    hdr = A.make_header(2, "1", 44100, 128, 3)
+    hdr = bytes([hdr[0], hdr[1], hdr[2] & 0x0F, hdr[3]])
+    with pytest.raises(Mp3Error, match="could not measure"):
+        decode_mp3(hdr + b"\x00" * 2000)
+
+
+def test_midstream_free_cbr_change_refused():
+    rng = np.random.default_rng(14)
+    cbr = A.assemble_stream(rng, layer=2, version="1", sr=44100,
+                            bitrate=128, mode=3, nframes=2)
+    # >=4 free frames so the size measurement's next-next-sync verification
+    # completes inside the free-format region; mono 64 kbps -> table 0, the
+    # table free-format decode selects
+    free = to_free_format(A.assemble_stream(
+        rng, layer=2, version="1", sr=44100, bitrate=64, mode=3, nframes=4))
+    with pytest.raises(Mp3Error, match="free-format/CBR"):
+        decode_mp3(free + cbr)
+
+
 # ------------------------------------------------------------- error paths
 
 

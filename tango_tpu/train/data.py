@@ -97,7 +97,8 @@ def validate_manifest(examples: Sequence[Example], max_report: int = 20) -> None
         more = "" if len(bad) <= max_report else f"\n  ... (more than {max_report})"
         raise ValueError(
             f"manifest preflight failed — {len(bad)}+ undecodable audio "
-            "files (supported: WAV, native FLAC, mp3):\n  " + "\n  ".join(bad[:max_report]) + more
+            "files (supported: WAV, FLAC, mp3/MPEG-1/2, Ogg Vorbis, "
+            "AIFF):\n  " + "\n  ".join(bad[:max_report]) + more
         )
 
 

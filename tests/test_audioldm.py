@@ -138,6 +138,7 @@ def test_clap_conditioner_wired_from_ckpt():
     assert isinstance(cond_t, ClapTextConditioner)
 
 
+@pytest.mark.slow
 def test_from_checkpoint_monolithic_ckpt_e2e(tmp_path):
     """The FULL monolithic-ckpt path: torch.save a tiny audioldm-*-full-style
     state dict assembled from the reference-generated goldens (FiLM UNet +
@@ -203,6 +204,7 @@ def test_from_checkpoint_monolithic_ckpt_e2e(tmp_path):
     assert np.abs(wavs).max() > 0
 
 
+@pytest.mark.slow
 def test_text_to_audio_native_clap_rerank():
     """text_to_audio end-to-end on the NATIVE CLAP towers: conditioning AND
     candidate re-ranking run through the JAX RoBERTa + HTSAT stack."""
@@ -360,6 +362,7 @@ def test_p_sample_loop_ddpm_path(tiny_audioldm):
     assert np.isfinite(np.asarray(lat3)).all()
 
 
+@pytest.mark.slow
 def test_text_to_audio_under_mesh(tiny_audioldm, tmp_path):
     """AudioLDM mesh (DP) serving parity: an (8-data x 1-model) mesh
     generation matches the meshless output row-for-row. batchsize=2 x 3

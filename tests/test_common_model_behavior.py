@@ -89,7 +89,10 @@ def _register():
 _register()
 
 
-@pytest.mark.parametrize("name", list(MODELS))
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=[pytest.mark.slow] if n == "unet" else [])
+    for n in MODELS
+])
 def test_determinism(name):
     params, fn = MODELS[name]
     a = np.asarray(fn(params, 2))

@@ -1,6 +1,7 @@
 """AudioDiffusion: end-to-end CFG scan sampler parity + loss behavior."""
 
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -56,6 +57,7 @@ def test_scan_sampler_matches_reference_loop():
     )
 
 
+@pytest.mark.slow
 def test_sampler_jits_and_is_deterministic():
     diff = make_diffusion()
     params = diff.init_params(jax.random.PRNGKey(1))
@@ -79,6 +81,7 @@ def test_sampler_jits_and_is_deterministic():
         assert f._cache_size() == 1
 
 
+@pytest.mark.slow
 def test_loss_runs_and_snr_weighting_changes_value():
     diff_plain = make_diffusion()
     diff_snr = make_diffusion(snr_gamma=5.0)
@@ -92,6 +95,7 @@ def test_loss_runs_and_snr_weighting_changes_value():
     assert abs(float(l1) - float(l2)) > 1e-8
 
 
+@pytest.mark.slow
 def test_loss_validation_mode_fixed_t(monkeypatch):
     """validation_mode pins t = N/2 (models.py:163-164): the timestep draw
     (jax.random.randint) must NOT happen; training mode must draw."""

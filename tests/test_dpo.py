@@ -1,5 +1,6 @@
 """DPO loss semantics + trainer step."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +19,7 @@ def make_dpo(**kw):
     )
 
 
+@pytest.mark.slow
 def test_dpo_loss_identical_pair_is_log2():
     """w == l and ref == model -> inside_term = 0 -> loss = -log(sigmoid(0)) = log 2."""
     diff = make_dpo()
@@ -29,6 +31,7 @@ def test_dpo_loss_identical_pair_is_log2():
     np.testing.assert_allclose(float(loss), float(np.log(2.0)), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dpo_loss_prefers_winner_direction():
     """If the model scores w better than ref does (relative to l), loss < log2."""
     diff = make_dpo()
@@ -46,6 +49,7 @@ def test_dpo_loss_prefers_winner_direction():
     assert any(np.abs(np.asarray(x)).max() > 0 for x in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_dpo_trainer_steps():
     diff = make_dpo()
     vae = AutoencoderKL(TINY_VAE)
@@ -72,6 +76,7 @@ def test_dpo_trainer_steps():
     assert np.isfinite(float(metrics["raw_model_loss"]))
 
 
+@pytest.mark.slow
 def test_dpo_fit_validation_and_best_checkpoint(tmp_path):
     """fit(): SFT-first phase, per-epoch fixed-t validation, best-ckpt gating,
     and epoch checkpoints only after the SFT phase (tango2-train.py:600-664)."""
@@ -120,6 +125,7 @@ def test_dpo_fit_validation_and_best_checkpoint(tmp_path):
     assert (tmp_path / "epoch_1").exists()
 
 
+@pytest.mark.slow
 def test_sft_first_phase_uses_winner_only():
     """Reference SFT-first trains on latent_w alone ('Perform SFT on the
     prompt and preferred audio', tango2-train.py:563-567): swapping the

@@ -112,6 +112,7 @@ def test_psnr_ssim_identity():
     assert abs(M.ssim(a, a) - 1.0) < 1e-9
 
 
+@pytest.mark.slow
 def test_vggish_frontend_shapes():
     from tango_tpu.eval.vggish import VGGish, waveform_to_examples
 

@@ -90,6 +90,7 @@ def test_save_main_bin_torch_loadable(tmp_path):
     _roundtrip_assert(sd, again)
 
 
+@pytest.mark.slow
 def test_export_snapshot_mode_reloads(tmp_path, monkeypatch):
     """convert_checkpoint.py export-snapshot assembles a complete
     reference-format snapshot (frozen vae/stft/config files copied, main bin
@@ -122,6 +123,7 @@ def test_export_snapshot_mode_reloads(tmp_path, monkeypatch):
     assert w.dtype == np.int16 and np.abs(w).max() > 0
 
 
+@pytest.mark.slow
 def test_ldm_bin_roundtrip_and_mustango_export(tmp_path, monkeypatch):
     """Full Mustango two-way migration: the ldm bin round-trips bit-exactly
     (unet + text_encoder + music-layer keys), and export-mustango assembles

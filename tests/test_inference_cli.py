@@ -41,6 +41,7 @@ def _tiny_tango():
     )
 
 
+@pytest.mark.slow
 def test_inference_cli_end_to_end(tmp_path, monkeypatch):
     import tango_tpu.pipeline as pipeline_mod
     from tango_tpu import inference
@@ -191,6 +192,7 @@ def test_inference_cli_with_tracking(tmp_path, monkeypatch):
     assert logged == []
 
 
+@pytest.mark.slow
 def test_dress_rehearsal_snapshot_to_generation_to_eval(tmp_path, monkeypatch):
     """The FULL quality-gate command chain docs/PARITY.md promises for a real
     checkpoint, executed end-to-end on the consistent tiny snapshot fixture
@@ -252,6 +254,7 @@ def test_dress_rehearsal_snapshot_to_generation_to_eval(tmp_path, monkeypatch):
     assert os.path.exists(gen_dir + "_evaluation_results.json")
 
 
+@pytest.mark.slow
 def test_train_to_eval_chain_unet_ckpt(tmp_path, monkeypatch):
     """The train->eval loop the reference closes via original_args + trained
     state (inference.py:74-101): a natively-trained UNet checkpoint

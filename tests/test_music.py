@@ -1,5 +1,6 @@
 """Mustango: music embeddings + triple-cross-attention UNet parity, tokenizers."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -79,6 +80,7 @@ def test_music_unet_parity():
     np.testing.assert_allclose(nhwc_to_nchw(np.asarray(out)), g["out"], atol=3e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_music_diffusion_loss_and_sample():
     diff = MusicAudioDiffusion(
         unet_config=TINY_MUSIC_UNET, latent_t_size=8, latent_f_size=4,
@@ -232,6 +234,7 @@ def test_beat_type_overflow_raises():
     assert ids == [2, 6, 0, 0] and mask == [1, 1, 0, 0]
 
 
+@pytest.mark.slow
 def test_music_sample_int8_conv_close_to_f32():
     """Mustango(quant='conv') class: the int8-conv music UNet must sample
     within quantization noise of the f32 one (same contract as Tango's

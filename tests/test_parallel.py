@@ -1,5 +1,6 @@
 """Multi-device (8 virtual CPU) sharding tests: DP+TP train step, entry points."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,12 +10,14 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles_tiny():
     """entry() uses the flagship config (too big for CI); validate the same
     path with abstract eval: the returned fn must trace/lower on its args."""
@@ -25,6 +28,7 @@ def test_entry_compiles_tiny():
     assert out.shape == (2, 256, 16, 8)
 
 
+@pytest.mark.slow
 def test_entry_executes_tiny_config(monkeypatch):
     """REALLY run entry()'s code path (not just eval_shape): shrink the
     flagship config to a dwarf and execute one CFG denoiser step
@@ -75,6 +79,7 @@ def _tiny_diffusion():
     return AudioDiffusion(unet_config=cfg, latent_t_size=8, latent_f_size=4)
 
 
+@pytest.mark.slow
 def test_dp_grads_match_single_device():
     """DP-sharded loss AND GRADIENTS must equal single-device values per leaf
     (train.py:372-378 — DDP's contract IS gradient equality; and Pallas
@@ -107,6 +112,7 @@ def test_dp_grads_match_single_device():
                           what="DP grad")
 
 
+@pytest.mark.slow
 def test_dp_tp_train_step_matches_meshless():
     """One full SFT train step (loss + grads + AdamW update) on a DPx TP 2x4
     mesh must reproduce the meshless step: loss equal, updated params equal
@@ -164,6 +170,7 @@ def test_dp_tp_train_step_matches_meshless():
                           atol=2.5 * tc.learning_rate, what="updated param")
 
 
+@pytest.mark.slow
 def test_tp_forward_matches_replicated():
     """Tensor-parallel sharded UNet forward == replicated forward."""
     from tango_tpu import configs as C
@@ -192,6 +199,7 @@ def test_tp_forward_matches_replicated():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sp_forward_and_grads_match_meshless():
     """Sequence parallelism (latent time axis sharded over 'model' at every
     UNet level boundary) must reproduce the meshless forward AND gradients on
@@ -242,6 +250,7 @@ def test_sp_forward_and_grads_match_meshless():
     assert_trees_allclose(grads, ref_grads, rtol=2e-4, atol=1e-6, what="SP grad")
 
 
+@pytest.mark.slow
 def test_pipeline_dp_generation():
     """Tango.generate_for_batch sharded over 8 virtual devices matches shapes."""
     from tango_tpu.parallel import mesh as pmesh

@@ -85,6 +85,7 @@ def test_generate_deterministic_with_seed(tiny_tango):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_generate_batch_and_samples(tiny_tango):
     outs = tiny_tango.generate_for_batch(["a", "b", "c"], steps=2, batch_size=2)
     assert len(outs) == 3
@@ -111,6 +112,7 @@ def test_no_cfg_when_guidance_leq_1(tiny_tango):
     assert not any(k[1] for k in tiny_tango._sample_cache)
 
 
+@pytest.mark.slow
 def test_batch_row_matches_single(tiny_tango):
     """PipelineTesterMixin-style batch consistency: row 0 of a 2-prompt batch
     generation equals the 1-prompt generation with the same seed (JAX's
@@ -141,6 +143,7 @@ def test_pipeline_save_load_roundtrip(tiny_tango, tmp_path):
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_quant_conv_serving_mode(tiny_tango):
     """quant="conv" pipeline: int8 resnet convs, output close to the f32
     pipeline (ops/quant.py quality bar: within bf16-scale error)."""
@@ -177,6 +180,7 @@ def test_release_configs_match_reference_json():
         assert C.UNetConfig.from_dict(d) == cfg, fname
 
 
+@pytest.mark.slow
 def test_pipeline_generates_under_mesh():
     """The same pipeline code drives 1..N chips: an (8-data x 1-model) mesh
     generation matches the meshless output (DP inference parity)."""
@@ -229,6 +233,7 @@ def test_generate_duration_override(tiny_tango):
     assert wav.shape == (24 * 160 + 32,)
 
 
+@pytest.mark.slow
 def test_tail_chunk_pads_to_full_batch(tiny_tango, monkeypatch):
     """A short tail chunk pads up to batch_size when a full chunk exists, so
     the already-compiled full-batch executable is reused (a one-off odd shape

@@ -93,6 +93,7 @@ def _tiny_mustango(**kw):
     )
 
 
+@pytest.mark.slow
 def test_mustango_generate():
     m = _tiny_mustango()
     wav = m.generate("an upbeat jazz piece", steps=2, guidance=3.0, seed=1)
@@ -101,6 +102,7 @@ def test_mustango_generate():
     assert np.abs(wav).max() > 0
 
 
+@pytest.mark.slow
 def test_mustango_generate_for_batch_row0_matches_single():
     """Batch row 0 at a fixed seed must equal the single-prompt generation
     (counter-based PRNG leading-row property — same contract as Tango)."""
@@ -115,6 +117,7 @@ def test_mustango_generate_for_batch_row0_matches_single():
     assert np.abs(batch[1].astype(np.int32) - batch[0].astype(np.int32)).max() > 0
 
 
+@pytest.mark.slow
 def test_mustango_generate_for_batch_tail_padding():
     """3 prompts at batch_size=2: the tail chunk pads to the full batch shape
     (one compiled program) and the pad row is discarded."""
@@ -128,6 +131,7 @@ def test_mustango_generate_for_batch_tail_padding():
     assert set(m._fns) == {("gen", 2)}
 
 
+@pytest.mark.slow
 def test_mustango_generate_for_batch_explicit_features_skip_predictor():
     m = _tiny_mustango()
     m.predictor = None  # explicit features must not need it
@@ -140,6 +144,7 @@ def test_mustango_generate_for_batch_explicit_features_skip_predictor():
     assert len(wavs) == 2
 
 
+@pytest.mark.slow
 def test_mustango_generates_under_mesh():
     """Multi-chip music serving: an (8-data x 1-model) mesh generation must
     match the meshless output (DP inference parity — same contract as
@@ -171,6 +176,7 @@ def test_mustango_generates_under_mesh():
     )
 
 
+@pytest.mark.slow
 def test_mustango_snapshot_dress_rehearsal():
     """The released-Mustango snapshot layout end to end
     (reference mustango/mustango.py:143-173: configs/ + vae/ + ldm/ subdirs):

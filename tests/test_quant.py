@@ -66,6 +66,7 @@ def test_pallas_w8a8_matches_xla_int8():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_quantize_tree_scope_recurses():
     """Regression: scope must propagate into nested modules — a conv-scope
     tree quantizes resnet convs at depth but leaves attention Dense kernels
@@ -89,6 +90,7 @@ def _tiny_unet_params():
     )["params"]
 
 
+@pytest.mark.slow
 def test_unet_int8_matches_f32_within_noise():
     unet, params = _tiny_unet_params()
     qparams = quantize_tree(params)
@@ -110,6 +112,7 @@ def test_unet_int8_matches_f32_within_noise():
     assert n_int8 >= 20, n_int8
 
 
+@pytest.mark.slow
 def test_cfg_loop_int8_error_comparable_to_bf16():
     """Full 8-step CFG sampling: |int8 - f32| must be within 8x of
     |bf16 - f32| on the final latents (same-order noise)."""

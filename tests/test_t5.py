@@ -1,5 +1,6 @@
 """T5 encoder parity vs HF torch T5EncoderModel."""
 
+import pytest
 import numpy as np
 
 from tests.conftest import load_golden
@@ -156,6 +157,7 @@ def test_t5_beam_generate_matches_hf():
         np.testing.assert_array_equal(out, g[key], err_msg=key)
 
 
+@pytest.mark.slow
 def test_t5_device_beam_loop_matches_hf():
     """The single-dispatch lax.while_loop beam search must be token-for-token
     identical to ALL HF goldens, and to the host loop on further configs

@@ -1,5 +1,6 @@
 """SFT trainer: loss decreases on a fixable toy problem; data loader; ckpt IO."""
 
+import pytest
 import os
 
 import jax
@@ -53,6 +54,7 @@ def test_train_loss_decreases():
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
 
 
+@pytest.mark.slow
 def test_grad_accumulation_steps_update_cadence():
     trainer = make_trainer()
     trainer.cfg = TrainConfig(gradient_accumulation_steps=2, learning_rate=1e-3)

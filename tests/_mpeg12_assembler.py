@@ -38,14 +38,15 @@ class BitWriter:
 
 
 def make_header(layer: int, version: str, sr: int, bitrate: int, mode: int,
-                mode_ext: int = 0, padding: int = 0) -> bytes:
+                mode_ext: int = 0, padding: int = 0,
+                protection: bool = False) -> bytes:
     ver_code = {"1": 3, "2": 2, "2.5": 0}[version]
     sr_idx = T.SAMPLE_RATES[version].index(sr)
     brtab = {(1, "1"): T.BITRATES_V1_L1, (2, "1"): T.BITRATES_V1_L2,
              (3, "1"): T.BITRATES_V1_L3, (1, "2"): T.BITRATES_V2_L1,
              (2, "2"): T.BITRATES_V2_L2, (3, "2"): T.BITRATES_V2_L3}
     br_idx = brtab[(layer, "1" if version == "1" else "2")].index(bitrate)
-    b1 = 0xE0 | (ver_code << 3) | ((4 - layer) << 1) | 1  # no CRC
+    b1 = 0xE0 | (ver_code << 3) | ((4 - layer) << 1) | (0 if protection else 1)
     b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
     b3 = (mode << 6) | (mode_ext << 4)
     return bytes([0xFF, b1, b2, b3])
@@ -64,7 +65,8 @@ def assemble_l2_frame(rng: np.random.Generator, header: bytes,
     table = T.L2_ALLOC_TABLES[_l2_table_select(h)]
     sblimit = len(table)
     nch, bound = _bound_and_nch(h, sblimit)
-    capacity = h.frame_bytes * 8 - 32
+    hdr_bytes = 4 + (2 if h.protection else 0)
+    capacity = (h.frame_bytes - hdr_bytes) * 8
 
     def nbal(sb):
         return (len(table[sb]) + 1).bit_length() - 1
@@ -129,7 +131,8 @@ def assemble_l2_frame(rng: np.random.Generator, header: bytes,
                         # standard's unused code; keep assembled streams
                         # inside the defined alphabet (fuzz covers the rest)
                         w.write(int(rng.integers(0, steps)), nb)
-    return header + w.to_bytes(h.frame_bytes - 4)
+    crc = b"\xde\xad" if h.protection else b""  # mpg123 skips, never checks
+    return header + crc + w.to_bytes(h.frame_bytes - hdr_bytes)
 
 
 def assemble_l1_frame(rng: np.random.Generator, header: bytes,
@@ -137,7 +140,8 @@ def assemble_l1_frame(rng: np.random.Generator, header: bytes,
     h = _FrameHeader(header)
     assert h.layer == 1
     nch, bound = _bound_and_nch(h, 32)
-    capacity = h.frame_bytes * 8 - 32
+    hdr_bytes = 4 + (2 if h.protection else 0)
+    capacity = (h.frame_bytes - hdr_bytes) * 8
 
     alloc = np.zeros((nch, 32), np.int64)
     for sb in range(32):
@@ -177,7 +181,8 @@ def assemble_l1_frame(rng: np.random.Generator, header: bytes,
                 if alloc[ch, sb]:
                     nb = int(alloc[ch, sb]) + 1
                     w.write(int(rng.integers(0, (1 << nb) - 1)), nb)
-    return header + w.to_bytes(h.frame_bytes - 4)
+    crc = b"\xde\xad" if h.protection else b""  # mpg123 skips, never checks
+    return header + crc + w.to_bytes(h.frame_bytes - hdr_bytes)
 
 
 def assemble_stream(rng: np.random.Generator, layer: int, version: str,

@@ -163,6 +163,19 @@ def test_scalefactor_index_62_and_silence():
     assert np.abs(ours).max() < 5e-5  # sf[62] = 2^(1-62/3) ~ 1.3e-6
 
 
+def test_crc_protected_frames():
+    """Protection bit clear => a 16-bit CRC follows the header; the payload
+    bits shift by 2 bytes. libmpg123 skips the CRC without verifying it by
+    default — same here (decode is pinned even with a garbage CRC value)."""
+    rng = np.random.default_rng(6)
+    for layer, br in ((2, 192), (1, 384)):
+        hdr = A.make_header(layer, "1", 44100, br, 3, protection=True)
+        assert _FrameHeader(hdr).protection
+        build = A.assemble_l1_frame if layer == 1 else A.assemble_l2_frame
+        frame = build(rng, hdr)  # emits a garbage 0xDEAD CRC
+        assert_matches_oracle(frame * 4, 44100, 1)
+
+
 # ------------------------------------------------------------ free format
 
 

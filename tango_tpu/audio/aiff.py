@@ -43,7 +43,12 @@ def _read_extended(b: bytes) -> float:
         return -0.0 if sign else 0.0
     if exp == 0x7FFF:
         raise AiffError("non-finite sample rate (extended float inf/nan)")
-    val = mant * 2.0 ** (exp - 16383 - 63)
+    try:
+        val = mant * 2.0 ** (exp - 16383 - 63)
+    except OverflowError:
+        # the 15-bit exponent range far exceeds f64; a corrupt field must
+        # refuse, not leak OverflowError past the AiffError contract
+        raise AiffError(f"extended-float exponent {exp} overflows") from None
     return -val if sign else val
 
 
@@ -131,6 +136,8 @@ def decode_aiff(data: bytes) -> Tuple[np.ndarray, int]:
     if sr_f <= 0 or not np.isfinite(sr_f):
         raise AiffError(f"invalid sample rate {sr_f}")
     sr = int(round(sr_f))
+    if sr <= 0:  # rates in (0, 0.5) round to 0 -> div-by-zero downstream
+        raise AiffError(f"sample rate {sr_f} rounds to zero")
 
     known = _PCM_TYPES + _FLOAT_TYPES + _G711_TYPES
     if comp not in known:

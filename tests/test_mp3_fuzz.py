@@ -60,7 +60,18 @@ def _streams():
         [[[GranuleSpec(spectrum=spec(5, 120), global_gain=150, **wide),
            GranuleSpec(spectrum=spec(3, 100), global_gain=149, **wide)]]],
         sr=22050, version="2", mode=1, mode_ext=2, bitrate=160)
-    return [mono_v1, esc, short, ms_v2]
+    # Layers I/II share decode_mp3's walker and synthesis: same contract
+    from tests._mpeg12_assembler import assemble_stream
+
+    l2_stereo = assemble_stream(rng, layer=2, version="1", sr=44100,
+                                bitrate=192, mode=0, nframes=3)
+    l1_joint = assemble_stream(rng, layer=1, version="1", sr=32000,
+                               bitrate=288, mode=1, mode_ext=1, nframes=3)
+    l2_free = bytearray(assemble_stream(rng, layer=2, version="1", sr=44100,
+                                        bitrate=128, mode=0, nframes=4))
+    for k in range(0, len(l2_free), 417):  # zero each bitrate nibble
+        l2_free[k + 2] &= 0x0F
+    return [mono_v1, esc, short, ms_v2, l2_stereo, l1_joint, bytes(l2_free)]
 
 
 def _fuzz_one(data: bytes):
@@ -71,7 +82,7 @@ def _fuzz_one(data: bytes):
     assert np.isfinite(pcm).all(), "non-finite samples from mutated stream"
 
 
-@pytest.mark.parametrize("stream_idx", range(4))
+@pytest.mark.parametrize("stream_idx", range(7))
 def test_mutation_fuzz(stream_idx):
     base = _streams()[stream_idx]
     rng = np.random.default_rng(100 + stream_idx)

@@ -82,6 +82,17 @@ def sniff_format(path: str) -> str:
     return f"unknown format (magic {head[:4]!r})"
 
 
+def _check_rate(sr: int) -> int:
+    # FLAC/Vorbis/AIFF/WAV headers carry arbitrary rate fields; a corrupt
+    # "1 Hz" rate on a long file would make the 16 kHz resample allocate
+    # len*16000 samples (GBs) before the loader's fallback could catch it.
+    # Every real-world rate sits inside this band (8 kHz telephony to 384 kHz
+    # hi-res, with margin).
+    if not 1000 <= sr <= 768000:
+        raise ValueError(f"implausible sample rate {sr} Hz (corrupt header?)")
+    return sr
+
+
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """Read a WAV, FLAC, mp3 or Ogg Vorbis file -> (float32 in [-1,1], sr),
     by magic bytes."""
@@ -89,19 +100,23 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     if fmt == "flac":
         from tango_tpu.audio.flac import read_flac
 
-        return read_flac(path)
+        pcm, sr = read_flac(path)
+        return pcm, _check_rate(sr)
     if fmt == "mp3":
         from tango_tpu.audio.mp3 import read_mp3
 
-        return read_mp3(path)
+        pcm, sr = read_mp3(path)
+        return pcm, _check_rate(sr)
     if fmt == "ogg":
         from tango_tpu.audio.vorbis import read_vorbis
 
-        return read_vorbis(path)
+        pcm, sr = read_vorbis(path)
+        return pcm, _check_rate(sr)
     if fmt == "aiff":
         from tango_tpu.audio.aiff import read_aiff
 
-        return read_aiff(path)
+        pcm, sr = read_aiff(path)
+        return pcm, _check_rate(sr)
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
         data = data.astype(np.float32) / 32768.0
@@ -111,7 +126,7 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         data = (data.astype(np.float32) - 128.0) / 128.0
     else:
         data = data.astype(np.float32)
-    return data, int(sr)
+    return data, _check_rate(int(sr))
 
 
 def write_wav(path: str, waveform: np.ndarray, sr: int = 16000):

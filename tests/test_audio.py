@@ -117,3 +117,25 @@ def test_griffin_lim_converges():
     a, b = mag[0, 4 : n - 4], mag2[0, 4 : n - 4]
     rel = np.linalg.norm(a - b) / np.linalg.norm(a)
     assert rel < 0.2, rel
+
+
+def test_implausible_sample_rate_refused(tmp_path):
+    """A corrupt header claiming a 1 Hz-scale rate would make the 16 kHz
+    resample allocate len*16000 samples (GBs) before the training loader's
+    fallback could catch it — read_wav must refuse implausible rates."""
+    import pytest
+    from scipy.io import wavfile as _wf
+
+    from tango_tpu.audio.wav import read_wav
+    from tests.test_aiff import _build_aifc
+
+    p = tmp_path / "slow.wav"
+    _wf.write(str(p), 4, np.zeros(100, np.int16))  # 4 Hz WAV
+    with pytest.raises(ValueError, match="implausible sample rate"):
+        read_wav(str(p))
+
+    pa = tmp_path / "slow.aiff"
+    pa.write_bytes(_build_aifc(b"\x00" * 200, 1, 100, 16, 100.0,
+                               form=b"AIFF"))  # 100 Hz AIFF
+    with pytest.raises(ValueError, match="implausible sample rate"):
+        read_wav(str(pa))

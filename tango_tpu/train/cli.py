@@ -53,6 +53,11 @@ def parse_args(argv=None):
     p.add_argument("--snr_gamma", type=float, default=5.0)
     p.add_argument("--uncondition", action="store_true")
     p.add_argument("--augment", action="store_true")
+    p.add_argument("--decode_workers", type=int, default=0,
+                   help="decode manifest audio in N spawned worker processes "
+                        "(0 = in the prefetch thread). The pure-python "
+                        "mp3/vorbis decoders run ~5-17x realtime per core; "
+                        "compressed manifests at small step times want this")
     p.add_argument("--per_device_train_batch_size", type=int, default=2)
     p.add_argument("--per_device_eval_batch_size", type=int, default=2)
     p.add_argument("--gradient_accumulation_steps", type=int, default=4)
@@ -252,10 +257,12 @@ def main(argv=None):
     train_loader = FeaturizedLoader(
         train_ex, global_bs, args.target_length, stft=stft,
         augment_num=augment_num, seed=args.seed, local_rows=train_rows,
+        decode_workers=args.decode_workers,
     )
     val_loader = FeaturizedLoader(
         val_ex, eval_bs, args.target_length,
         stft=stft, shuffle=False, local_rows=eval_rows,
+        decode_workers=args.decode_workers,
     )
     steps_per_epoch = max(len(train_loader) // args.gradient_accumulation_steps, 1)
     total_steps = steps_per_epoch * args.num_train_epochs

@@ -102,11 +102,43 @@ def validate_manifest(examples: Sequence[Example], max_report: int = 20) -> None
         )
 
 
+def _decode_worker_init():
+    # decode workers run numpy-only code; pin any accidental jax op to CPU
+    # so a spawned child can never open its own TPU-relay connection
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
+def _decode_one(args):
+    """Worker-side read_wav_file; returns None on decode failure (the parent
+    substitutes the reference's constant-waveform fallback). Must not raise:
+    a worker exception would poison the whole pool.map."""
+    location, segment_samples = args
+    try:
+        from tango_tpu.audio.wav import read_wav_file
+
+        return read_wav_file(location, segment_samples)
+    except Exception:
+        return None
+
+
 class FeaturizedLoader:
     """Batches of {fbank, captions} with threaded prefetch + optional mixup.
 
     The text encoding step (tokenize + frozen T5) is intentionally NOT here —
     the trainer owns it so the same loader serves SFT, DPO and eval.
+
+    `decode_workers > 0` decodes the batch's files in a spawn-based process
+    pool: the compressed-audio decoders (mp3/vorbis — audio/*.py) are pure
+    python at roughly 5-17x realtime per core, so a wav-manifest epoch at
+    small step times is ingest-bound on one GIL-bound thread. The reference
+    has the same serial shape (torch DataLoader num_workers=0,
+    train.py:328-330) but decodes through C torchaudio; the pool buys the
+    same headroom back. Workers are jax-free (numpy decode only).
     """
 
     def __init__(
@@ -121,6 +153,7 @@ class FeaturizedLoader:
         num_prefetch: int = 2,
         drop_last: bool = True,
         local_rows: Optional[slice] = None,
+        decode_workers: int = 0,
     ):
         """`local_rows`: multi-host mode — every process builds the SAME
         global batch order (same seed), but decodes/featurizes only its row
@@ -141,7 +174,27 @@ class FeaturizedLoader:
         self.seed = seed
         self.num_prefetch = num_prefetch
         self.drop_last = drop_last
+        self.decode_workers = decode_workers
+        self._pool = None
         self._epoch = 0
+
+    def _get_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            self._pool = ProcessPoolExecutor(
+                self.decode_workers,
+                mp_context=mp.get_context("spawn"),
+                initializer=_decode_worker_init,
+            )
+        return self._pool
+
+    def close(self):
+        """Shut the decode pool down (idempotent; also runs at GC/atexit)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
 
     def __len__(self):
         n = len(self.examples) // self.batch_size
@@ -150,16 +203,22 @@ class FeaturizedLoader:
         return n
 
     def _load_batch(self, batch: List[Example], rng: random.Random):
-        waves, captions = [], []
-        for ex in batch:
-            try:
-                w = read_wav_file(ex.location, self.target_length * 160)
-            except Exception:
-                # decode failure -> constant waveform fallback
-                # (reference behavior tools/torch_tools.py:47-50)
-                w = 0.5 * np.ones((1, self.target_length * 160), np.float32)
-            waves.append(w)
-            captions.append(ex.caption)
+        seg = self.target_length * 160
+        fallback = lambda: 0.5 * np.ones((1, seg), np.float32)  # noqa: E731
+        # decode failure -> constant waveform fallback
+        # (reference behavior tools/torch_tools.py:47-50)
+        captions = [ex.caption for ex in batch]
+        if self.decode_workers > 0:
+            decoded = self._get_pool().map(
+                _decode_one, [(ex.location, seg) for ex in batch])
+            waves = [w if w is not None else fallback() for w in decoded]
+        else:
+            waves = []
+            for ex in batch:
+                try:
+                    waves.append(read_wav_file(ex.location, seg))
+                except Exception:
+                    waves.append(fallback())
         waves = np.concatenate(waves, 0)
         if self.augment_num > 0 and len(batch) > 1:
             mixed, mixed_caps = mix_pairs(waves, captions, self.augment_num, rng=rng)

@@ -289,3 +289,47 @@ def test_load_main_weights_snapshot():
     assert sorted(np.shape(g) for g in got_leaves) == sorted(
         np.shape(r) for r in ref_leaves
     )
+
+
+@pytest.mark.slow
+def test_loader_decode_workers_match_serial(tmp_path):
+    """decode_workers=2 (spawned jax-free pool) produces byte-identical
+    batches to the serial path, including the constant-waveform fallback for
+    an undecodable file mid-manifest."""
+    import json
+
+    from tango_tpu.audio.wav import write_wav
+    from tango_tpu.train.data import FeaturizedLoader, load_manifest
+
+    locs = []
+    for i in range(4):
+        p = str(tmp_path / f"w{i}.wav")
+        t = np.linspace(0, 1, 16000, endpoint=False)
+        write_wav(p, (0.4 * np.sin(2 * np.pi * (150 + 80 * i) * t)).astype(np.float32))
+        locs.append(p)
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFF\x10\x00\x00\x00WAVEjunkjunk")  # sniffs wav, fails decode
+    locs.insert(2, str(bad))
+    manifest = tmp_path / "m.json"
+    with open(manifest, "w") as f:
+        for p in locs:
+            f.write(json.dumps({"dataset": "t", "location": p,
+                                "captions": f"tone {p}"}) + "\n")
+    ex = load_manifest(str(manifest))
+
+    def run(workers):
+        loader = FeaturizedLoader(ex, batch_size=2, target_length=64,
+                                  shuffle=False, decode_workers=workers)
+        out = list(loader)
+        loader.close()
+        return out
+
+    serial, pooled = run(0), run(2)
+    assert len(serial) == len(pooled) == 2
+    for a, b in zip(serial, pooled):
+        np.testing.assert_array_equal(a["fbank"], b["fbank"])
+        np.testing.assert_array_equal(a["waveforms"], b["waveforms"])
+        assert a["captions"] == b["captions"]
+    # the bad file really took the fallback (constant waveform)
+    flat = serial[1]["waveforms"]
+    assert (np.ptp(flat[0]) == 0) or (np.ptp(flat[1]) == 0)

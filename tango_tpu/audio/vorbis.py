@@ -78,17 +78,20 @@ def _ogg_crc(data: bytes) -> int:
     return r
 
 
-def _ogg_packets(data: bytes, start: int = 0):
+def _ogg_packets(data: bytes, start: int = 0, bos_magic: bytes = b"\x01vorbis",
+                 err_cls: type = None):
     """Parse one Ogg chain link -> (packets, total_granule, end_pos).
 
     Follows the FIRST logical stream whose BOS packet begins with
-    '\\x01vorbis' (grouped/multiplexed files carry other codecs on other
-    serials); raises VorbisError on structural corruption (bad capture, bad
-    CRC, bad version) rather than resyncing. `end_pos` is the byte offset
-    past this link's EOS page, where a chained file's next link begins
-    (libvorbisfile decodes chains as consecutive links — decode_vorbis
-    mirrors that).
+    `bos_magic` ('\\x01vorbis' by default; audio/opus.py reuses this layer
+    with b'OpusHead' — grouped/multiplexed files carry other codecs on other
+    serials); raises `err_cls` (VorbisError by default) on structural
+    corruption (bad capture, bad CRC, bad version) rather than resyncing.
+    `end_pos` is the byte offset past this link's EOS page, where a chained
+    file's next link begins (libvorbisfile decodes chains as consecutive
+    links — decode_vorbis mirrors that).
     """
+    VorbisError = err_cls or globals()["VorbisError"]
     packets: List[bytes] = []
     pos = start
     serial = None
@@ -125,8 +128,8 @@ def _ogg_packets(data: bytes, start: int = 0):
         if serial is None:
             if not (htype & 0x02):
                 raise VorbisError("first ogg page is not a stream start")
-            # only follow a Vorbis stream; skip other codecs' BOS pages
-            if body[:7] != b"\x01vorbis":
+            # only follow the requested codec's stream; skip other BOS pages
+            if body[: len(bos_magic)] != bos_magic:
                 continue
             serial = pserial
         elif pserial != serial:

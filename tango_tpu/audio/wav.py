@@ -5,9 +5,11 @@ read -> resample to 16 kHz -> normalize (zero-mean, peak 0.5) -> pad/trim to
 segment -> renormalize peak 0.5. Reading uses scipy.io.wavfile (PCM/float
 WAVs), the pure-python FLAC decoder (audio/flac.py), the MPEG Layer I/II/III
 decoder (audio/mp3.py, pinned against libmpg123), the Ogg Vorbis decoder
-(audio/vorbis.py, pinned against libvorbisfile), or the AIFF/AIFF-C decoder
-(audio/aiff.py, pinned against the stdlib aifc reference reader) — dispatch
-by magic bytes, so mixed wav/flac/mp3/ogg/aiff manifests just work. Resampling uses polyphase FIR
+(audio/vorbis.py, pinned against libvorbisfile), the AIFF/AIFF-C decoder
+(audio/aiff.py, pinned against the stdlib aifc reference reader), or the
+Ogg Opus path (audio/opus.py: native container demux, packets through the
+system libopus) — dispatch by magic bytes, so mixed
+wav/flac/mp3/ogg/aiff/opus manifests just work. Resampling uses polyphase FIR
 (scipy.signal.resample_poly), a windowed-sinc method equivalent in quality to
 torchaudio's kaiser resampler.
 """
@@ -31,8 +33,8 @@ def _is_mpeg_sync(b0: int, b1: int) -> bool:
 
 
 def sniff_format(path: str) -> str:
-    """'wav' | 'flac' | 'mp3' | 'ogg' (vorbis) | 'aiff' | a short description
-    of an unsupported format."""
+    """'wav' | 'flac' | 'mp3' | 'ogg' (vorbis) | 'opus' | 'aiff' | a short
+    description of an unsupported format."""
     with open(path, "rb") as f:
         head = f.read(16)
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
@@ -73,8 +75,8 @@ def sniff_format(path: str) -> str:
         if body[:7] == b"\x01vorbis":
             return "ogg"
         if body[:8] == b"OpusHead":
-            return "ogg/opus (unsupported — transcode to wav/flac/mp3/ogg-vorbis)"
-        return "ogg container with non-vorbis codec (unsupported — transcode to wav/flac/mp3/ogg-vorbis)"
+            return "opus"
+        return "ogg container with unknown codec (unsupported — transcode to wav/flac/mp3/ogg-vorbis/opus)"
     if head[:4] == b"FORM":
         if head[8:12] in (b"AIFF", b"AIFC"):
             return "aiff"
@@ -94,8 +96,8 @@ def _check_rate(sr: int) -> int:
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a WAV, FLAC, mp3 or Ogg Vorbis file -> (float32 in [-1,1], sr),
-    by magic bytes."""
+    """Read a WAV, FLAC, mp3, Ogg Vorbis/Opus or AIFF file ->
+    (float32 in [-1,1], sr), by magic bytes."""
     fmt = sniff_format(path)
     if fmt == "flac":
         from tango_tpu.audio.flac import read_flac
@@ -111,6 +113,11 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         from tango_tpu.audio.vorbis import read_vorbis
 
         pcm, sr = read_vorbis(path)
+        return pcm, _check_rate(sr)
+    if fmt == "opus":
+        from tango_tpu.audio.opus import read_opus
+
+        pcm, sr = read_opus(path)
         return pcm, _check_rate(sr)
     if fmt == "aiff":
         from tango_tpu.audio.aiff import read_aiff

@@ -74,8 +74,10 @@ def validate_manifest(examples: Sequence[Example], max_report: int = 20) -> None
     The reference reads flac/mp3/ogg through torchaudio
     (tools/torch_tools.py:43-54) and silently substitutes a constant waveform
     on decode failure. Here decodable means WAV (scipy), native FLAC
-    (audio/flac.py), MPEG Layer I/II/III (audio/mp3.py) or Ogg Vorbis
-    (audio/vorbis.py); anything else fails
+    (audio/flac.py), MPEG Layer I/II/III (audio/mp3.py), Ogg Vorbis
+    (audio/vorbis.py), AIFF (audio/aiff.py) or Ogg Opus (audio/opus.py —
+    container demux is native, packets decode through the system libopus,
+    whose availability is checked here); anything else fails
     LOUDLY *before* training starts — an undecodable manifest must be an
     actionable error, not an epoch of constant-waveform garbage
     indistinguishable from real data loss.
@@ -83,13 +85,25 @@ def validate_manifest(examples: Sequence[Example], max_report: int = 20) -> None
     from tango_tpu.audio.wav import sniff_format
 
     bad = []
+    opus_checked = False
     for ex in examples:
         try:
             fmt = sniff_format(ex.location)
         except OSError as e:
             bad.append(f"{ex.location}: {e.strerror or e}")
         else:
-            if fmt not in ("wav", "flac", "mp3", "ogg", "aiff"):
+            if fmt == "opus" and not opus_checked:
+                from tango_tpu.audio.opus import libopus_available
+
+                if not libopus_available():
+                    raise ValueError(
+                        "manifest preflight failed — the manifest contains "
+                        f"Ogg Opus audio ({ex.location}) but the system "
+                        "libopus shared library is not loadable; install "
+                        "libopus0 or transcode to wav/flac/mp3/ogg-vorbis"
+                    )
+                opus_checked = True
+            if fmt not in ("wav", "flac", "mp3", "ogg", "aiff", "opus"):
                 bad.append(f"{ex.location}: {fmt}")
         if len(bad) > max_report:
             break
@@ -98,7 +112,7 @@ def validate_manifest(examples: Sequence[Example], max_report: int = 20) -> None
         raise ValueError(
             f"manifest preflight failed — {len(bad)}+ undecodable audio "
             "files (supported: WAV, FLAC, mp3/MPEG-1/2, Ogg Vorbis, "
-            "AIFF):\n  " + "\n  ".join(bad[:max_report]) + more
+            "AIFF, Ogg Opus):\n  " + "\n  ".join(bad[:max_report]) + more
         )
 
 

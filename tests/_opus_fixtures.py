@@ -1,0 +1,190 @@
+"""Ogg Opus fixture builder: libopus encoder (ctypes) + our own Ogg muxer.
+
+No opusenc/libopusfile exists in this image, so fixtures are assembled from
+first principles: PCM -> libopus packets (opus_encode_float /
+opus_multistream_encode_float) -> OpusHead/OpusTags we serialize ourselves
+(RFC 7845 §5) -> Ogg pages via the same page writer the vorbis fixtures use
+(tests/_vorbis_assembler.ogg_wrap). Because the mux layer is independent of
+tango_tpu.audio.opus's demux layer, round-trip tests exercise the real
+container logic (pre-skip, granule trim, gain, mapping) rather than a
+shared implementation.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from tests._vorbis_assembler import ogg_wrap
+
+_OPUS_APPLICATION_AUDIO = 2049
+_OPUS_SET_BITRATE = 4002
+_OPUS_SET_COMPLEXITY = 4010
+_OPUS_GET_LOOKAHEAD = 4027
+
+_lib = None
+
+
+def _libopus():
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL("libopus.so.0")
+        lib.opus_encoder_create.restype = ctypes.c_void_p
+        lib.opus_encoder_create.argtypes = [
+            ctypes.c_int32, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.opus_encode_float.restype = ctypes.c_int32
+        lib.opus_encode_float.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int32]
+        lib.opus_encoder_destroy.restype = None
+        lib.opus_encoder_destroy.argtypes = [ctypes.c_void_p]
+        lib.opus_multistream_surround_encoder_create.restype = ctypes.c_void_p
+        lib.opus_multistream_surround_encoder_create.argtypes = [
+            ctypes.c_int32, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.opus_multistream_encode_float.restype = ctypes.c_int32
+        lib.opus_multistream_encode_float.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int32]
+        lib.opus_multistream_encoder_destroy.restype = None
+        lib.opus_multistream_encoder_destroy.argtypes = [ctypes.c_void_p]
+        # ctl is varargs; declare the fixed part (ctypes allows extra args)
+        # — without c_void_p here the 64-bit handle truncates to c_int
+        lib.opus_encoder_ctl.restype = ctypes.c_int
+        lib.opus_encoder_ctl.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.opus_multistream_encoder_ctl.restype = ctypes.c_int
+        lib.opus_multistream_encoder_ctl.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        _lib = lib
+    return _lib
+
+
+def opus_head(channels: int, pre_skip: int, gain_q8: int = 0,
+              family: int = 0, streams: int = 1, coupled: int = 0,
+              mapping: bytes = b"", input_rate: int = 48000,
+              version: int = 1) -> bytes:
+    pkt = (b"OpusHead" + bytes([version, channels])
+           + int(pre_skip).to_bytes(2, "little")
+           + int(input_rate).to_bytes(4, "little")
+           + int(gain_q8 & 0xFFFF).to_bytes(2, "little")
+           + bytes([family]))
+    if family != 0:
+        pkt += bytes([streams, coupled]) + mapping
+    return pkt
+
+
+def opus_tags(vendor: bytes = b"tango_tpu-fixture") -> bytes:
+    return (b"OpusTags" + len(vendor).to_bytes(4, "little") + vendor
+            + (0).to_bytes(4, "little"))
+
+
+def _encode_packets_1_2ch(pcm: np.ndarray, frame: int, bitrate: int
+                          ) -> Tuple[List[bytes], int]:
+    lib = _libopus()
+    ch = pcm.shape[1]
+    err = ctypes.c_int(0)
+    enc = lib.opus_encoder_create(48000, ch, _OPUS_APPLICATION_AUDIO,
+                                  ctypes.byref(err))
+    if not enc or err.value:
+        raise RuntimeError(f"opus_encoder_create failed ({err.value})")
+    try:
+        lib.opus_encoder_ctl(enc, ctypes.c_int(_OPUS_SET_BITRATE),
+                             ctypes.c_int32(bitrate))
+        look = ctypes.c_int32(0)
+        lib.opus_encoder_ctl(enc, ctypes.c_int(_OPUS_GET_LOOKAHEAD),
+                             ctypes.byref(look))
+        out = ctypes.create_string_buffer(4000 * max(ch, 2))
+        packets = []
+        flat = np.ascontiguousarray(pcm, np.float32)
+        for i in range(0, len(pcm), frame):
+            fr = flat[i : i + frame]
+            n = lib.opus_encode_float(
+                enc, fr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                frame, out, len(out))
+            if n < 0:
+                raise RuntimeError(f"opus_encode_float failed ({n})")
+            packets.append(out.raw[:n])
+        return packets, look.value
+    finally:
+        lib.opus_encoder_destroy(enc)
+
+
+def _encode_packets_surround(pcm: np.ndarray, frame: int, bitrate: int
+                             ) -> Tuple[List[bytes], int, int, int, bytes]:
+    lib = _libopus()
+    ch = pcm.shape[1]
+    err = ctypes.c_int(0)
+    streams = ctypes.c_int(0)
+    coupled = ctypes.c_int(0)
+    mapping = (ctypes.c_ubyte * ch)()
+    enc = lib.opus_multistream_surround_encoder_create(
+        48000, ch, 1, ctypes.byref(streams), ctypes.byref(coupled), mapping,
+        _OPUS_APPLICATION_AUDIO, ctypes.byref(err))
+    if not enc or err.value:
+        raise RuntimeError(f"surround encoder create failed ({err.value})")
+    try:
+        lib.opus_multistream_encoder_ctl(
+            enc, ctypes.c_int(_OPUS_SET_BITRATE), ctypes.c_int32(bitrate))
+        look = ctypes.c_int32(0)
+        lib.opus_multistream_encoder_ctl(
+            enc, ctypes.c_int(_OPUS_GET_LOOKAHEAD), ctypes.byref(look))
+        out = ctypes.create_string_buffer(4000 * ch)
+        packets = []
+        flat = np.ascontiguousarray(pcm, np.float32)
+        for i in range(0, len(pcm), frame):
+            fr = flat[i : i + frame]
+            n = lib.opus_multistream_encode_float(
+                enc, fr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                frame, out, len(out))
+            if n < 0:
+                raise RuntimeError(f"multistream encode failed ({n})")
+            packets.append(out.raw[:n])
+        return packets, look.value, streams.value, coupled.value, bytes(mapping)
+    finally:
+        lib.opus_multistream_encoder_destroy(enc)
+
+
+def encode_opus(pcm: np.ndarray, bitrate: int = 128000, frame: int = 960,
+                gain_q8: int = 0, serial: int = 4711,
+                pre_skip: Optional[int] = None,
+                final_granule: Optional[int] = None) -> bytes:
+    """float32 PCM at 48 kHz ((n,) or (n, ch)) -> complete Ogg Opus bytes.
+
+    Pads the input so the stream carries >= pre_skip + n samples, stamps
+    page granules cumulatively, and sets the final granule to
+    pre_skip + n so a correct demuxer recovers exactly n samples.
+    `pre_skip`/`final_granule` overrides exist for crafting hostile trims.
+    """
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    orig_len, ch = pcm.shape
+    if ch <= 2:
+        # probe lookahead first so padding can account for it
+        probe, look = _encode_packets_1_2ch(
+            np.zeros((frame, ch), np.float32), frame, bitrate)
+    else:
+        probe, look, _, _, _ = _encode_packets_surround(
+            np.zeros((frame, ch), np.float32), frame, bitrate)
+    skip = look if pre_skip is None else pre_skip
+    need = orig_len + look
+    n_frames = max(1, -(-need // frame))
+    padded = np.zeros((n_frames * frame, ch), np.float32)
+    padded[:orig_len] = pcm
+    if ch <= 2:
+        packets, look2 = _encode_packets_1_2ch(padded, frame, bitrate)
+        head = opus_head(ch, skip, gain_q8)
+    else:
+        packets, look2, streams, coupled, mapping = _encode_packets_surround(
+            padded, frame, bitrate)
+        head = opus_head(ch, skip, gain_q8, family=1, streams=streams,
+                         coupled=coupled, mapping=mapping)
+    assert look2 == look
+    end = (look + orig_len) if final_granule is None else final_granule
+    pkts = [head, opus_tags()] + packets
+    granules = [0, 0] + [(i + 1) * frame for i in range(len(packets))]
+    granules[-1] = end
+    return ogg_wrap(pkts, granules, serial=serial)

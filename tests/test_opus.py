@@ -1,0 +1,256 @@
+"""Ogg Opus ingestion tests (tango_tpu/audio/opus.py).
+
+The container layer (demux, OpusHead/Tags, pre-skip, granule trim, gain,
+mapping validation, chaining) is ours and is what these tests pin; packets
+decode through the system libopus (the same codec family the reference's
+torchaudio path binds — tools/torch_tools.py:43-54). Fixtures are encoded
+by the libopus *encoder* and muxed by an independent in-repo Ogg writer
+(tests/_opus_fixtures.py), so mux and demux never share code.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from tango_tpu.audio.opus import (OpusError, decode_opus, libopus_available,
+                                  read_opus)
+
+pytestmark = pytest.mark.skipif(
+    not libopus_available(), reason="system libopus not loadable")
+
+from tests._opus_fixtures import encode_opus, ogg_wrap, opus_head, opus_tags
+
+
+def _sig(seconds=0.25, freq=440.0, seed=0, ch=1):
+    n = int(48000 * seconds)
+    t = np.arange(n) / 48000.0
+    rng = np.random.default_rng(seed)
+    base = 0.4 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
+    if ch == 1:
+        return base.astype(np.float32)
+    return np.stack([base * (0.9 - 0.1 * i) for i in range(ch)],
+                    axis=1).astype(np.float32)
+
+
+def _snr(ref, out):
+    err = out - ref
+    return 10 * np.log10(np.mean(ref ** 2) / (np.mean(err ** 2) + 1e-20))
+
+
+def test_roundtrip_mono_exact_length():
+    pcm = _sig(0.25)
+    out, sr = decode_opus(encode_opus(pcm, bitrate=192000))
+    assert sr == 48000
+    # pre-skip removal + final-granule trim must recover the input length
+    # EXACTLY — off-by-lookahead errors are the classic ogg-opus demux bug
+    assert out.shape == (len(pcm), 1)
+    assert _snr(pcm, out[:, 0]) > 20.0
+    assert np.all(np.isfinite(out))
+
+
+def test_roundtrip_stereo():
+    pcm = _sig(0.25, ch=2)
+    out, sr = decode_opus(encode_opus(pcm, bitrate=256000))
+    assert out.shape == pcm.shape
+    assert _snr(pcm, out) > 20.0
+
+
+def test_roundtrip_surround_family1():
+    # 5.1: vorbis channel order FL FC FR RL RR LFE; LFE is band-limited by
+    # the codec, so give it codec-representable low-frequency content
+    n = int(48000 * 0.25)
+    t = np.arange(n) / 48000.0
+    chans = [0.3 * np.sin(2 * np.pi * f * t)
+             for f in (440, 550, 660, 220, 330)]
+    chans.insert(3, 0.3 * np.sin(2 * np.pi * 60.0 * t))  # LFE slot
+    pcm = np.stack(chans, axis=1).astype(np.float32)
+    out, sr = decode_opus(encode_opus(pcm, bitrate=768000))
+    assert out.shape == pcm.shape
+    for c in range(6):
+        assert _snr(pcm[:, c], out[:, c]) > 10.0, c
+
+
+def test_output_gain_q8():
+    pcm = _sig(0.2)
+    base, _ = decode_opus(encode_opus(pcm, bitrate=192000))
+    # -6.02 dB in Q7.8 -> amplitude ratio 10^(-1542/5120)
+    gained, _ = decode_opus(encode_opus(pcm, bitrate=192000, gain_q8=-1542))
+    ratio = np.sqrt(np.mean(gained ** 2) / np.mean(base ** 2))
+    assert abs(ratio - 10.0 ** (-1542 / 5120.0)) < 1e-3
+
+
+def test_end_trim_and_preskip_overrides():
+    pcm = _sig(0.2)
+    # hostile final granule: keep only 1000 post-skip samples
+    look = None
+    data = encode_opus(pcm, bitrate=128000)
+    full, _ = decode_opus(data)
+    assert len(full) == len(pcm)
+    # re-encode with final_granule = preskip + 1000; recover preskip from the
+    # OpusHead our muxer wrote (bytes 10-12 of the first page's first packet)
+    head_off = data.index(b"OpusHead")
+    look = int.from_bytes(data[head_off + 10 : head_off + 12], "little")
+    short, _ = decode_opus(
+        encode_opus(pcm, bitrate=128000, final_granule=look + 1000))
+    assert len(short) == 1000
+    # pre_skip larger than the whole stream -> empty, not a crash
+    empty, _ = decode_opus(
+        encode_opus(pcm[:2000], bitrate=128000, pre_skip=65535))
+    assert len(empty) == 0
+
+
+def test_granule_never_negative_slice():
+    # a stream whose pages never carry a granule (all -1) keeps everything
+    # past pre-skip instead of mis-slicing
+    pcm = _sig(0.1)
+    data = encode_opus(pcm, bitrate=128000)
+    head_off = data.index(b"OpusHead")
+    look = int.from_bytes(data[head_off + 10 : head_off + 12], "little")
+    from tango_tpu.audio.vorbis import _ogg_packets
+
+    pkts, _, _ = _ogg_packets(data, 0, bos_magic=b"OpusHead", err_cls=OpusError)
+    out, _ = decode_opus(ogg_wrap(pkts, [-1] * len(pkts)))
+    # total decoded = n_audio_packets * 960 minus pre-skip
+    assert len(out) == (len(pkts) - 2) * 960 - look
+
+
+def test_chained_streams_concatenate():
+    a, b = _sig(0.15, seed=1), _sig(0.12, freq=880, seed=2)
+    data = (encode_opus(a, bitrate=128000, serial=1)
+            + encode_opus(b, bitrate=128000, serial=2))
+    out, sr = decode_opus(data)
+    assert out.shape == (len(a) + len(b), 1)
+    assert _snr(a, out[: len(a), 0]) > 20.0
+    assert _snr(b, out[len(a):, 0]) > 20.0
+
+
+def test_chained_layout_change_refuses():
+    data = (encode_opus(_sig(0.1), bitrate=128000, serial=1)
+            + encode_opus(_sig(0.1, ch=2), bitrate=128000, serial=2))
+    with pytest.raises(OpusError, match="mid-file"):
+        decode_opus(data)
+
+
+def test_header_validation():
+    pcm = _sig(0.05)
+    good = encode_opus(pcm, bitrate=128000)
+    from tango_tpu.audio.vorbis import _ogg_packets
+
+    pkts, gran, _ = _ogg_packets(good, 0, bos_magic=b"OpusHead",
+                                 err_cls=OpusError)
+    grans = [0, 0] + [960 * (i + 1) for i in range(len(pkts) - 2)]
+
+    def rebuild(head=None, tags=None):
+        p = list(pkts)
+        if head is not None:
+            p[0] = head
+        if tags is not None:
+            p[1] = tags
+        return ogg_wrap(p, grans)
+
+    with pytest.raises(OpusError, match="version"):
+        decode_opus(rebuild(head=opus_head(1, 312, version=0x1F)))
+    with pytest.raises(OpusError, match="version"):
+        decode_opus(rebuild(head=opus_head(1, 312, version=0)))
+    # version 2 with upper nibble 0 is backwards-compatible per RFC 7845
+    out, _ = decode_opus(rebuild(head=opus_head(1, 312, version=2)))
+    assert len(out) > 0
+    with pytest.raises(OpusError, match="family 0"):
+        decode_opus(rebuild(head=opus_head(3, 312)))
+    with pytest.raises(OpusError, match="mapping"):
+        decode_opus(rebuild(head=opus_head(1, 312) + b"\x00"))
+    with pytest.raises(OpusError, match="OpusTags"):
+        decode_opus(rebuild(tags=b"NotTags!"))
+    with pytest.raises(OpusError, match="OpusHead"):
+        decode_opus(rebuild(head=b"OpusHeadX"))
+    with pytest.raises(OpusError, match="out of range"):
+        decode_opus(rebuild(head=opus_head(
+            2, 312, family=1, streams=1, coupled=0, mapping=bytes([0, 7]))))
+    # mapping entry 255 = silent channel, must be accepted
+    out, _ = decode_opus(rebuild(head=opus_head(
+        1, 312, family=1, streams=1, coupled=0, mapping=bytes([255]))))
+    assert np.allclose(out, 0.0)
+
+
+def test_empty_audio_packet_refuses():
+    pcm = _sig(0.05)
+    good = encode_opus(pcm, bitrate=128000)
+    from tango_tpu.audio.vorbis import _ogg_packets
+
+    pkts, _, _ = _ogg_packets(good, 0, bos_magic=b"OpusHead", err_cls=OpusError)
+    pkts.insert(3, b"")
+    with pytest.raises(OpusError, match="empty"):
+        decode_opus(ogg_wrap(pkts, [0] * len(pkts)))
+
+
+def test_read_wav_dispatch_and_loader_contract(tmp_path):
+    from tango_tpu.audio.wav import read_wav, read_wav_file, sniff_format
+
+    pcm = _sig(0.3)
+    p = tmp_path / "clip.opus"
+    p.write_bytes(encode_opus(pcm, bitrate=160000))
+    assert sniff_format(str(p)) == "opus"
+    out, sr = read_wav(str(p))
+    assert sr == 48000 and out.ndim == 1 and len(out) == len(pcm)
+    seg = read_wav_file(str(p), segment_length=16000)
+    assert seg.shape == (1, 16000) and seg.dtype == np.float32
+    assert np.all(np.isfinite(seg)) and np.max(np.abs(seg)) <= 0.5 + 1e-6
+
+
+def test_manifest_preflight_accepts_and_gates(tmp_path, monkeypatch):
+    from tango_tpu.train.data import load_manifest, validate_manifest
+
+    p = tmp_path / "a.opus"
+    p.write_bytes(encode_opus(_sig(0.1), bitrate=96000))
+    mf = tmp_path / "train.json"
+    mf.write_text(json.dumps(
+        {"dataset": "t", "location": str(p), "captions": "opus clip"}))
+    examples = load_manifest(str(mf))
+    validate_manifest(examples)  # must NOT raise
+
+    # identical manifest with libopus "absent" must fail loudly at preflight
+    import tango_tpu.audio.opus as opus_mod
+
+    monkeypatch.setattr(opus_mod, "libopus_available", lambda: False)
+    with pytest.raises(ValueError, match="libopus"):
+        validate_manifest(examples)
+
+
+def test_libopus_missing_is_loud(monkeypatch):
+    import tango_tpu.audio.opus as opus_mod
+
+    monkeypatch.setattr(opus_mod, "_lib", None)
+    monkeypatch.setattr(opus_mod.ctypes, "CDLL",
+                        lambda *a, **k: (_ for _ in ()).throw(OSError("no lib")))
+    with pytest.raises(OpusError, match="libopus"):
+        opus_mod._load_libopus()
+    assert not opus_mod.libopus_available()
+
+
+def test_mutation_fuzz_crash_contract():
+    """Byte/truncation mutations: decode either succeeds with finite output
+    or raises ValueError — nothing else escapes, nothing crashes."""
+    pcm = _sig(0.1, seed=3)
+    good = encode_opus(pcm, bitrate=96000)
+    rng = np.random.default_rng(7)
+    outcomes = {"ok": 0, "refused": 0}
+    for trial in range(300):
+        buf = bytearray(good)
+        kind = trial % 3
+        if kind == 0:  # byte flip
+            i = int(rng.integers(len(buf)))
+            buf[i] ^= int(rng.integers(1, 256))
+        elif kind == 1:  # truncation
+            buf = buf[: int(rng.integers(1, len(buf)))]
+        else:  # splice two regions
+            i, j = sorted(int(x) for x in rng.integers(0, len(buf), 2))
+            buf = buf[:i] + buf[j:]
+        try:
+            out, sr = decode_opus(bytes(buf))
+        except ValueError:
+            outcomes["refused"] += 1
+        else:
+            assert np.all(np.isfinite(out))
+            outcomes["ok"] += 1
+    assert outcomes["refused"] > 0  # CRC layer must be doing work

@@ -163,7 +163,8 @@ def test_ogg_manifest_preflight_and_loader(tmp_path):
     examples = load_manifest(str(mf))
     validate_manifest(examples)  # must NOT raise
 
-    # opus in an ogg container still refuses loudly
+    # opus in an ogg container now sniffs as its own format (test_opus.py
+    # covers the decode path); a non-vorbis/non-opus codec still refuses
     from tango_tpu.audio.wav import sniff_format
 
     fake = tmp_path / "x.ogg"
@@ -171,7 +172,14 @@ def test_ogg_manifest_preflight_and_loader(tmp_path):
     page = bytearray(b"OggS\x00\x02" + b"\x00" * 8 + b"\x01\x00\x00\x00"
                      + b"\x00" * 4 + b"\x00" * 4 + bytes([1, len(seg)]) + seg)
     fake.write_bytes(bytes(page))
-    assert "opus" in sniff_format(str(fake))
+    assert sniff_format(str(fake)) == "opus"
+
+    alien = tmp_path / "y.ogg"
+    seg = b"\x80theora" + b"\x00" * 10
+    page = bytearray(b"OggS\x00\x02" + b"\x00" * 8 + b"\x01\x00\x00\x00"
+                     + b"\x00" * 4 + b"\x00" * 4 + bytes([1, len(seg)]) + seg)
+    alien.write_bytes(bytes(page))
+    assert "unsupported" in sniff_format(str(alien))
 
 
 def test_error_paths():
